@@ -1,0 +1,21 @@
+"""icat_lucene_ray — a Ray-Data-native full-text indexing + BM25 query engine.
+
+A from-scratch reimplementation of the *capabilities* of
+icatproject/icat.lucene (a Lucene 8 REST search server) as idiomatic
+Ray Data pipelines:
+
+- index build   = ``ray.data.read_parquet`` -> ``map_batches`` (tokenize,
+  zero-copy Arrow) -> per-batch posting-run combiner -> one
+  ``groupby(shard_key)`` shuffle -> immutable term-sharded segments
+  (bit-packed delta-compressed postings with block-max metadata).
+- query         = BM25 top-k (term / boolean AND-OR-NOT / phrase-lite /
+  wildcard / range / filter), faceting, field sort, search_after
+  pagination — over stateful segment-reader actors or inline readers.
+
+The reference repo is cited throughout as ``Lucene.java:NNN`` etc. so
+behavioral parity can be checked; no code is ported from it.
+"""
+
+__version__ = "0.1.0"
+
+from icat_lucene_ray.config import EngineConfig  # noqa: F401

@@ -1,0 +1,193 @@
+"""Analysis chains — pure, versioned Python equivalents of the
+reference's Lucene analyzers.
+
+Reference chain (``IcatAnalyzer.java:35-41``):
+``StandardTokenizer -> EnglishPossessiveFilter -> LowerCaseFilter ->
+StopFilter(27 scientific stop words) -> PorterStemFilter``; the synonym
+variant appends a SynonymGraphFilter (``IcatSynonymAnalyzer.java:48-56``).
+Golden behavior is pinned by tests mirroring ``TestLucene.java:90-200``.
+
+These are deterministic pure functions: the same text always yields the
+same token stream (required for resumable/idempotent index builds and
+for rank-identity vs the brute-force oracle).
+
+Hot-path notes: tokenization is regex ``findall`` per string; the
+per-token pipeline (possessive -> lower -> stop -> stem) is memoized in
+a per-analyzer dict keyed on the *raw* token, which on Zipfian text hits
+>99% — per-batch cost is then one dict lookup per token. Analyzer
+objects are built once per actor (``__init__``) when used inside
+``map_batches`` actor pools.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Iterable
+
+from icat_lucene_ray.analysis.porter import porter_stem
+from icat_lucene_ray.analysis.synonyms import (
+    default_synonym_lines,
+    parse_solr_synonyms,
+)
+
+# The reference's scientific stop set (IcatAnalyzer.java:25-31):
+# Lucene's ENGLISH_STOP_WORDS_SET minus the chemical symbols
+# As / At / Be / In / No / Of / On? — precisely: it drops "as", "at",
+# "be", "in", "no", "of" stays out too (see golden: "demo of ..." keeps
+# "of"). The exact 27-word list:
+SCIENTIFIC_STOP_WORDS = frozenset(
+    {
+        "a", "an", "and", "are", "but", "by", "for", "if", "into", "is",
+        "it", "not", "on", "or", "such", "that", "the", "their", "then",
+        "there", "these", "they", "this", "to", "was", "will", "with",
+    }
+)
+
+# Approximation of UAX#29 word-break (Lucene StandardTokenizer):
+# - runs of letters/digits/underscore are one token
+# - internal ASCII/typographic apostrophes join letter runs
+#   ("TokenStream's" is one token; the possessive filter then strips it)
+# - numeric tokens keep internal . and , ("3.14", "1,000")
+_TOKEN_RE = re.compile(
+    r"\d+(?:[.,]\d+)+"          # decimals / grouped numbers
+    r"|\w+(?:['’]\w+)*",   # words (incl. digits), apostrophe-joined
+    re.UNICODE,
+)
+
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+
+
+class _BaseAnalyzer:
+    """Shared machinery: regex tokenize + memoized per-token pipeline."""
+
+    #: bump when token semantics change — stored in the index manifest so
+    #: a query layer can refuse to run against an incompatible index.
+    version: str = "icat-1"
+    name: str = "icat"
+
+    def __init__(self) -> None:
+        self._memo: dict[str, tuple[str, ...]] = {}
+
+    # -- per-token chain; returns () if the token is stopped ----------
+    def _transform(self, raw: str) -> tuple[str, ...]:
+        tok = _POSSESSIVE_RE.sub("", raw)
+        tok = tok.lower()
+        if tok in SCIENTIFIC_STOP_WORDS:
+            return ()
+        return (porter_stem(tok),)
+
+    def tokens(self, text: str) -> list[str]:
+        """Full ordered token stream for one string."""
+        memo = self._memo
+        out: list[str] = []
+        for raw in _TOKEN_RE.findall(text):
+            got = memo.get(raw)
+            if got is None:
+                got = self._transform(raw)
+                if len(memo) < (1 << 20):
+                    memo[raw] = got
+            out.extend(got)
+        return out
+
+    def term_freqs(self, text: str) -> Counter:
+        return Counter(self.tokens(text))
+
+    def analyze_query_term(self, term: str) -> list[str]:
+        """Analyze a single query-side term (used by the query compiler,
+        mirroring the reference analyzing query text with the same
+        analyzer, DocumentMapping.java:136)."""
+        return self.tokens(term)
+
+
+class IcatAnalyzer(_BaseAnalyzer):
+    """StandardTokenizer → possessive strip → lowercase → scientific
+    stop filter → Porter stem (IcatAnalyzer.java:35-41)."""
+
+
+class IcatSynonymAnalyzer(_BaseAnalyzer):
+    """IcatAnalyzer + post-stem synonym expansion
+    (IcatSynonymAnalyzer.java:48-56, expand=true)."""
+
+    version = "icat_synonym-1"
+    name = "icat_synonym"
+
+    def __init__(self, synonym_lines: Iterable[str] | None = None) -> None:
+        super().__init__()
+        base = IcatAnalyzer()
+        lines = list(synonym_lines) if synonym_lines is not None else default_synonym_lines()
+        self._synonyms = parse_solr_synonyms(lines, base.tokens)
+
+    def _transform(self, raw: str) -> tuple[str, ...]:
+        base = super()._transform(raw)
+        if not base:
+            return ()
+        stem = base[0]
+        expansion = self._synonyms.get(stem)
+        return expansion if expansion is not None else base
+
+
+class SimpleAnalyzer(_BaseAnalyzer):
+    """Lowercase word-split only — no stop words, no stemming.
+
+    Exists so pipelines can be cross-checked against a plain-SQL oracle
+    (``string_split`` semantics) and for corpora that are already
+    normalized tokens.
+    """
+
+    version = "simple-1"
+    name = "simple"
+
+    _SIMPLE_RE = re.compile(r"\S+")
+
+    def tokens(self, text: str) -> list[str]:
+        return self._SIMPLE_RE.findall(text.lower())
+
+
+class SeparatorAnalyzer:
+    """Split on one separator char + lowercase
+    (IcatSeparatorAnalyzer.java:13-26; used for ``location`` with '/'
+    and ``location.fileName`` with '.')."""
+
+    def __init__(self, separator: str) -> None:
+        self.separator = separator
+        self.version = f"sep({separator!r})-1"
+        self.name = f"separator:{separator}"
+
+    def tokens(self, text: str) -> list[str]:
+        return [p.lower() for p in text.split(self.separator) if p]
+
+
+class PathHierarchyAnalyzer:
+    """Case-sensitive path-prefix tokens (``location.exact``,
+    Lucene.java:440-445): ``/a/b/c`` → ``/a``, ``/a/b``, ``/a/b/c``."""
+
+    version = "pathhier-1"
+    name = "path_hierarchy"
+
+    def tokens(self, text: str) -> list[str]:
+        parts = text.split("/")
+        out: list[str] = []
+        acc = ""
+        for i, p in enumerate(parts):
+            if p == "" and i == 0:
+                continue
+            acc = f"{acc}/{p}"
+            out.append(acc)
+        return out
+
+
+_REGISTRY = {
+    "icat": IcatAnalyzer,
+    "icat_synonym": IcatSynonymAnalyzer,
+    "simple": SimpleAnalyzer,
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None

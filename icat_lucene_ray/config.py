@@ -1,0 +1,50 @@
+"""Engine configuration.
+
+Mirrors the knobs the reference exposes in ``run.properties``
+(``run.properties:4-17``, parsed at ``Lucene.java:1050-1089``) plus the
+knobs a distributed build needs (shard count, salting threshold, codec
+block size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # ---- BM25 (Lucene 8 defaults; SURVEY.md §7.0) ----
+    k1: float = 1.2
+    b: float = 0.75
+
+    # ---- analysis ----
+    analyzer: str = "icat"  # "icat" | "icat_synonym" | "simple"
+
+    # ---- index layout ----
+    num_segments: int = 8          # S: term-shard count (#segment files)
+    codec_block: int = 128         # postings per bit-packed block (block-max granularity)
+    # terms with global df above this get doc-range-salted across
+    # multiple segments (head-term skew; SURVEY.md §7.4). The default is
+    # sized for tests; the builder also derives a bound from target
+    # postings-per-slice.
+    salt_df_threshold: int = 250_000
+    target_slice_postings: int = 250_000   # max postings per hot-term slice
+
+    # ---- build ----
+    tokenize_batch_size: int = 1024
+    tokenize_concurrency: int | None = None  # None -> let Ray size the task pool
+    analyzed_rows_per_file: int = 65536
+
+    # ---- query (reference: run.properties:10, Lucene.java:1471-1514) ----
+    max_search_time_s: float = 5.0
+    max_wildcard_terms: int = 1024  # cap on dictionary expansion for wildcards
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "EngineConfig":
+        return EngineConfig(**d)
+
+
+DEFAULT_CONFIG = EngineConfig()

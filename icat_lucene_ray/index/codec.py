@@ -1,0 +1,195 @@
+"""Posting-list codec: delta + per-block bit packing (FOR / PForDelta-lite)
+with block-max metadata.
+
+Equivalent role to Lucene's postings format behind ``TextField``
+(``Field.java:59-60`` → Lucene84 codec): sorted docIDs stored as deltas,
+packed to the per-block minimum bit width, plus per-block skip data
+(last docID) and block-max scoring metadata (max normalized-tf
+contribution) enabling WAND-style block skipping at query time.
+
+Layout of one encoded stream (``encode_u64_blocks``)::
+
+    [u32 n_values][u8 width * n_blocks][packed payload blocks ...]
+
+Block size is ``EngineConfig.codec_block`` (default 128, as in Lucene).
+Payload offsets are implied by the width array (``cumsum`` of per-block
+byte sizes), so individual blocks are randomly addressable — decode can
+skip blocks (see ``decode_u64_blocks(block_mask=...)``).
+
+Everything is numpy-vectorized *across blocks*: blocks are grouped by
+bit width and each width class is packed/unpacked in one
+``np.packbits`` / ``np.unpackbits`` call, so per-call Python overhead is
+O(#distinct widths) ≤ 64, not O(#blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_HEADER = 4  # u32 value count
+
+
+def _bit_widths(block_max: np.ndarray) -> np.ndarray:
+    """Per-block bit width: smallest w with max < 2**w (0 for all-zero)."""
+    m = block_max.astype(np.uint64, copy=False)
+    w = np.zeros(len(m), dtype=np.uint8)
+    for k in range(64):
+        w += (m >= np.uint64(1) << np.uint64(k)).astype(np.uint8)
+    return w
+
+
+def encode_u64_blocks(values: np.ndarray, block: int = 128) -> bytes:
+    """Bit-pack ``values`` (non-negative, any dtype castable to uint64)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    out_parts: list[bytes] = [np.uint32(n).tobytes()]
+    if n == 0:
+        return b"".join(out_parts)
+    nblocks = -(-n // block)
+    padded = np.zeros(nblocks * block, dtype=np.uint64)
+    padded[:n] = vals
+    v2d = padded.reshape(nblocks, block)
+    widths = _bit_widths(v2d.max(axis=1))
+    out_parts.append(widths.tobytes())
+
+    byte_lens = (widths.astype(np.int64) * block + 7) // 8
+    offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=offsets[1:])
+    payload = np.zeros(int(offsets[-1]), dtype=np.uint8)
+
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        w = int(w)
+        idx = np.nonzero(widths == w)[0]
+        k = len(idx)
+        nbytes_in = (w + 7) // 8
+        # little-endian byte view -> keep only the w meaningful bits
+        b8 = np.ascontiguousarray(v2d[idx]).view(np.uint8).reshape(k, block, 8)
+        bits = np.unpackbits(
+            np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2, bitorder="little"
+        )[:, :, :w]
+        packed = np.packbits(bits.reshape(k, block * w), axis=-1, bitorder="little")
+        blen = (block * w + 7) // 8
+        dest = offsets[idx][:, None] + np.arange(blen)
+        payload[dest] = packed
+    out_parts.append(payload.tobytes())
+    return b"".join(out_parts)
+
+
+def decode_u64_blocks(
+    buf: bytes | memoryview | np.ndarray,
+    block: int = 128,
+    block_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Inverse of :func:`encode_u64_blocks`.
+
+    ``block_mask`` (bool array over blocks) decodes only selected blocks;
+    unselected blocks come back as zeros. The returned array always has
+    the full value count (callers slice by block themselves).
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    n = int(np.frombuffer(raw[:_HEADER], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nblocks = -(-n // block)
+    widths = raw[_HEADER:_HEADER + nblocks]
+    byte_lens = (widths.astype(np.int64) * block + 7) // 8
+    offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=offsets[1:])
+    payload = raw[_HEADER + nblocks:]
+
+    out = np.zeros(nblocks * block, dtype=np.uint64)
+    o2d = out.reshape(nblocks, block)
+    select = np.ones(nblocks, dtype=bool) if block_mask is None else block_mask
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        w = int(w)
+        idx = np.nonzero((widths == w) & select)[0]
+        k = len(idx)
+        if k == 0:
+            continue
+        blen = (block * w + 7) // 8
+        src = payload[offsets[idx][:, None] + np.arange(blen)]
+        bits = np.unpackbits(src, axis=-1, bitorder="little")[:, : block * w]
+        bits = bits.reshape(k, block, w)
+        nbytes_out = (w + 7) // 8
+        by = np.zeros((k, block, 8), dtype=np.uint8)
+        by[:, :, :nbytes_out] = np.packbits(
+            np.ascontiguousarray(bits), axis=2, bitorder="little"
+        )[:, :, :nbytes_out]
+        o2d[idx] = by.reshape(k, block * 8).view(np.uint64)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Posting-list level API
+# ---------------------------------------------------------------------------
+
+def tf_norm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """BM25 idf-independent per-posting factor (SURVEY.md §7.0; Lucene 8
+    BM25Similarity semantics with exact doc lengths)."""
+    tf = tf.astype(np.float64, copy=False)
+    dl = dl.astype(np.float64, copy=False)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    *,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block: int = 128,
+) -> dict:
+    """Encode one term's postings (sorted unique int64 docIDs).
+
+    Returns binary streams + block-max metadata:
+      ``docs`` delta-packed docIDs, ``tfs``/``dls`` packed values,
+      ``block_last`` u64 last-docID per block (skip data),
+      ``block_max`` f32 max tf_norm per block (WAND upper bound).
+    """
+    n = len(doc_ids)
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = np.uint64(ids[0])
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
+    nblocks = -(-n // block) if n else 0
+    pad = nblocks * block - n
+    ids_pad = np.concatenate([ids, np.full(pad, ids[-1] if n else 0, dtype=np.int64)])
+    block_last = ids_pad.reshape(nblocks, block)[:, -1].astype(np.uint64) if n else np.empty(0, np.uint64)
+    tfn = tf_norm(np.asarray(tfs), np.asarray(dls), k1, b, avgdl)
+    tfn_pad = np.concatenate([tfn, np.zeros(pad)]) if n else tfn
+    block_max = (
+        tfn_pad.reshape(nblocks, block).max(axis=1).astype(np.float32)
+        if n else np.empty(0, np.float32)
+    )
+    return {
+        "docs": encode_u64_blocks(deltas, block),
+        "tfs": encode_u64_blocks(np.asarray(tfs), block),
+        "dls": encode_u64_blocks(np.asarray(dls), block),
+        "block_last": block_last.tobytes(),
+        "block_max": block_max.tobytes(),
+        "df": n,
+        "cf": int(np.asarray(tfs, dtype=np.int64).sum()) if n else 0,
+    }
+
+
+def decode_postings(
+    row: dict,
+    block: int = 128,
+    block_mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (doc_ids, tfs, dls). With ``block_mask``, only selected
+    blocks carry meaningful values — callers must mask rows by block
+    (docID delta chains restart correctness is preserved because deltas
+    are decoded fully; masking only skips unpacking work for tf/dl)."""
+    deltas = decode_u64_blocks(row["docs"], block)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    tfs = decode_u64_blocks(row["tfs"], block, block_mask).astype(np.int64)
+    dls = decode_u64_blocks(row["dls"], block, block_mask).astype(np.int64)
+    return doc_ids, tfs, dls

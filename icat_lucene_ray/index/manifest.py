@@ -1,0 +1,74 @@
+"""Index manifest — the segment registry.
+
+Plays the role of the reference's in-memory ``indexBuckets`` registry +
+commit points (``Lucene.java:458``, commit/refresh ``Lucene.java:163-171``):
+a query sees exactly the immutable segments listed in the manifest.
+Also carries global collection statistics (N, avgdl, hot-term table)
+that BM25 scoring needs, per-phase lineage for resume, and build
+metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+FORMAT_VERSION = 1
+
+
+@dataclass
+class IndexManifest:
+    root: str
+    analyzer: str = "icat"
+    analyzer_version: str = ""
+    config: dict = field(default_factory=dict)
+    num_docs: int = 0
+    avgdl: float = 0.0
+    total_tokens: int = 0
+    min_doc: int = 0
+    max_doc: int = 0
+    num_segments: int = 0
+    # term -> {"df": int, "n_salt": int} for doc-range-salted head terms
+    hot_terms: dict[str, dict] = field(default_factory=dict)
+    segments: list[dict] = field(default_factory=list)
+    doc_table: str = "analyzed"
+    termstats: str = "termstats"
+    meta_cols: list[str] = field(default_factory=list)
+    id_col: str = "doc_id"
+    lineage: dict[str, Any] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+    format_version: int = FORMAT_VERSION
+
+    # ------------------------------------------------------------------
+    def path(self) -> str:
+        return os.path.join(self.root, MANIFEST_NAME)
+
+    def save(self) -> None:
+        d = {k: v for k, v in self.__dict__.items() if k != "root"}
+        tmp = self.path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f, indent=1)
+        os.replace(tmp, self.path())  # atomic publish ≈ Lucene commit point
+
+    @staticmethod
+    def load(root: str) -> "IndexManifest":
+        with open(os.path.join(root, MANIFEST_NAME)) as f:
+            d = json.load(f)
+        if d.get("format_version", 0) != FORMAT_VERSION:
+            raise ValueError(
+                f"index format {d.get('format_version')} != engine {FORMAT_VERSION}"
+            )
+        return IndexManifest(root=root, **d)
+
+    # convenience -------------------------------------------------------
+    def doc_table_dir(self) -> str:
+        return os.path.join(self.root, self.doc_table)
+
+    def termstats_dir(self) -> str:
+        return os.path.join(self.root, self.termstats)
+
+    def segment_path(self, seg_id: int) -> str:
+        return os.path.join(self.root, "segments", f"seg_{seg_id:05d}.parquet")
