@@ -192,9 +192,11 @@ class RunEncoder:
         buckets = np.zeros(len(codes), dtype=np.int64)
         hot_mask = n_salt[codes] > 1
         if hot_mask.any():
-            rel = (doc_rep[hot_mask] - self.min_doc).astype(np.uint64)
-            buckets[hot_mask] = (rel * n_salt[codes[hot_mask]].astype(np.uint64)
-                                 // np.uint64(self.span)).astype(np.int64)
+            # bucket = rel // ceil(span/n_salt): overflow-free division
+            # (rel can be ~2^63; multiplying first would overflow uint64)
+            widths = (self.span + n_salt - 1) // n_salt
+            rel = doc_rep[hot_mask] - self.min_doc
+            buckets[hot_mask] = rel // widths[codes[hot_mask]]
 
         order = np.lexsort((doc_rep, buckets, codes))
         codes_s, buckets_s = codes[order], buckets[order]
@@ -354,6 +356,8 @@ def build_index(
     """
     analyzer = analyzer or config.analyzer
     meta_cols = list(meta_cols or [])
+    if not id_col and key_col not in meta_cols:
+        meta_cols.append(key_col)  # the document key is always a stored field
     S = num_segments or config.num_segments
     files = _input_files(input_path)
     if not files:
@@ -387,6 +391,12 @@ def build_index(
                 if json.load(f).get("lineage") == lin:
                     skipped += 1
                     continue
+        # stale or partial output: wipe before rewriting (the marker is
+        # written last, so a shard dir without a matching marker is junk)
+        if os.path.exists(shard_dir):
+            import shutil
+
+            shutil.rmtree(shard_dir)
         ds = ray.data.read_parquet(shard_files, columns=read_cols)
         ds = ds.map_batches(
             Tokenizer,
@@ -486,7 +496,7 @@ def build_index(
              for r in seg_stats),
             key=lambda r: r["seg_id"],
         ),
-        meta_cols=meta_cols + ([key_col] if not id_col and key_col not in meta_cols else []),
+        meta_cols=meta_cols,
         id_col="doc_id",
         lineage={"input": _lineage(files, config, analyzer), "files": len(files)},
         metrics=metrics,

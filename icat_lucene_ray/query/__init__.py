@@ -1,0 +1,5 @@
+from icat_lucene_ray.query.ast import (  # noqa: F401
+    And, Filter, MatchAll, Not, Or, Phrase, RangeFilter, Term, Wildcard,
+)
+from icat_lucene_ray.query.engine import Index, SearchResult  # noqa: F401
+from icat_lucene_ray.query.oracle import OracleIndex  # noqa: F401

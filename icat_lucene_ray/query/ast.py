@@ -1,0 +1,100 @@
+"""Query AST — the operator surface of the reference's query compiler.
+
+Maps to ``SearchBucket``'s query tree (SURVEY.md §2.4):
+
+- :class:`Term`        — Q1 term query (analyzed; synonym expansion may
+                         fan a single input term into an OR of stems).
+- :class:`And`/:class:`Or`/:class:`Not` — Q3 boolean MUST / SHOULD /
+                         MUST_NOT trees (``SearchBucket.java:208-236``).
+- :class:`Filter`/:class:`RangeFilter` — non-scoring FILTER clauses over
+                         doc-store columns ≈ Occur.FILTER + Lucene
+                         point-range queries (Q6/Q7/Q8,
+                         ``SearchBucket.java:347-357,813-839``).
+- :class:`Phrase`      — Q4 phrase-lite: positions are not indexed, so a
+                         phrase evaluates as conjunction (documented
+                         north_rule scope).
+- :class:`Wildcard`    — Q5 prefix/wildcard; lowercased before matching
+                         (M11, ``SearchBucket.java:171-194``), expanded
+                         against the term dictionary.
+- :class:`MatchAll`    — Q9 empty-query fallback
+                         (``SearchBucket.java:636-642``), constant score 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    terms: tuple[str, ...]
+
+    def __init__(self, terms):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    pattern: str  # '*' any run, '?' one char; leading '*' allowed
+
+
+@dataclass(frozen=True)
+class And(Query):
+    clauses: tuple
+    filters: tuple = ()
+
+    def __init__(self, clauses, filters=()):
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "filters", tuple(filters))
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    clauses: tuple
+
+    def __init__(self, clauses):
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    positive: Query
+    negative: Query
+
+
+@dataclass(frozen=True)
+class Filter(Query):
+    """Non-scoring exact / set-membership predicate on a doc-store column
+    (string equality or IN-list; Q7/Q8)."""
+    field_name: str
+    values: tuple
+
+    def __init__(self, field_name, values):
+        object.__setattr__(self, "field_name", field_name)
+        vals = (values,) if isinstance(values, (str, int, float)) else tuple(values)
+        object.__setattr__(self, "values", vals)
+
+
+@dataclass(frozen=True)
+class RangeFilter(Query):
+    """Non-scoring numeric/timestamp range (half-open supported via None
+    bounds, mirroring ``SearchBucket.java:347-357`` MIN/MAX defaults)."""
+    field_name: str
+    lo: object = None
+    hi: object = None
+    include_lo: bool = True
+    include_hi: bool = True
+
+
+@dataclass(frozen=True)
+class MatchAll(Query):
+    pass

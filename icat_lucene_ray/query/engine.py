@@ -1,0 +1,557 @@
+"""Query execution — BM25 top-k over immutable segments.
+
+Reimplements the reference's read path (SURVEY.md §3.2-3.3):
+query compile (``SearchBucket``) → per-segment scoring → k-way merge →
+stored-field materialization (``encodeResults``), as vectorized numpy
+posting-list algebra. Scoring is Lucene-8-default BM25 with exact doc
+lengths (SURVEY.md §7.0):
+
+    idf  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    tfn  = tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))
+    rank = score desc, doc_id asc        (SearchBucket.java:959-963)
+
+Conjunctions use the block-max skip path: the rarest term is decoded
+first and the other terms decode only posting blocks overlapping the
+candidate doc range (block_last skip data ≈ Lucene skip lists / BMW).
+
+Two execution modes share all logic:
+- inline: the driver reads segments directly (tests, small indexes);
+- actor pool: ``SegmentActor``s each own a segment subset and score
+  terms locally (≈ ``SearcherManager`` per shard, ``Lucene.java:148``),
+  so only (doc_id, score) arrays cross the object store.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import math
+import re
+import time
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from icat_lucene_ray.analysis import get_analyzer
+from icat_lucene_ray.config import EngineConfig
+from icat_lucene_ray.index.docids import term_shard
+from icat_lucene_ray.index.manifest import IndexManifest
+from icat_lucene_ray.query.ast import (
+    And, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term, Wildcard,
+)
+from icat_lucene_ray.query.segment import SegmentGroupReader
+
+
+class SearchTimeout(Exception):
+    """≈ the reference's TimeLimitingCollector cancellation
+    (Lucene.java:1471-1515, HTTP 504)."""
+
+
+@dataclass
+class SearchResult:
+    table: pa.Table
+    total_hits: int
+    search_after: dict | None = None
+
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+def _union_sum(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """Union doc sets, summing scores of duplicates (OR semantics)."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return _EMPTY
+    if len(parts) == 1:
+        return parts[0]
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(out, inv, scores)
+    return uniq, out
+
+
+class Index:
+    """Open an index directory for querying."""
+
+    def __init__(self, root: str, *, use_actors: bool = False,
+                 num_actors: int | None = None):
+        self.manifest = IndexManifest.load(root)
+        self.cfg = EngineConfig.from_dict(self.manifest.config)
+        self.analyzer = get_analyzer(self.manifest.analyzer)
+        self.N = self.manifest.num_docs
+        self.avgdl = self.manifest.avgdl or 1.0
+        m = self.manifest
+        self._paths = {s["seg_id"]: m.segment_path(s["seg_id"]) for s in m.segments}
+        self._readers = SegmentGroupReader(self._paths, self.cfg.codec_block)
+        self._doc_ds = pads.dataset(m.doc_table_dir())
+        self._all_docs: np.ndarray | None = None
+        self._df_cache: dict[str, int] = {}
+        self._actors = None
+        if use_actors:
+            self._init_actors(num_actors)
+
+    # ---------------- actor pool -------------------------------------
+    def _init_actors(self, num_actors: int | None):
+        import ray
+
+        n = num_actors or min(len(self._paths), 8) or 1
+        seg_ids = sorted(self._paths)
+        groups = [seg_ids[i::n] for i in range(n)]
+        self._actor_of: dict[int, int] = {}
+        self._actors = []
+        for ai, grp in enumerate(groups):
+            paths = {sid: self._paths[sid] for sid in grp}
+            self._actors.append(
+                SegmentActor.remote(paths, self.cfg.codec_block))
+            for sid in grp:
+                self._actor_of[sid] = ai
+
+    # ---------------- stats ------------------------------------------
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def _slices(self, stem: str) -> list[tuple[int, int]]:
+        """(seg_id, bucket) slices holding this term, in doc order."""
+        S = self.manifest.num_segments
+        base = term_shard(stem.encode("utf-8"), S)
+        hot = self.manifest.hot_terms.get(stem)
+        if hot:
+            return [((base + j) % S, j) for j in range(hot["n_salt"])]
+        return [(base, 0)]
+
+    def term_df(self, stem: str) -> int:
+        df = self._df_cache.get(stem)
+        if df is None:
+            hot = self.manifest.hot_terms.get(stem)
+            if hot:
+                df = hot["df"]
+            else:
+                seg, bucket = self._slices(stem)[0]
+                df = self._readers.df(seg, stem, bucket)
+            self._df_cache[stem] = df
+        return df
+
+    # ---------------- scoring primitives -----------------------------
+    def _score_stem(self, stem: str, doc_range=None):
+        """(docs, scores) for one already-analyzed stem across slices.
+        Slices are contiguous ascending doc ranges → concat stays sorted."""
+        df = self.term_df(stem)
+        if df == 0:
+            return _EMPTY
+        idf = self.idf(df)
+        k1, b = self.cfg.k1, self.cfg.b
+        slices = self._slices(stem)
+        if self._actors is not None:
+            import ray
+
+            futs = [
+                self._actors[self._actor_of[seg]].score_term.remote(
+                    seg, stem, bucket, idf, k1, b, self.avgdl, doc_range)
+                for seg, bucket in slices
+                if seg in self._actor_of
+            ]
+            parts = [p for p in ray.get(futs) if p is not None]
+        else:
+            parts = []
+            for seg, bucket in slices:
+                got = self._readers.score_term(
+                    seg, stem, bucket, idf, k1, b, self.avgdl, doc_range)
+                if got is not None:
+                    parts.append(got)
+        if not parts:
+            return _EMPTY
+        if len(parts) == 1:
+            return parts[0]
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        if len(docs) > 1 and np.any(docs[1:] < docs[:-1]):  # safety net
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+        return docs, scores
+
+    def _eval_stems(self, stems: list[str], doc_range=None):
+        return _union_sum([self._score_stem(s, doc_range) for s in stems])
+
+    # ---------------- doc-store predicates ----------------------------
+    def _doc_ids_where(self, expr) -> np.ndarray:
+        t = self._doc_ds.to_table(columns=["doc_id"], filter=expr)
+        return np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+
+    def all_doc_ids(self) -> np.ndarray:
+        if self._all_docs is None:
+            t = self._doc_ds.to_table(columns=["doc_id"])
+            self._all_docs = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        return self._all_docs
+
+    @staticmethod
+    def _filter_expr(q: Filter):
+        f = pads.field(q.field_name)
+        if len(q.values) == 0:
+            return None  # MatchNoDocs (SearchBucket.java:830 empty IN-list)
+        return f.isin(list(q.values))
+
+    @staticmethod
+    def _range_expr(q: RangeFilter):
+        f = pads.field(q.field_name)
+        parts = []
+        if q.lo is not None:
+            parts.append(f >= q.lo if q.include_lo else f > q.lo)
+        if q.hi is not None:
+            parts.append(f <= q.hi if q.include_hi else f < q.hi)
+        if not parts:
+            return None  # full range -> match all
+        e = parts[0]
+        for p in parts[1:]:
+            e = e & p
+        return e
+
+    # ---------------- wildcard expansion ------------------------------
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        """Dictionary scan (term dictionary = termstats table). Pattern is
+        lowercased first (M11, SearchBucket.java:171-194); matching
+        bypasses the analyzer as in Lucene wildcard queries."""
+        pattern = pattern.lower()
+        rx = re.compile(fnmatch.translate(pattern))
+        prefix = pattern.split("*", 1)[0].split("?", 1)[0]
+        ds = pads.dataset(self.manifest.termstats_dir())
+        expr = None
+        if prefix:
+            # termstats is sorted by term -> row-group pruning via range
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            expr = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+        out: list[str] = []
+        for batch in ds.to_batches(columns=["term"], filter=expr):
+            for t in batch["term"].to_pylist():
+                if rx.match(t):
+                    out.append(t)
+                    if len(out) >= self.cfg.max_wildcard_terms:
+                        return out
+        return out
+
+    # ---------------- evaluator ---------------------------------------
+    def _check_deadline(self, deadline: float | None):
+        if deadline is not None and time.monotonic() > deadline:
+            raise SearchTimeout(f"exceeded {self.cfg.max_search_time_s}s")
+
+    def _eval(self, q: Query, deadline=None, doc_range=None):
+        """-> (docs sorted int64, scores float64 | None).
+        ``scores is None`` marks a non-scoring (FILTER) result."""
+        self._check_deadline(deadline)
+        if isinstance(q, Term):
+            stems = self.analyzer.analyze_query_term(q.text)
+            return self._eval_stems(stems, doc_range) if stems else _EMPTY
+        if isinstance(q, Phrase):
+            # phrase-lite: conjunction of the analyzed terms (north_rule)
+            stems: list[str] = []
+            for t in q.terms:
+                stems.extend(self.analyzer.analyze_query_term(t))
+            return self._eval(And([Term(s) for s in stems]), deadline, doc_range) \
+                if stems else _EMPTY
+        if isinstance(q, Wildcard):
+            stems = self.expand_wildcard(q.pattern)
+            return self._eval_stems(stems, doc_range)
+        if isinstance(q, MatchAll):
+            docs = self.all_doc_ids()
+            return docs, None
+        if isinstance(q, Filter):
+            expr = self._filter_expr(q)
+            if expr is None:
+                return np.empty(0, np.int64), None
+            return self._doc_ids_where(expr), None
+        if isinstance(q, RangeFilter):
+            expr = self._range_expr(q)
+            docs = self.all_doc_ids() if expr is None else self._doc_ids_where(expr)
+            return docs, None
+        if isinstance(q, Or):
+            parts = [self._eval(c, deadline, doc_range) for c in q.clauses]
+            scored = [(d, s if s is not None else np.ones(len(d))) for d, s in parts]
+            return _union_sum(scored)
+        if isinstance(q, Not):
+            pdocs, pscores = self._eval(q.positive, deadline, doc_range)
+            ndocs, _ = self._eval(q.negative, deadline)
+            if len(ndocs) == 0 or len(pdocs) == 0:
+                return pdocs, pscores
+            keep = ~np.isin(pdocs, ndocs, assume_unique=True)
+            return pdocs[keep], None if pscores is None else pscores[keep]
+        if isinstance(q, And):
+            return self._eval_and(q, deadline, doc_range)
+        raise TypeError(f"unknown query node {type(q).__name__}")
+
+    def _df_estimate(self, q: Query) -> int:
+        """Cheap selectivity estimate for conjunction ordering."""
+        if isinstance(q, Term):
+            stems = self.analyzer.analyze_query_term(q.text)
+            return sum(self.term_df(s) for s in stems) if stems else 0
+        if isinstance(q, Phrase):
+            dfs = [self.term_df(s) for t in q.terms
+                   for s in self.analyzer.analyze_query_term(t)]
+            return min(dfs) if dfs else 0
+        return self.N  # filters / subtrees: assume wide
+
+    def _eval_and(self, q: And, deadline, doc_range):
+        clauses = list(q.clauses)
+        filters = list(q.filters)
+        if not clauses and not filters:
+            return _EMPTY
+        # rarest-first ordering, then progressive block-skipped intersection
+        clauses.sort(key=self._df_estimate)
+        cand: np.ndarray | None = None
+        cand_scores: np.ndarray | None = None
+        any_scored = False
+        rng = doc_range
+        for c in clauses:
+            docs, scores = self._eval(c, deadline, rng)
+            if scores is None:
+                scores = np.zeros(len(docs))
+            else:
+                any_scored = True
+            if cand is None:
+                cand, cand_scores = docs, scores
+            else:
+                keep = np.isin(cand, docs, assume_unique=True)
+                cand = cand[keep]
+                cand_scores = cand_scores[keep]
+                pos = np.searchsorted(docs, cand)
+                cand_scores = cand_scores + scores[pos]
+            if len(cand) == 0:
+                return _EMPTY
+            rng = (int(cand[0]), int(cand[-1]))  # block-skip window
+        for f in filters:
+            docs, _ = self._eval(f, deadline, rng)
+            keep = np.isin(cand, docs, assume_unique=True)
+            cand, cand_scores = cand[keep], cand_scores[keep]
+            if len(cand) == 0:
+                return _EMPTY
+        return cand, (cand_scores if any_scored else None)
+
+    # ---------------- top-k / sort / pagination ------------------------
+    @staticmethod
+    def _topk_scored(docs, scores, k, after=None):
+        if after is not None:
+            s_a, d_a = float(after["score"]), int(after["doc_id"])
+            m = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+            docs, scores = docs[m], scores[m]
+        n = len(docs)
+        if n > max(4 * k, 1024):
+            thresh = np.partition(scores, n - k)[n - k] if k < n else -np.inf
+            m = scores >= thresh
+            docs, scores = docs[m], scores[m]
+        order = np.lexsort((docs, -scores))[:k]
+        return docs[order], scores[order]
+
+    def _fetch_doc_rows(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        cols = list(dict.fromkeys(["doc_id"] + columns))
+        expr = pads.field("doc_id").isin(pa.array(doc_ids))
+        return self._doc_ds.to_table(columns=cols, filter=expr)
+
+    def search(
+        self,
+        q: Query,
+        k: int = 10,
+        *,
+        sort: list[tuple[str, bool]] | None = None,  # (field, descending)
+        fields: list[str] | None = None,
+        search_after: dict | None = None,
+        timeout: float | None = None,
+    ) -> SearchResult:
+        """Top-k search. Relevance order (score desc, doc_id asc) by
+        default; ``sort`` gives field-sorted top-k with doc_id tiebreak
+        (K1/K2); ``search_after`` is the cursor from a previous result
+        (K4, SearchBucket.java:892-949)."""
+        deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
+        docs, scores = self._eval(q, deadline)
+        total = len(docs)
+        if sort:
+            return self._search_field_sorted(
+                docs, scores, k, sort, fields, search_after, total)
+        if scores is None:
+            scores = np.ones(len(docs))
+        top_docs, top_scores = self._topk_scored(docs, scores, k, search_after)
+        tbl = pa.table({"doc_id": pa.array(top_docs, pa.int64()),
+                        "score": pa.array(top_scores, pa.float64())})
+        if fields:
+            tbl = self._attach_fields(tbl, fields)
+        cursor = None
+        if len(top_docs):
+            cursor = {"score": float(top_scores[-1]), "doc_id": int(top_docs[-1])}
+        return SearchResult(tbl, total, cursor)
+
+    def _attach_fields(self, tbl: pa.Table, fields: list[str]) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            empty = {f: pa.array([], self._doc_ds.schema.field(f).type) for f in fields}
+            return pa.table({**{c: tbl[c] for c in tbl.column_names}, **empty})
+        fetched = self._fetch_doc_rows(ids, fields)
+        f_ids = fetched["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(f_ids)
+        pos = order[np.searchsorted(f_ids[order], ids)]
+        out = {c: tbl[c] for c in tbl.column_names}
+        for f in fields:
+            if f == "doc_id":
+                continue
+            out[f] = fetched[f].take(pa.array(pos))
+        return pa.table(out)
+
+    def _search_field_sorted(self, docs, scores, k, sort, fields,
+                             after, total) -> SearchResult:
+        """K2 field-sorted top-k: fetch sort keys for candidates from the
+        doc store, lexsort with doc_id-asc tiebreak. (Single-node note:
+        candidates are materialized; the cluster path keeps per-partition
+        top-k heaps and k-way merges — K3.)"""
+        sort_cols = [f for f, _ in sort]
+        fetched = self._fetch_doc_rows(docs, sort_cols)
+        ids = fetched["doc_id"].to_numpy(zero_copy_only=False)
+        keys = []
+        for name, _desc in sort:
+            arr = fetched[name]
+            if pa.types.is_timestamp(arr.type):
+                arr = arr.cast(pa.int64())
+            keys.append(arr.to_numpy(zero_copy_only=False))
+        if after is not None:
+            m = self._after_mask(keys, ids, sort, after)
+            ids = ids[m]
+            keys = [a[m] for a in keys]
+        lex = [ids]
+        for (name, desc), arr in zip(reversed(sort), reversed(keys)):
+            if desc:
+                if arr.dtype.kind in "iufM":
+                    lex.append(-arr.astype(np.float64) if arr.dtype.kind == "f" else -arr.astype(np.int64))
+                else:  # strings: rank-invert
+                    uniq, inv = np.unique(arr, return_inverse=True)
+                    lex.append(-inv)
+            else:
+                lex.append(arr)
+        order = np.lexsort(tuple(lex))[:k]
+        top_ids = ids[order]
+        tbl = pa.table({"doc_id": pa.array(top_ids, pa.int64())})
+        out_fields = list(dict.fromkeys(sort_cols + (fields or [])))
+        tbl = self._attach_fields(tbl, out_fields)
+        cursor = None
+        if len(top_ids):
+            last = order[-1]
+            vals = []
+            for arr in keys:
+                v = arr[last]
+                vals.append(v.item() if hasattr(v, "item") else v)
+            cursor = {"values": vals, "doc_id": int(top_ids[-1])}
+        return SearchResult(tbl, total, cursor)
+
+    @staticmethod
+    def _after_mask(keys, ids, sort, after):
+        """Rows strictly after the cursor in (sort keys..., doc_id asc)."""
+        m = np.zeros(len(ids), dtype=bool)
+        eq = np.ones(len(ids), dtype=bool)
+        for (name, desc), arr, cv in zip(sort, keys, after["values"]):
+            if arr.dtype.kind == "M":
+                cv = np.datetime64(cv, "us") if not isinstance(cv, (int, np.integer)) else cv
+            gt = (arr < cv) if desc else (arr > cv)
+            m |= eq & gt
+            eq &= arr == cv
+        m |= eq & (ids > int(after["doc_id"]))
+        return m
+
+    # ---------------- counting / facets --------------------------------
+    def count(self, q: Query) -> int:
+        docs, _ = self._eval(q)
+        return len(docs)
+
+    def facets(
+        self,
+        q: Query,
+        dims: list[str] | None = None,
+        ranges: dict[str, list[tuple[str, float, float]]] | None = None,
+        max_labels: int = 10,
+    ) -> dict:
+        """String facet counts (A1) / sparse all-dims (A2) / numeric range
+        facets (A3), merged across doc-table fragments (A4). Output shape
+        ≈ FacetedDimension.buildResponse (A5)."""
+        docs, _ = self._eval(q)
+        if dims is None and ranges is None:
+            dims = [f for f in self.manifest.meta_cols
+                    if pa.types.is_string(self._doc_ds.schema.field(f).type)]
+        out: dict = {}
+        scan_cols = list(dims or []) + list(ranges or [])
+        if not scan_cols:
+            return out
+        counters: dict[str, dict] = {d: {} for d in (dims or [])}
+        range_counts: dict[str, list[int]] = {
+            f: [0] * len(rs) for f, rs in (ranges or {}).items()}
+        for batch in self._doc_ds.to_batches(columns=["doc_id"] + scan_cols):
+            bids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(docs, bids)
+            pos[pos >= len(docs)] = max(0, len(docs) - 1)
+            m = len(docs) > 0
+            member = (docs[pos] == bids) if m else np.zeros(len(bids), bool)
+            if not member.any():
+                continue
+            for d in dims or []:
+                vals = batch[d].filter(pa.array(member))
+                vc = pc.value_counts(vals)
+                c = counters[d]
+                for s in vc:
+                    key = s["values"].as_py()
+                    c[key] = c.get(key, 0) + s["counts"].as_py()
+            for f, rs in (ranges or {}).items():
+                arr = batch[f]
+                if pa.types.is_timestamp(arr.type):
+                    arr = arr.cast(pa.int64())
+                vals = arr.to_numpy(zero_copy_only=False)[member]
+                for i, (_label, lo, hi) in enumerate(rs):
+                    range_counts[f][i] += int(
+                        np.count_nonzero((vals >= lo) & (vals < hi)))
+        for d in dims or []:
+            top = sorted(counters[d].items(), key=lambda kv: (-kv[1], kv[0]))
+            out[d] = {k: v for k, v in top[:max_labels]}
+        for f, rs in (ranges or {}).items():
+            out[f] = {
+                label: {"doc_count": range_counts[f][i], "from": lo, "to": hi}
+                for i, (label, lo, hi) in enumerate(rs)
+            }
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool serving
+# ---------------------------------------------------------------------------
+
+def _make_segment_actor():
+    import ray
+
+    @ray.remote
+    class _SegmentActor:
+        """Owns a subset of segments; state (term dict, posting cache)
+        lives for the actor's lifetime ≈ ST1 SearcherManager."""
+
+        def __init__(self, paths: dict[int, str], codec_block: int):
+            self.group = SegmentGroupReader(paths, codec_block)
+
+        def score_term(self, seg_id, term, bucket, idf, k1, b, avgdl,
+                       doc_range=None):
+            return self.group.score_term(
+                seg_id, term, bucket, idf, k1, b, avgdl, doc_range)
+
+        def df(self, seg_id, term, bucket=0):
+            return self.group.df(seg_id, term, bucket)
+
+    return _SegmentActor
+
+
+class _LazyActor:
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            cls._cls = _make_segment_actor()
+        return cls._cls
+
+    @classmethod
+    def remote(cls, *a, **kw):
+        return cls.get().remote(*a, **kw)
+
+
+SegmentActor = _LazyActor

@@ -1,0 +1,152 @@
+"""Segment readers — the stateful query-side store.
+
+``SegmentReader`` ≈ one Lucene shard's ``SearcherManager`` state
+(``Lucene.java:148,167-168``): opens an immutable segment file once,
+keeps the term dictionary in memory, caches decoded postings. Used
+directly for inline (driver-side) search and wrapped in a Ray actor
+(:class:`SegmentActor`) for the serving path, where each actor owns a
+subset of segments and scores terms locally so only (doc_id, score)
+pairs cross the wire.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from icat_lucene_ray.index.codec import decode_u64_blocks, tf_norm
+
+
+class SegmentReader:
+    """Reader over one immutable segment parquet file."""
+
+    def __init__(self, path: str, codec_block: int = 128, cache_terms: int = 4096):
+        self.path = path
+        self.block = codec_block
+        # Load the segment once; binary posting payloads stay as Arrow
+        # buffers (zstd-decompressed by parquet) until a term is decoded.
+        t = pq.read_table(path)
+        self._tbl = t
+        self._cache: OrderedDict[tuple[str, int], tuple] = OrderedDict()
+        self._cache_cap = cache_terms
+        # term dictionary: (term, bucket) -> row
+        terms = t["term"].to_pylist()
+        buckets = t["bucket"].to_pylist()
+        self._rows: dict[tuple[str, int], int] = {
+            (tm, b): i for i, (tm, b) in enumerate(zip(terms, buckets))
+        }
+        self._df: dict[tuple[str, int], int] = dict(
+            zip(self._rows.keys(), t["df"].to_pylist())
+        )
+
+    # ------------------------------------------------------------------
+    def df(self, term: str, bucket: int = 0) -> int:
+        return self._df.get((term, bucket), 0)
+
+    def terms(self) -> list[tuple[str, int]]:
+        return list(self._rows.keys())
+
+    def postings(self, term: str, bucket: int = 0):
+        """-> (doc_ids int64 sorted, tfs, dls) or None if absent."""
+        key = (term, bucket)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        row = self._rows.get(key)
+        if row is None:
+            return None
+        tb = self._tbl
+        docs = decode_u64_blocks(tb["docs"][row].as_py(), self.block)
+        doc_ids = np.cumsum(docs.astype(np.int64))
+        tfs = decode_u64_blocks(tb["tfs"][row].as_py(), self.block).astype(np.int64)
+        dls = decode_u64_blocks(tb["dls"][row].as_py(), self.block).astype(np.int64)
+        out = (doc_ids, tfs, dls)
+        self._cache[key] = out
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return out
+
+    def block_meta(self, term: str, bucket: int = 0):
+        """-> (block_last u64[], block_max f32[]) skip/WAND metadata."""
+        row = self._rows.get((term, bucket))
+        if row is None:
+            return None
+        tb = self._tbl
+        return (
+            np.frombuffer(tb["block_last"][row].as_py(), dtype=np.uint64),
+            np.frombuffer(tb["block_max"][row].as_py(), dtype=np.float32),
+        )
+
+    def score_term(
+        self, term: str, bucket: int, idf: float,
+        k1: float, b: float, avgdl: float,
+        doc_range: tuple[int, int] | None = None,
+    ):
+        """-> (doc_ids, scores) for one term slice; block-skips outside
+        ``doc_range`` [lo, hi] using block_last metadata (the WAND-style
+        skip path used by conjunctions)."""
+        key = (term, bucket)
+        row = self._rows.get(key)
+        if row is None:
+            return None
+        if doc_range is not None and key not in self._cache:
+            meta = self.block_meta(term, bucket)
+            block_last = meta[0].astype(np.int64)
+            lo, hi = doc_range
+            # first block whose last >= lo .. last block whose first <= hi
+            b0 = int(np.searchsorted(block_last, lo, side="left"))
+            b1 = int(np.searchsorted(block_last, hi, side="left"))
+            nblocks = len(block_last)
+            if b0 >= nblocks:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            mask = np.zeros(nblocks, dtype=bool)
+            mask[b0 : min(nblocks, b1 + 1)] = True
+            tb = self._tbl
+            docs = decode_u64_blocks(tb["docs"][row].as_py(), self.block)
+            doc_ids = np.cumsum(docs.astype(np.int64))
+            tfs = decode_u64_blocks(tb["tfs"][row].as_py(), self.block, mask)
+            dls = decode_u64_blocks(tb["dls"][row].as_py(), self.block, mask)
+            sel = np.repeat(mask, self.block)[: len(doc_ids)]
+            sel &= (doc_ids >= lo) & (doc_ids <= hi)
+            d, t_, l_ = doc_ids[sel], tfs[sel].astype(np.int64), dls[sel].astype(np.int64)
+        else:
+            got = self.postings(term, bucket)
+            d, t_, l_ = got
+            if doc_range is not None:
+                lo, hi = doc_range
+                sel = (d >= lo) & (d <= hi)
+                d, t_, l_ = d[sel], t_[sel], l_[sel]
+        return d, idf * tf_norm(t_, l_, k1, b, avgdl)
+
+
+class SegmentGroupReader:
+    """A set of segment readers keyed by segment id (one per query actor
+    or one per driver for inline mode)."""
+
+    def __init__(self, paths: dict[int, str], codec_block: int = 128):
+        self._paths = paths
+        self.block = codec_block
+        self._readers: dict[int, SegmentReader] = {}
+
+    def reader(self, seg_id: int) -> SegmentReader | None:
+        r = self._readers.get(seg_id)
+        if r is None:
+            p = self._paths.get(seg_id)
+            if p is None:
+                return None
+            r = self._readers[seg_id] = SegmentReader(p, self.block)
+        return r
+
+    def score_term(self, seg_id: int, term: str, bucket: int, idf: float,
+                   k1: float, b: float, avgdl: float,
+                   doc_range=None):
+        r = self.reader(seg_id)
+        return None if r is None else r.score_term(
+            term, bucket, idf, k1, b, avgdl, doc_range)
+
+    def df(self, seg_id: int, term: str, bucket: int = 0) -> int:
+        r = self.reader(seg_id)
+        return 0 if r is None else r.df(term, bucket)

@@ -1,0 +1,76 @@
+"""Index-build structural checks: manifest stats vs oracle truth,
+salting activation, segment layout."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+def test_manifest_stats_match_oracle(built_index, oracle):
+    assert built_index.num_docs == oracle.N
+    assert abs(built_index.avgdl - oracle.avgdl) < 1e-9
+    assert built_index.total_tokens == sum(oracle.doc_len.values())
+
+
+def test_segments_exist_and_cover_terms(built_index, oracle):
+    seg_terms = 0
+    total_postings = 0
+    for s in built_index.segments:
+        p = built_index.segment_path(s["seg_id"])
+        assert os.path.exists(p)
+        t = pq.read_table(p, columns=["term", "bucket", "df"])
+        seg_terms += t.num_rows
+        total_postings += int(np.sum(t["df"].to_numpy(zero_copy_only=False)))
+    # every posting lands in exactly one (term, bucket) slice
+    oracle_postings = sum(len(p) for p in oracle.postings.values())
+    assert total_postings == oracle_postings
+
+
+def test_termstats_df_match_oracle(built_index, oracle):
+    ts = pads.dataset(built_index.termstats_dir()).to_table()
+    df = dict(zip(ts["term"].to_pylist(), ts["df"].to_pylist()))
+    assert len(df) == len(oracle.postings)
+    for t, p in oracle.postings.items():
+        assert df[t] == len(p), t
+
+
+def test_hot_terms_salted(built_index):
+    # threshold was forced low in the fixture -> head terms must be salted
+    assert len(built_index.hot_terms) > 0
+    for t, h in built_index.hot_terms.items():
+        assert h["n_salt"] >= 2
+        assert h["df"] > 200
+
+
+def test_hot_term_slices_disjoint_ordered(built_index, engine):
+    """Doc-range salting: slices must be disjoint ascending doc ranges so
+    the query side reassembles by concatenation."""
+    term = max(built_index.hot_terms, key=lambda t: built_index.hot_terms[t]["df"])
+    slices = engine._slices(term)
+    assert len(slices) >= 2
+    prev_hi = -1
+    total = 0
+    for seg, bucket in slices:
+        r = engine._readers.reader(seg)
+        got = r.postings(term, bucket)
+        if got is None:
+            continue
+        d = got[0]
+        assert d[0] > prev_hi
+        prev_hi = int(d[-1])
+        total += len(d)
+    assert total == built_index.hot_terms[term]["df"]
+
+
+def test_doc_table_columns(built_index):
+    ds = pads.dataset(built_index.doc_table_dir())
+    names = set(ds.schema.names)
+    assert {"doc_id", "doc_len", "terms", "tfs", "lang", "warc_ts", "url"} <= names
+
+
+def test_doc_ids_unique(built_index):
+    t = pads.dataset(built_index.doc_table_dir()).to_table(columns=["doc_id"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    assert len(np.unique(ids)) == len(ids) == built_index.num_docs

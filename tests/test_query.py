@@ -1,0 +1,188 @@
+"""Rank-identity vs the brute-force oracle — the reference query set
+(FIXTURES.md §3): docIDs identical, scores within 1e-9 relative."""
+
+import numpy as np
+import pytest
+
+from icat_lucene_ray.query import (
+    And, Filter, MatchAll, Not, Or, Phrase, RangeFilter, Term, Wildcard,
+)
+
+
+def _terms_by_df(oracle):
+    dfs = sorted(((len(p), t) for t, p in oracle.postings.items()), reverse=True)
+    head = dfs[0][1]
+    mid = [t for df, t in dfs if 20 < df < 80][:4]
+    rare = [t for df, t in dfs if df == 2][:2]
+    return head, mid, rare
+
+
+def assert_rank_identical(engine, oracle, q, k=10, search_after=None):
+    r = engine.search(q, k=k, search_after=search_after)
+    e = oracle.search(q, k=k, search_after=search_after)
+    got = list(zip(r.table["doc_id"].to_pylist(), r.table["score"].to_pylist()))
+    assert [g[0] for g in got] == [x[0] for x in e], (got[:5], e[:5])
+    for g, x in zip(got, e):
+        assert abs(g[1] - x[1]) <= 1e-9 * max(1.0, abs(x[1]))
+    assert r.total_hits == oracle.count(q)
+    return r
+
+
+def test_term_queries(engine, oracle):
+    head, mid, rare = _terms_by_df(oracle)
+    for t in [head] + mid + rare:
+        assert_rank_identical(engine, oracle, Term(t), k=10)
+
+
+def test_head_term_k100(engine, oracle):
+    head, _, _ = _terms_by_df(oracle)
+    assert_rank_identical(engine, oracle, Term(head), k=100)
+
+
+def test_and(engine, oracle):
+    _, mid, _ = _terms_by_df(oracle)
+    assert_rank_identical(engine, oracle, And([Term(mid[0]), Term(mid[1])]))
+    assert_rank_identical(
+        engine, oracle, And([Term(mid[0]), Term(mid[1]), Term(mid[2])]))
+
+
+def test_or(engine, oracle):
+    _, mid, rare = _terms_by_df(oracle)
+    assert_rank_identical(
+        engine, oracle, Or([Term(mid[0]), Term(mid[1]), Term(rare[0])]))
+
+
+def test_mixed_bool(engine, oracle):
+    head, mid, _ = _terms_by_df(oracle)
+    q = Not(And([Term(head), Term(mid[0])]), Term(mid[1]))
+    assert_rank_identical(engine, oracle, q)
+
+
+def test_filter_plus_text(engine, oracle):
+    _, mid, _ = _terms_by_df(oracle)
+    q = And([Term(mid[0])], filters=[Filter("lang", "en")])
+    assert_rank_identical(engine, oracle, q)
+
+
+def test_match_all(engine, oracle):
+    r = assert_rank_identical(engine, oracle, MatchAll(), k=10)
+    assert r.total_hits == oracle.N
+
+
+def test_phrase_lite(engine, oracle):
+    _, mid, _ = _terms_by_df(oracle)
+    assert_rank_identical(engine, oracle, Phrase([mid[0], mid[1]]))
+
+
+def test_wildcard(engine, oracle):
+    _, mid, _ = _terms_by_df(oracle)
+    assert_rank_identical(engine, oracle, Wildcard(mid[0][:2] + "*"))
+
+
+def test_wildcard_mixed_case_lowercased(engine, oracle):
+    # M11 (SearchBucket.java:171-194): wildcard terms lowercased at parse
+    _, mid, _ = _terms_by_df(oracle)
+    pat = mid[0][:2].upper() + "*"
+    assert engine.expand_wildcard(pat) == engine.expand_wildcard(pat.lower())
+
+
+def test_range_filter(engine, oracle):
+    q = And([MatchAll()], filters=[RangeFilter("doc_len", lo=100, hi=400)])
+    r = engine.search(q, k=5)
+    expected = sum(1 for v in oracle.doc_len.values() if 100 <= v <= 400)
+    assert r.total_hits == expected
+
+
+def test_search_after_pages(engine, oracle):
+    head, mid, _ = _terms_by_df(oracle)
+    for q in [Term(head), Or([Term(mid[0]), Term(mid[1])])]:
+        cursor = None
+        seen = []
+        for _page in range(3):
+            r = assert_rank_identical(engine, oracle, q, k=10,
+                                      search_after=cursor)
+            ids = r.table["doc_id"].to_pylist()
+            if not ids:
+                break
+            assert not (set(seen) & set(ids)), "pages must not overlap"
+            seen += ids
+            cursor = r.search_after
+
+
+def test_empty_in_list_matches_none(engine):
+    # SearchBucket.java:830 — empty IN-list => MatchNoDocs
+    q = And([MatchAll()], filters=[Filter("lang", [])])
+    assert engine.search(q, k=5).total_hits == 0
+
+
+def test_stopword_query_matches_none(engine):
+    assert engine.search(Term("the"), k=5).total_hits == 0
+
+
+def test_facets(engine, oracle):
+    head, _, _ = _terms_by_df(oracle)
+    f = engine.facets(Term(head), dims=["lang"])
+    assert f["lang"] == dict(
+        sorted(oracle.facet(Term(head), "lang").items(),
+               key=lambda kv: (-kv[1], kv[0]))
+    )
+
+
+def test_sparse_facets_all_dims(engine):
+    # A2: no dims given -> facet every string meta column
+    f = engine.facets(MatchAll())
+    assert "lang" in f and "url" in f
+
+
+def test_range_facets(engine, oracle):
+    ranges = {"doc_len": [("short", 0, 100), ("mid", 100, 500),
+                          ("long", 500, 3000)]}
+    f = engine.facets(MatchAll(), dims=[], ranges=ranges)
+    truth = {"short": 0, "mid": 0, "long": 0}
+    for v in oracle.doc_len.values():
+        if v < 100:
+            truth["short"] += 1
+        elif v < 500:
+            truth["mid"] += 1
+        else:
+            truth["long"] += 1
+    got = {k: v["doc_count"] for k, v in f["doc_len"].items()}
+    assert got == truth
+
+
+def test_field_sorted_topk(engine, oracle):
+    r = engine.search(MatchAll(), k=7, sort=[("warc_ts", True)],
+                      fields=["url"])
+    # truth: warc_ts desc, doc_id asc
+    metas = sorted(
+        zip(oracle.meta["warc_ts"], oracle.doc_ids),
+        key=lambda x: (-x[0].timestamp(), x[1]) if hasattr(x[0], "timestamp")
+        else (-x[0], x[1]),
+    )
+    assert r.table["doc_id"].to_pylist() == [int(d) for _, d in metas[:7]]
+    # page 2 continues without overlap
+    r2 = engine.search(MatchAll(), k=7, sort=[("warc_ts", True)],
+                       search_after=r.search_after)
+    assert r2.table["doc_id"].to_pylist() == [int(d) for _, d in metas[7:14]]
+
+
+def test_stored_fields_attached(engine):
+    r = engine.search(MatchAll(), k=3, fields=["url", "lang"])
+    assert r.table.column_names[:2] == ["doc_id", "score"]
+    assert all(u.startswith("https://") for u in r.table["url"].to_pylist())
+
+
+def test_actor_pool_mode(ray_session, built_index, oracle):
+    from icat_lucene_ray.query import Index
+
+    eng = Index(built_index.root, use_actors=True, num_actors=2)
+    head, mid, _ = _terms_by_df(oracle)
+    for q in [Term(head), And([Term(mid[0]), Term(mid[1])])]:
+        assert_rank_identical(eng, oracle, q, k=20)
+
+
+def test_timeout_guard(engine):
+    from icat_lucene_ray.query.engine import SearchTimeout
+
+    with pytest.raises(SearchTimeout):
+        engine.search(MatchAll(), k=5, timeout=-1.0)
