@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: per-batch numpy matmul
+  against a broadcast query matrix (``ray.put`` once, read per actor),
+  per-batch partial top-k, driver k-way merge. The correctness baseline.
+- :func:`ivf_topk` — IVF scale path: seeded k-means-lite centroids, a
+  cluster-assignment ``map_batches`` pass, then probe only the nearest
+  ``nprobe`` clusters.
+- :func:`random_hyperplane_buckets` — LSH bucketing stage for
+  embedding near-dup at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    arr = batch[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else len(flat)
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _TopKScorer:
+    """Per-batch scorer. Used as a stateless task (elastic, no pool
+    reservation — avoids pool-vs-read CPU deadlock on small clusters);
+    the query matrix is broadcast via ``ray.put`` and re-read per batch,
+    which is a zero-copy shared-memory lookup, not a re-ship."""
+
+    def __init__(self, q_ref, k: int, vec_col: str, id_col: str):
+        q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ v.T  # (nq, nbatch)
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            s = sims[qi]
+            idx = np.argpartition(-s, k - 1)[:k] if k < nb else np.arange(nb)
+            out_q += [qi] * len(idx)
+            out_id += ids[idx].tolist()
+            out_sim += s[idx].tolist()
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        })
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k per query row. Result: (query_id, vec_id,
+    cosine) ranked cosine desc, id asc."""
+    q_ref = ray.put(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    scorer = _TopKScorer(q_ref, k, vec_col, id_col)
+    partials = ds.map_batches(
+        scorer.__call__,
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).to_pandas()  # ≤ k·n_queries·n_blocks rows — small
+    out_rows = {"query_id": [], id_col: [], "cosine": []}
+    for qi, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        out_rows["query_id"] += [int(qi)] * len(grp)
+        out_rows[id_col] += grp[id_col].astype(int).tolist()
+        out_rows["cosine"] += grp["cosine"].tolist()
+    return pa.table({
+        "query_id": pa.array(out_rows["query_id"], pa.int32()),
+        id_col: pa.array(out_rows[id_col], pa.int64()),
+        "cosine": pa.array(out_rows["cosine"], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate path
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds: ray.data.Dataset, n_clusters: int = 16,
+                    *, vec_col: str = "embedding", sample: int = 4096,
+                    iters: int = 8, seed: int = 11) -> np.ndarray:
+    """Seeded k-means-lite on a driver-side sample (centroid training is
+    a tiny fraction of the data; assignment stays distributed)."""
+    tbl = ds.limit(sample).select_columns([vec_col]).to_pandas()
+    m = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
+                              for v in tbl[vec_col]]))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IVFAssign:
+    def __init__(self, cent_ref, vec_col: str):
+        c = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        self.cent = c
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _normalize(_batch_matrix(batch, self.vec_col))
+        assign = np.argmax(v @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(assign))
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k: assign rows to centroids (one map_batches
+    pass), then brute-force only rows in each query's ``nprobe`` nearest
+    clusters. Partitioning assumption: cluster sizes are balanced-ish;
+    a production index would write cluster-partitioned parquet once and
+    prune at the read."""
+    cent = train_centroids(ds, n_clusters, vec_col=vec_col)
+    assign = _IVFAssign(cent, vec_col)
+    assigned = ds.map_batches(assign.__call__, batch_format="pyarrow")
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe for c in row})
+    import pyarrow.compute as pc_
+
+    sub = assigned.map_batches(
+        lambda b: b.filter(pc_.is_in(b["cluster"], value_set=pa.array(
+            wanted, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(sub, q, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH buckets (near-dup scale path)
+# ---------------------------------------------------------------------------
+
+class RandomHyperplaneBucketer:
+    """map_batches stage: sign-pattern bucket key from ``nbits`` seeded
+    random hyperplanes; cosine-similar vectors collide with high
+    probability. Shuffle key for a subsequent groupby('bucket')."""
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 5,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _batch_matrix(batch, self.vec_col)
+        bits = (v @ self.planes.T) > 0
+        keys = np.packbits(bits, axis=1, bitorder="little")
+        pad = np.zeros((len(keys), 8), dtype=np.uint8)
+        pad[:, :keys.shape[1]] = keys[:, :8]
+        bucket = pad.view(np.int64).ravel()
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))

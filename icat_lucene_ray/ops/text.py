@@ -1,0 +1,176 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are stateless-or-actor ``map_batches`` stages over a text column:
+token counting, quality scoring, language ID, document fingerprinting.
+Formulas are deliberately simple + deterministic so a SQL oracle can
+reproduce them exactly (driver correctness gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# the quality/stopword metric uses a tiny fixed English list (SQL-mirrorable)
+QUALITY_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+# BPE-ish word/number/punct splitter for token counting
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def add_token_count(batch: pa.Table, col: str = "text",
+                    out: str = "n_tokens") -> pa.Table:
+    """Whitespace token count, fully vectorized in Arrow
+    (= ``len(string_split(text, ' '))`` in SQL)."""
+    n = pc.list_value_length(pc.split_pattern(batch[col], " "))
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def add_bpe_token_count(batch: pa.Table, col: str = "text",
+                        out: str = "n_bpe_tokens") -> pa.Table:
+    """Regex (BPE-ish: letter runs / digit runs / single punct) token
+    count via Arrow's vectorized regex extract-all."""
+    counts = pc.list_value_length(
+        pc.extract_regex_span(batch[col], _BPE_RE.pattern)
+    ) if hasattr(pc, "extract_regex_span") else pa.array(
+        [len(_BPE_RE.findall(t or "")) for t in batch[col].to_pylist()],
+        pa.int64(),
+    )
+    return batch.append_column(out, counts.cast(pa.int64()))
+
+
+def add_quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality metrics: n_chars, n_tokens, avg token length, stop-word
+    ratio, and a combined score. Vectorized Arrow kernels only."""
+    text = batch[col]
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.float64())
+    # avg token length for space-joined text: (chars - (n-1)) / n
+    avg_tok = pc.divide(
+        pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1.0))), n_tokens)
+    # token-exact stop-word hits (== SQL list_filter semantics):
+    # flatten token lists, is_in membership, segment-sum via reduceat
+    toks_arr = toks.combine_chunks()
+    if isinstance(toks_arr, pa.ChunkedArray):
+        toks_arr = toks_arr.combine_chunks()
+    flat = toks_arr.flatten()
+    member = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS)) \
+        .cast(pa.int8()).to_numpy(zero_copy_only=False)
+    offsets = toks_arr.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    starts = offsets[:-1].astype(np.int64)
+    sums = np.zeros(len(lens), dtype=np.float64)
+    nz = lens > 0
+    if member.size and nz.any():
+        sums[nz] = np.add.reduceat(member.astype(np.float64), starts[nz])
+    stop_ratio = pc.divide(pa.array(sums), n_tokens)
+    score = pc.multiply(
+        pc.min_element_wise(pc.divide(n_tokens, pa.scalar(100.0)), pa.scalar(1.0)),
+        pc.subtract(pa.scalar(1.0), stop_ratio),
+    )
+    out = batch
+    for name, arr in [("n_tokens", n_tokens.cast(pa.int64())),
+                      ("avg_token_len", avg_tok),
+                      ("stop_ratio", stop_ratio),
+                      ("quality", score)]:
+        out = out.append_column(name, arr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-n-gram/stopword heuristic (actor-pool stage)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for was with as his on be at by".split()),
+    "de": frozenset("der die das und ist nicht von mit den ein eine zu auf für".split()),
+    "fr": frozenset("le la les et de des un une est pas pour que dans sur".split()),
+    "es": frozenset("el la los las y de que en un una es no por con para".split()),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker tables built once per actor.
+    Deterministic n-gram/stopword-overlap heuristic; emits 'und' when no
+    language scores above ``min_hits`` markers."""
+
+    def __init__(self, col: str = "text", out: str = "lang_pred",
+                 min_hits: int = 2):
+        self.col, self.out, self.min_hits = col, out, min_hits
+        self.word_re = re.compile(r"[a-zäöüßéèêàçñ]+")
+
+    def _predict(self, text: str) -> str:
+        toks = self.word_re.findall((text or "").lower()[:2000])
+        best, best_hits = "und", self.min_hits - 1
+        for lang, markers in _LANG_MARKERS.items():
+            hits = sum(1 for t in toks if t in markers)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._predict(t) for t in batch[self.col].to_pylist()]
+        return batch.append_column(self.out, pa.array(preds, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def add_md5_fingerprint(batch: pa.Table, col: str = "text",
+                        out: str = "fp_md5") -> pa.Table:
+    """Content fingerprint = md5 hex of the raw text (= ``md5(text)`` in
+    SQL — the exact-dedup key)."""
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+           for t in batch[col].to_pylist()]
+    return batch.append_column(out, pa.array(fps, pa.string()))
+
+
+def rolling_hashes(tokens: list[str], window: int = 5,
+                   base: int = 1_000_003, mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Rabin-Karp rolling hashes over token windows (winnowing building
+    block). Deterministic; each token contributes its blake2b-8 value."""
+    if len(tokens) < window:
+        tokens = tokens + ["\x00"] * (window - len(tokens))
+    vals = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+         % mod for t in tokens],
+        dtype=np.uint64,
+    )
+    n = len(vals) - window + 1
+    out = np.zeros(n, dtype=np.uint64)
+    poww = pow(base, window - 1, mod)
+    h = 0
+    for i, v in enumerate(vals[:window]):
+        h = (h * base + int(v)) % mod
+    out[0] = h
+    for i in range(1, n):
+        h = ((h - int(vals[i - 1]) * poww) * base + int(vals[i + window - 1])) % mod
+        out[i] = h % mod
+    return out
+
+
+class WinnowFingerprint:
+    """Actor-pool stage: winnowing document fingerprint — min rolling
+    hash per sliding window band → compact int64 list per doc (used for
+    plagiarism-style overlap detection)."""
+
+    def __init__(self, col: str = "text", out: str = "fp_winnow",
+                 window: int = 5, stride: int = 16):
+        self.col, self.out = col, out
+        self.window, self.stride = window, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = []
+        for t in batch[self.col].to_pylist():
+            hs = rolling_hashes((t or "").split(), self.window)
+            mins = [int(hs[i:i + self.stride].min()) & 0x7FFF_FFFF_FFFF_FFFF
+                    for i in range(0, len(hs), self.stride)]
+            res.append(mins)
+        return batch.append_column(
+            self.out, pa.array(res, pa.list_(pa.int64())))

@@ -1,0 +1,218 @@
+"""Training-data ops: text analysis, dedup family, similarity, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# ---------------- text ops -------------------------------------------------
+
+def test_token_count_matches_split(docs_ds):
+    from icat_lucene_ray.ops.text import add_token_count
+
+    out = docs_ds.map_batches(add_token_count, batch_format="pyarrow") \
+        .select_columns(["text", "n_tokens"]).take(50)
+    for row in out:
+        assert row["n_tokens"] == len(row["text"].split(" "))
+
+
+def test_quality_score(docs_ds):
+    from icat_lucene_ray.ops.text import QUALITY_STOPWORDS, add_quality_score
+
+    out = docs_ds.map_batches(add_quality_score, batch_format="pyarrow").take(30)
+    for row in out:
+        toks = row["text"].split(" ")
+        assert row["n_tokens"] == len(toks)
+        exp_ratio = sum(t in QUALITY_STOPWORDS for t in toks) / len(toks)
+        assert abs(row["stop_ratio"] - exp_ratio) < 1e-12
+        assert 0.0 <= row["quality"] <= 1.0
+
+
+def test_lang_id():
+    from icat_lucene_ray.ops.text import LangId
+
+    li = LangId()
+    batch = pa.table({"text": pa.array([
+        "the cat sat on the mat and it was happy",
+        "der hund ist nicht mit der katze auf dem sofa",
+        "le chat est dans la maison et il est content",
+        "xyzzy qwerty plugh",
+    ])})
+    out = li(batch)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprints_deterministic():
+    import hashlib
+
+    from icat_lucene_ray.ops.text import WinnowFingerprint, add_md5_fingerprint
+
+    t = pa.table({"text": pa.array(["a b c d e f g h i j", "a b c d e f g h i j",
+                                    "k l m n o p q r s t"])})
+    fp = add_md5_fingerprint(t)["fp_md5"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+    assert fp[0] == hashlib.md5(b"a b c d e f g h i j").hexdigest()
+    wf = WinnowFingerprint()
+    w = wf(t)["fp_winnow"].to_pylist()
+    assert w[0] == w[1] != w[2]
+
+
+# ---------------- dedup ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    """Corpus with planted exact + near duplicates."""
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(40):
+        toks = [base[int(rng.integers(len(base)))] for _ in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})          # exact dup
+    near = rows[1]["text"].split()
+    near[5] = "CHANGED"
+    rows.append({"doc_id": 101, "text": " ".join(near)})           # near dup
+    rows.append({"doc_id": 102, "text": rows[2]["text"] + " tail"})  # near dup
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(dup_ds):
+    from icat_lucene_ray.ops.dedup import exact_dedup
+
+    kept = exact_dedup(dup_ds).to_pandas()
+    assert len(kept) == 42  # 43 rows, one exact dup collapses
+    assert 0 in set(kept["doc_id"]) and 100 not in set(kept["doc_id"])
+
+
+def test_minhash_lsh_dedup(dup_ds):
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    res = minhash_lsh_dedup(dup_ds, threshold=0.7)
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    assert (0, 100) in found       # exact dup has jaccard 1.0
+    assert (1, 101) in found       # one-token change
+    assert (2, 102) in found       # suffix append
+    assert 100 not in res["keep"] and 0 in res["keep"]
+
+
+def test_minhash_jaccard_estimate_close():
+    from icat_lucene_ray.ops.dedup import MinHasher, ngram_jaccard
+
+    mh = MinHasher(num_perm=256, bands=32)
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(10, 110))
+    est = float(np.mean(mh.signature(a) == mh.signature(b)))
+    true = ngram_jaccard(a, b, 5)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_dedup(dup_ds):
+    from icat_lucene_ray.ops.dedup import SimHasher, simhash_dedup
+
+    assert SimHasher.simhash64("a b c") == SimHasher.simhash64("a b c")
+    res = simhash_dedup(dup_ds, max_hamming=6)
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    assert (0, 100) in found
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 16))
+    vecs[20] = vecs[10] + 0.001 * rng.standard_normal(16)  # planted near-dup
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_near_dup(ds, threshold=0.99)
+    assert any(p == 10 and q == 20 for p, q, _ in pairs)
+
+
+# ---------------- similarity ----------------------------------------------
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    from icat_lucene_ray.ops.similarity import brute_force_topk
+
+    pdf = emb_ds.to_pandas()
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[0]
+    qn = q / np.linalg.norm(q)
+    sims = matn @ qn
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:10]
+    expected = pdf["vec_id"].to_numpy()[order].tolist()
+
+    got = brute_force_topk(emb_ds, q, k=10)
+    assert got["vec_id"].to_pylist() == expected
+
+
+def test_ivf_topk_recall(emb_ds):
+    from icat_lucene_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    pdf = emb_ds.to_pandas()
+    q = np.asarray(pdf["embedding"][3], dtype=np.float64)
+    exact = set(brute_force_topk(emb_ds, q, k=10)["vec_id"].to_pylist())
+    approx = set(ivf_topk(emb_ds, q, k=10, n_clusters=8, nprobe=4)
+                 ["vec_id"].to_pylist())
+    assert len(exact & approx) >= 7  # recall@10 ≥ 0.7 with 4/8 probes
+
+
+def test_hyperplane_buckets_collide(ray_session):
+    from icat_lucene_ray.ops.similarity import RandomHyperplaneBucketer
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(8)
+    t = pa.table({"embedding": pa.array(
+        [v.tolist(), (v + 1e-6).tolist(), (-v).tolist()],
+        pa.list_(pa.float32()))})
+    b = RandomHyperplaneBucketer(dim=8, nbits=16)
+    out = b(t)["bucket"].to_pylist()
+    assert out[0] == out[1] != out[2]
+
+
+# ---------------- multimodal ----------------------------------------------
+
+def test_image_decode_plumbing(ray_session):
+    import ray.data
+
+    from icat_lucene_ray.ops.multimodal import ImageDecoder, make_fake_image
+
+    rows = [{"doc_id": i, "image": make_fake_image(i)} for i in range(20)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas()
+    assert len(out) == 20
+    assert "image" not in out.columns           # blob dropped after decode
+    assert out["image_meta"][0]["width"] == 32
+    assert len(out["image_feat"][0]) == 3
+    # determinism
+    out2 = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                          batch_size=4, concurrency=2).to_pandas()
+    a = sorted(map(tuple, out[["doc_id"]].values.tolist()))
+    b = sorted(map(tuple, out2[["doc_id"]].values.tolist()))
+    assert a == b
+
+
+def test_real_decoder_is_stubbed():
+    from icat_lucene_ray.ops.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\xff\xd8\xff")
