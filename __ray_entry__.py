@@ -1,44 +1,561 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 search) on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL (BM25 is fully expressed in SQL over tokenized
+CTEs). Ray is initialised by the driver before import — nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name discipline: every engine result names its columns exactly
+as the SQL aliases; float scores are rounded to 6 dp on BOTH sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# BM25 over whitespace tokens — mirrors the engine's "simple" analyzer
+# profile exactly (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)),
+# exact doc lengths; SURVEY.md §7.0).
+_BM25_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+           AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats
+)
+"""
+
+
+def _round6(tbl: pa.Table, col: str) -> pa.Table:
+    i = tbl.column_names.index(col)
+    vals = np.round(tbl[col].to_numpy(zero_copy_only=False).astype(np.float64), 6)
+    return tbl.set_column(i, col, pa.array(vals, pa.float64()))
+
+
+def _idx(sf_dir: str):
+    from icat_lucene_ray.pipelines import get_cached_index
+
+    return get_cached_index(sf_dir)
+
+
+def _hits(r, extra_cols: list[str] | None = None) -> pa.Table:
+    t = r.table
+    keep = ["doc_id", "score"] + (extra_cols or [])
+    t = t.select([c for c in keep if c in t.column_names])
+    return _round6(t, "score")
+
+
+# ---------------------------------------------------------------------------
+# query callables — each takes sf_dir, returns Dataset / DataFrame / Table
+# ---------------------------------------------------------------------------
+
+def _ft_term_topk(sf_dir: str):
+    from icat_lucene_ray.query import Term
+
+    return _hits(_idx(sf_dir).search(Term("data"), k=10))
+
+
+def _ft_and_topk(sf_dir: str):
+    from icat_lucene_ray.query import And, Term
+
+    return _hits(_idx(sf_dir).search(And([Term("data"), Term("join")]), k=10))
+
+
+def _ft_or_topk(sf_dir: str):
+    from icat_lucene_ray.query import Or, Term
+
+    return _hits(_idx(sf_dir).search(
+        Or([Term("data"), Term("spark"), Term("vector")]), k=10))
+
+
+def _ft_phrase_lite_topk(sf_dir: str):
+    from icat_lucene_ray.query import Phrase
+
+    return _hits(_idx(sf_dir).search(Phrase(["fast", "join"]), k=10))
+
+
+def _ft_not_count(sf_dir: str):
+    from icat_lucene_ray.query import Not, Term
+
+    n = _idx(sf_dir).count(Not(Term("data"), Term("join")))
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def _ft_filtered_term(sf_dir: str):
+    from icat_lucene_ray.query import And, Filter, Term
+
+    q = And([Term("data")], filters=[Filter("lang", "en")])
+    return _hits(_idx(sf_dir).search(q, k=10))
+
+
+def _ft_semi_join(sf_dir: str):
+    """Q-time semi-join (J1): key set from a sub-query on another table,
+    broadcast as a filter (SearchBucket.java:602-614 pattern)."""
+    import ray.data
+
+    from icat_lucene_ray.query import And, Filter, Term
+
+    keys = (
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "label"])
+        .map_batches(lambda b: b.filter(pc.equal(b["label"], 3))
+                     .select(["vec_id"]), batch_format="pyarrow")
+        .to_pandas()["vec_id"].tolist()
+    )
+    q = And([Term("data")], filters=[Filter("doc_id", keys)])
+    return _hits(_idx(sf_dir).search(q, k=10))
+
+
+def _ft_match_all_count(sf_dir: str):
+    from icat_lucene_ray.query import MatchAll
+
+    n = _idx(sf_dir).count(MatchAll())
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def _ft_count_term(sf_dir: str):
+    from icat_lucene_ray.query import Term
+
+    n = _idx(sf_dir).count(Term("data"))
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def _ft_field_sorted(sf_dir: str):
+    from icat_lucene_ray.query import MatchAll
+
+    r = _idx(sf_dir).search(MatchAll(), k=10, sort=[("n_chars", True)])
+    return r.table.select(["doc_id", "n_chars"])
+
+
+def _ft_search_after(sf_dir: str):
+    from icat_lucene_ray.query import Term
+
+    idx = _idx(sf_dir)
+    p1 = idx.search(Term("data"), k=10)
+    p2 = idx.search(Term("data"), k=10, search_after=p1.search_after)
+    return _hits(p2)
+
+
+def _ft_wildcard(sf_dir: str):
+    from icat_lucene_ray.query import Wildcard
+
+    return _hits(_idx(sf_dir).search(Wildcard("jo*"), k=10))
+
+
+def _ft_numeric_range(sf_dir: str):
+    from icat_lucene_ray.query import And, RangeFilter, Term
+
+    q = And([Term("data")], filters=[RangeFilter("n_chars", lo=100, hi=300)])
+    n = _idx(sf_dir).count(q)
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def _ft_facet_lang(sf_dir: str):
+    from icat_lucene_ray.query import Term
+
+    f = _idx(sf_dir).facets(Term("data"), dims=["lang"], max_labels=10)
+    langs = list(f["lang"].keys())
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "doc_count": pa.array([f["lang"][x] for x in langs], pa.int64()),
+    })
+
+
+def _ft_facet_source(sf_dir: str):
+    from icat_lucene_ray.query import MatchAll
+
+    f = _idx(sf_dir).facets(MatchAll(), dims=["source"], max_labels=5)
+    ks = list(f["source"].keys())
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "doc_count": pa.array([f["source"][x] for x in ks], pa.int64()),
+    })
+
+
+def _ft_range_facet(sf_dir: str):
+    from icat_lucene_ray.query import MatchAll
+
+    ranges = {"n_chars": [("short", 0, 200), ("mid", 200, 400),
+                          ("long", 400, 100000)]}
+    f = _idx(sf_dir).facets(MatchAll(), dims=[], ranges=ranges)
+    labels = ["short", "mid", "long"]
+    return pa.table({
+        "bucket": pa.array(labels, pa.string()),
+        "doc_count": pa.array([f["n_chars"][x]["doc_count"] for x in labels],
+                              pa.int64()),
+    })
+
+
+def _ft_docfreq_top20(sf_dir: str):
+    """Validates the distributed term-stats phase directly."""
+    import pyarrow.dataset as pads
+
+    idx = _idx(sf_dir)
+    t = pads.dataset(idx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"])
+    df = t.to_pandas().sort_values(["df", "term"],
+                                   ascending=[False, True]).head(20)
+    return pa.table({"term": pa.array(df["term"].tolist(), pa.string()),
+                     "df": pa.array(df["df"].astype(int).tolist(), pa.int64())})
+
+
+# ---------------- dedup -----------------------------------------------------
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dedup_exact(sf_dir: str):
+    from icat_lucene_ray.ops.dedup import exact_dedup
+
+    kept = exact_dedup(_docs_ds(sf_dir)).to_pandas()
+    return pa.table({"doc_id": pa.array(sorted(kept["doc_id"].astype(int)),
+                                        pa.int64())})
+
+
+def _dedup_minhash(sf_dir: str):
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    res = minhash_lsh_dedup(_docs_ds(sf_dir), threshold=0.8)
+    return pa.table({"doc_id": pa.array(res["keep"], pa.int64())})
+
+
+def _dedup_simhash(sf_dir: str):
+    from icat_lucene_ray.ops.dedup import SimHasher
+
+    ds = _docs_ds(sf_dir).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=2)
+    pdf = ds.to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype(int), pa.int64()),
+                     "simhash": pa.array(pdf["simhash"].astype(int), pa.int64())})
+
+
+def _dedup_embedding(sf_dir: str):
+    from icat_lucene_ray.ops.dedup import embedding_near_dup
+    import ray.data
+
+    # restricted left side (vec_id % 50 == 0) to keep the SQL oracle cheap
+    ds = _emb_ds(sf_dir)
+    pairs = embedding_near_dup(ds, threshold=0.95)
+    rows = [(a, b, round(c, 6)) for a, b, c in pairs if a % 50 == 0]
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "cosine": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+# ---------------- similarity ------------------------------------------------
+
+def _ann_cosine_topk(sf_dir: str):
+    from icat_lucene_ray.ops.similarity import brute_force_topk
+
+    ds = _emb_ds(sf_dir)
+    q = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        m = pc.equal(b["vec_id"], 0)
+        if pc.any(m).as_py():
+            q = np.asarray(b.filter(m)["embedding"][0].as_py(), dtype=np.float64)
+            break
+    sub = ds.map_batches(lambda b: b.filter(pc.not_equal(b["vec_id"], 0)),
+                         batch_format="pyarrow")
+    t = brute_force_topk(sub, q, k=10)
+    t = t.select(["vec_id", "cosine"])
+    return _round6(t, "cosine")
+
+
+def _ann_ivf_topk(sf_dir: str):
+    from icat_lucene_ray.ops.similarity import ivf_topk
+
+    ds = _emb_ds(sf_dir)
+    pdf = ds.limit(4).to_pandas()
+    q = np.asarray(pdf[pdf.vec_id == pdf.vec_id.min()]["embedding"].iloc[0],
+                   dtype=np.float64)
+    t = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=4)
+    t = t.select(["vec_id", "cosine"])
+    return _round6(t, "cosine")
+
+
+# ---------------- text analysis --------------------------------------------
+
+def _text_token_count(sf_dir: str):
+    from icat_lucene_ray.ops.text import add_token_count
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _text_quality(sf_dir: str):
+    from icat_lucene_ray.ops.text import add_quality_score
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: add_quality_score(b).select(
+            ["doc_id", "n_tokens", "stop_ratio", "quality"]),
+        batch_format="pyarrow")
+    t = pa.Table.from_pandas(
+        ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    t = _round6(t, "stop_ratio")
+    return _round6(t, "quality")
+
+
+def _text_fingerprint(sf_dir: str):
+    from icat_lucene_ray.ops.text import add_md5_fingerprint
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: add_md5_fingerprint(b).select(["doc_id", "fp_md5"]),
+        batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _text_langid(sf_dir: str):
+    from icat_lucene_ray.ops.text import LangId
+
+    ds = _docs_ds(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2)
+    pdf = ds.to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype(int), pa.int64()),
+                     "lang_pred": pa.array(pdf["lang_pred"], pa.string())})
+
+
+# ---------------- generic relational ops (events table) ---------------------
+
+def _agg_rollup_sum(sf_dir: str):
+    """A6 incremental rollup equivalent: partial per-batch pre-agg then a
+    small groupby (ray_guide 'Aggregation at scale')."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value")).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return _round6(t, "total_value")
+
+
+def _keep_latest_event(sf_dir: str):
+    """D1 upsert/keep-latest semantics (delete-then-add by id,
+    Lucene.java:327-330) as hash-partitioned keep-max-ts."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    out = ds.groupby("user_id").aggregate(Max("ts", alias_name="ts"))
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from icat_lucene_ray.pipelines import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_term_topk": _ft_term_topk,
+        "ft_and_topk": _ft_and_topk,
+        "ft_or_topk": _ft_or_topk,
+        "ft_phrase_lite_topk": _ft_phrase_lite_topk,
+        "ft_not_count": _ft_not_count,
+        "ft_filtered_term": _ft_filtered_term,
+        "ft_semi_join": _ft_semi_join,
+        "ft_match_all_count": _ft_match_all_count,
+        "ft_count_term": _ft_count_term,
+        "ft_field_sorted": _ft_field_sorted,
+        "ft_search_after": _ft_search_after,
+        "ft_wildcard": _ft_wildcard,
+        "ft_numeric_range": _ft_numeric_range,
+        "ft_facet_lang": _ft_facet_lang,
+        "ft_facet_source": _ft_facet_source,
+        "ft_range_facet": _ft_range_facet,
+        "ft_docfreq_top20": _ft_docfreq_top20,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "text_token_count": _text_token_count,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_langid": _text_langid,
+        "agg_rollup_sum": _agg_rollup_sum,
+        "keep_latest_event": _keep_latest_event,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    topk = ("SELECT doc_id, round(s, 6) AS score FROM agg "
+            "ORDER BY s DESC, doc_id LIMIT 10")
+    agg_one = ("agg AS (SELECT doc_id, s FROM scored WHERE term = '{t}')")
+    return {
+        "ft_term_topk": _BM25_CTE + f", {agg_one.format(t='data')} {topk}",
+        "ft_and_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('data', 'join') GROUP BY doc_id
+              HAVING count(DISTINCT term) = 2)
+            """ + topk,
+        "ft_or_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('data', 'spark', 'vector') GROUP BY doc_id)
+            """ + topk,
+        "ft_phrase_lite_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('fast', 'join') GROUP BY doc_id
+              HAVING count(DISTINCT term) = 2)
+            """ + topk,
+        "ft_not_count": _BM25_CTE + """
+            SELECT count(*) AS n_docs FROM (
+              SELECT DISTINCT doc_id FROM scored WHERE term = 'data'
+              EXCEPT SELECT DISTINCT doc_id FROM scored WHERE term = 'join')
+            """,
+        "ft_filtered_term": _BM25_CTE + """
+            , agg AS (
+              SELECT s.doc_id, s.s FROM scored s
+              JOIN documents d ON s.doc_id = d.doc_id
+              WHERE s.term = 'data' AND d.lang = 'en')
+            """ + topk,
+        "ft_semi_join": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, s FROM scored WHERE term = 'data'
+              AND doc_id IN (SELECT vec_id FROM embeddings WHERE label = 3))
+            """ + topk,
+        "ft_match_all_count": "SELECT count(*) AS n_docs FROM documents",
+        "ft_count_term": _BM25_CTE + """
+            SELECT count(DISTINCT doc_id) AS n_docs FROM scored
+            WHERE term = 'data'""",
+        "ft_field_sorted": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "ft_search_after": _BM25_CTE + f", {agg_one.format(t='data')} " +
+            ("SELECT doc_id, round(s, 6) AS score FROM agg "
+             "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"),
+        "ft_wildcard": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term LIKE 'jo%' GROUP BY doc_id)
+            """ + topk,
+        "ft_numeric_range": _BM25_CTE + """
+            SELECT count(DISTINCT s.doc_id) AS n_docs FROM scored s
+            JOIN documents d ON s.doc_id = d.doc_id
+            WHERE s.term = 'data' AND d.n_chars BETWEEN 100 AND 300""",
+        "ft_facet_lang": _BM25_CTE + """
+            SELECT d.lang AS lang, count(DISTINCT s.doc_id) AS doc_count
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+            WHERE s.term = 'data'
+            GROUP BY d.lang ORDER BY doc_count DESC, lang LIMIT 10""",
+        "ft_facet_source": """
+            SELECT source, count(*) AS doc_count FROM documents
+            GROUP BY source ORDER BY doc_count DESC, source LIMIT 5""",
+        "ft_range_facet": """
+            SELECT bucket, count(*) AS doc_count FROM (
+              SELECT CASE WHEN n_chars < 200 THEN 'short'
+                          WHEN n_chars < 400 THEN 'mid'
+                          ELSE 'long' END AS bucket
+              FROM documents)
+            GROUP BY bucket""",
+        "ft_docfreq_top20": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id""",
+        # dedup_minhash / dedup_simhash / text_langid / ann_ivf_topk:
+        # not SQL-expressible (signatures / heuristic / approximate) —
+        # rows-only checks.
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(sim, 6) AS cosine
+            FROM (
+              SELECT a.vec_id, b.vec_id AS bvid,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id % 50 = 0
+            ) t(vec_id, bvid, sim)
+            JOIN embeddings a ON a.vec_id = t.vec_id
+            JOIN embeddings b ON b.vec_id = t.bvid
+            WHERE sim >= 0.95 ORDER BY id_a, id_b""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                     AS cosine
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                     e.vec_id
+            LIMIT 10""",
+        "text_token_count": """
+            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id""",
+        "text_quality": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   round(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','an','and','of','to','in','is','it','that')))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS stop_ratio,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                         * (1 - len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the','a','an','and','of','to','in','is','it','that')))::DOUBLE
+                              / len(string_split(text, ' '))), 6) AS quality
+            FROM documents ORDER BY doc_id""",
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+            ORDER BY doc_id""",
+        "agg_rollup_sum": """
+            SELECT user_id, round(sum(value), 6) AS total_value FROM events
+            GROUP BY user_id ORDER BY user_id""",
+        "keep_latest_event": """
+            SELECT user_id, max(ts) AS ts FROM events
+            GROUP BY user_id ORDER BY user_id""",
+    }
