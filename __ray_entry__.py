@@ -214,14 +214,15 @@ def _ft_range_facet(sf_dir: str):
 
 
 def _ft_docfreq_top20(sf_dir: str):
-    """Validates the distributed term-stats phase directly."""
+    """Validates the distributed term-stats output directly (the segment
+    term dictionaries; salted terms sum across slices)."""
     import pyarrow.dataset as pads
 
     idx = _idx(sf_dir)
     t = pads.dataset(idx.manifest.termstats_dir()).to_table(
         columns=["term", "df"])
-    df = t.to_pandas().sort_values(["df", "term"],
-                                   ascending=[False, True]).head(20)
+    df = (t.to_pandas().groupby("term", as_index=False)["df"].sum()
+          .sort_values(["df", "term"], ascending=[False, True]).head(20))
     return pa.table({"term": pa.array(df["term"].tolist(), pa.string()),
                      "df": pa.array(df["df"].astype(int).tolist(), pa.int64())})
 

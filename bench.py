@@ -1,0 +1,235 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the same job twice in fresh processes at 8 and 32
+CPUs on the same input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the north_rule's N vs 4N node
+clusters).
+
+Components:
+  q_build        index build over a cached deterministic synthetic pages
+                 corpus (Zipf vocab, ~216 tokens/doc) — the headline
+                 docs/sec number
+  q_build_docs   index build over {sf}/documents.parquet
+  q_query        200 BM25 searches (term/AND/OR across the df spectrum)
+                 p50/p99 reported in extras
+  q_minhash      MinHash-LSH near-dup over documents
+  q_ann          brute-force cosine top-k over embeddings
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+#: bench corpus size scales with the sf dir's documents table
+PAGES_PER_DOCROW = 24  # sf0.1 (5000 docs) -> 120k pages
+
+
+def _quiet():
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _ensure_pages_corpus(n_docs: int, cache_root: str = "/tmp/ilr_bench") -> str:
+    """Deterministic synthetic CC-style corpus, generated in parallel
+    once and cached on disk (untimed; both scaling runs share it)."""
+    import ray
+
+    out = os.path.join(cache_root, f"pages_{n_docs}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def gen_chunk(start: int, n: int, path: str):
+        from icat_lucene_ray.corpus import generate_pages
+
+        t = generate_pages(n, start_doc=start)
+        pq.write_table(t, path, compression="zstd")
+        return path
+
+    chunk = 5000
+    futs = [
+        gen_chunk.remote(s, min(chunk, n_docs - s),
+                         os.path.join(out, f"pages_{s // chunk:05d}.parquet"))
+        for s in range(0, n_docs, chunk)
+    ]
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return out
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import numpy as np
+    import ray
+
+    _quiet()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.query import And, Index, Or, Term
+
+    n_docrows = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_pages = n_docrows * PAGES_PER_DOCROW
+    pages = _ensure_pages_corpus(n_pages)
+    # warm page cache so both scaling levels measure compute, not disk
+    for p in sorted(os.listdir(pages)):
+        if p.endswith(".parquet"):
+            with open(os.path.join(pages, p), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- q_build: synthetic pages corpus -----------------------------
+    idx_dir = f"/tmp/ilr_bench/idx_pages_{num_cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(num_segments=max(16, num_cpus),
+                       tokenize_batch_size=2048)
+    t0 = time.perf_counter()
+    manifest = build_index(pages, idx_dir, meta_cols=["lang", "warc_ts"],
+                           config=cfg)
+    queries["q_build"] = round(time.perf_counter() - t0, 3)
+    extras["build_docs_per_sec"] = round(n_pages / queries["q_build"], 1)
+    extras["build_n_docs"] = n_pages
+    extras.update({f"build_{k}": v for k, v in manifest.metrics.items()
+                   if k.startswith("phase")})
+
+    # ---- q_build_docs: sf documents table ----------------------------
+    docs_idx = f"/tmp/ilr_bench/idx_docs_{num_cpus}"
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(os.path.join(sf_dir, "documents.parquet"), docs_idx,
+                text_col="text", id_col="doc_id",
+                meta_cols=["lang", "source", "n_chars"],
+                config=EngineConfig(analyzer="simple", num_segments=8))
+    queries["q_build_docs"] = round(time.perf_counter() - t0, 3)
+
+    # ---- q_query: BM25 latency over the pages index ------------------
+    idx = Index(idx_dir)
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(idx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    head = ts["term"].iloc[:5].tolist()
+    mid = ts[(ts["df"] > 200) & (ts["df"] < 2000)]["term"].iloc[:40].tolist()
+    rare = ts[ts["df"] < 20]["term"].iloc[:40].tolist()
+    qset = []
+    for i in range(200):
+        r = i % 4
+        if r == 0:
+            qset.append(Term(mid[i % len(mid)]))
+        elif r == 1:
+            qset.append(And([Term(mid[i % len(mid)]),
+                             Term(head[i % len(head)])]))
+        elif r == 2:
+            qset.append(Or([Term(mid[i % len(mid)]),
+                            Term(rare[i % len(rare)])]))
+        else:
+            qset.append(Term(head[i % len(head)]))
+    lat = []
+    t0 = time.perf_counter()
+    for q in qset:
+        s = time.perf_counter()
+        idx.search(q, k=10)
+        lat.append(time.perf_counter() - s)
+    queries["q_query"] = round(time.perf_counter() - t0, 3)
+    extras["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
+    extras["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 2)
+
+    # ---- q_minhash: near-dup over documents --------------------------
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    res = minhash_lsh_dedup(docs, threshold=0.8)
+    queries["q_minhash"] = round(time.perf_counter() - t0, 3)
+    extras["minhash_kept"] = len(res["keep"])
+
+    # ---- q_ann: cosine top-k over embeddings -------------------------
+    from icat_lucene_ray.ops.similarity import brute_force_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = np.vstack([np.asarray(v, dtype=np.float64) for v in
+                    emb.limit(16).to_pandas()["embedding"]])
+    t0 = time.perf_counter()
+    brute_force_topk(emb, qv, k=10)
+    queries["q_ann"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "icat_lucene_ray headline: index build + BM25 query + "
+                  "dedup + ann over sf dir",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh processes (BASELINE.md
+    scaling criterion: efficiency ≥ 0.8 between N and 4N)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    # efficiency on the distributed build (the cluster-bound phase)
+    t_lo, t_hi = r_lo["queries"]["q_build"], r_hi["queries"]["q_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, fresh ray sessions)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "build_sec_lo": t_lo, "build_sec_hi": t_hi,
+        "build_docs_per_sec_lo": r_lo["build_docs_per_sec"],
+        "build_docs_per_sec_hi": r_hi["build_docs_per_sec"],
+        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -1,0 +1,112 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Examples::
+
+    # index build (resumable; rerun with --resume to skip done shards)
+    ray job submit -- python -m icat_lucene_ray build \
+        --input /data/pages --out /data/index \
+        --meta lang,warc_ts --shards 64 --segments 64 --resume
+
+    # query
+    python -m icat_lucene_ray search --index /data/index \
+        --query "aardvark dancing" --k 10
+
+Owns its Ray session (guarded init) — unlike the library code, which
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        kw = dict(include_dashboard=False, ignore_reinit_error=True,
+                  logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(address="local", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args):
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+
+    _init_ray(args.num_cpus)
+    cfg = EngineConfig(analyzer=args.analyzer, num_segments=args.segments)
+    m = build_index(
+        args.input, args.out,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        key_col=args.key_col,
+        meta_cols=args.meta.split(",") if args.meta else [],
+        config=cfg,
+        checkpoint_shards=args.shards,
+        resume=args.resume,
+    )
+    print(json.dumps({"num_docs": m.num_docs, "avgdl": round(m.avgdl, 2),
+                      "segments": len(m.segments),
+                      "hot_terms": len(m.hot_terms), "metrics": m.metrics}))
+
+
+def cmd_search(args):
+    from icat_lucene_ray.query import And, Index, Term
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    terms = args.query.split()
+    q = Term(terms[0]) if len(terms) == 1 else And([Term(t) for t in terms])
+    r = idx.search(q, k=args.k, fields=args.fields.split(",") if args.fields else None)
+    print(json.dumps({
+        "total_hits": r.total_hits,
+        "hits": r.table.to_pylist(),
+        "search_after": r.search_after,
+    }, default=str))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="icat_lucene_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--key-col", default="url")
+    b.add_argument("--meta", default="")
+    b.add_argument("--analyzer", default="icat")
+    b.add_argument("--segments", type=int, default=16)
+    b.add_argument("--shards", type=int, default=1)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--fields", default="")
+    s.add_argument("--actors", action="store_true")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -11,16 +11,22 @@ Pipeline (SURVEY.md §7.2; north_rule):
                       shard via lineage markers (≈ the reference's
                       lock(minId,maxId) population protocol,
                       ``Lucene.java:1155-1212``).
-  Phase B  stats      per-batch partial (term, df, cf) → tiny
-                      ``groupby(term)`` shuffle → termstats/ (term
-                      dictionary for idf + wildcard scans); global N,
-                      avgdl, doc-id range; hot-term set for salting.
+  Phase B  stats      one cheap numeric aggregate (N, Σdl, doc-id range)
+                      + a deterministic sample scan that estimates df for
+                      the Zipf head → hot-term set for salting. No term
+                      shuffle here: exact per-term df falls out of the
+                      Phase C shuffle for free (each (term, bucket) slice
+                      lands in exactly one segment), so the segment
+                      writers emit the term dictionary (termstats shards)
+                      as a side output and the driver sums the few hot
+                      slices for exact global hot-term df.
   Phase C  postings   ``map_batches(RunEncoder)`` combiner emits one
                       sorted posting *run* per (term[, doc-range bucket])
-                      per batch → the ONLY heavy shuffle,
+                      per batch → the ONLY shuffle in the build,
                       ``groupby(shard_key)`` → ``map_groups`` merges runs
                       and writes one immutable bit-packed segment per
-                      shard key with block-max metadata.
+                      shard key with block-max metadata + its termstats
+                      shard.
 
 Head-term skew (SURVEY.md §7.4): terms with global df >
 ``salt_df_threshold`` are split across ``n_salt`` doc-range buckets,
@@ -108,24 +114,35 @@ class Tokenizer:
 
 
 # ---------------------------------------------------------------------------
-# Phase B: per-batch partial df/cf (combiner before the tiny term shuffle)
+# Phase B: hot-term estimation from a deterministic sample
 # ---------------------------------------------------------------------------
 
-def _df_partials(batch: pa.Table) -> pa.Table:
-    terms = batch["terms"].combine_chunks()
-    flat = terms.flatten()
-    tfs = batch["tfs"].combine_chunks().flatten()
-    if len(flat) == 0:
-        return pa.table({"term": pa.array([], pa.string()),
-                         "df": pa.array([], pa.int64()),
-                         "cf": pa.array([], pa.int64())})
-    enc = flat.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    k = len(enc.dictionary)
-    df = np.bincount(codes, minlength=k).astype(np.int64)
-    cf = np.zeros(k, dtype=np.int64)
-    np.add.at(cf, codes, tfs.to_numpy(zero_copy_only=False))
-    return pa.table({"term": enc.dictionary, "df": pa.array(df), "cf": pa.array(cf)})
+def _sample_term_dfs(an_dir: str, max_rows: int = 65536) -> tuple[dict[str, int], int]:
+    """Exact df over a deterministic sample (the first analyzed file(s)).
+
+    Used only to *detect* the Zipf head for salting — over-marking a
+    term hot costs a few extra slices; under-marking costs one larger
+    reduce group — both benign, so a sample is the right tool. Exact
+    global df for scoring comes out of Phase C.
+    """
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(an_dir) for f in fs if f.endswith(".parquet")
+    )
+    counts: dict[str, int] = {}
+    rows = 0
+    for path in files:
+        t = pq.read_table(path, columns=["terms"])
+        flat = t["terms"].combine_chunks().flatten()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        for term, d in zip(enc.dictionary.to_pylist(), df):
+            counts[term] = counts.get(term, 0) + int(d)
+        rows += t.num_rows
+        if rows >= max_rows:
+            break
+    return counts, rows
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +431,7 @@ def build_index(
     metrics["phase_a_sec"] = round(time.perf_counter() - t0, 3)
     metrics["phase_a_shards_skipped"] = skipped
 
-    # ---------------- Phase B: stats + termstats -----------------------
+    # ---------------- Phase B: global stats + hot-term sample ----------
     t0 = time.perf_counter()
     an_stats = ray.data.read_parquet(an_dir, columns=["doc_id", "doc_len"])
     agg = an_stats.aggregate(Sum("doc_len", alias_name="total_len"),
@@ -426,27 +443,19 @@ def build_index(
     max_doc = int(agg["max_doc"] or 0)
     avgdl = (total_len / num_docs) if num_docs else 1.0
 
-    ts_dir = os.path.join(out_dir, "termstats")
-    an_terms = ray.data.read_parquet(an_dir, columns=["terms", "tfs"])
-    stats = (
-        an_terms.map_batches(_df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-    )
-    stats.sort("term").write_parquet(ts_dir)
-    metrics["phase_b_sec"] = round(time.perf_counter() - t0, 3)
-
-    # hot-term table (small by construction: only df > threshold)
+    sample_dfs, sample_rows = _sample_term_dfs(an_dir)
+    scale = num_docs / max(1, sample_rows)
     thresh = min(config.salt_df_threshold, config.target_slice_postings)
-    import pyarrow.dataset as pads
-    hot_tbl = pads.dataset(ts_dir).to_table(
-        columns=["term", "df"], filter=pads.field("df") > thresh
-    )
-    hot_terms: dict[str, dict] = {}
-    for t, df in zip(hot_tbl["term"].to_pylist(), hot_tbl["df"].to_pylist()):
-        n_salt = min(S, -(-df // config.target_slice_postings))
-        if n_salt > 1:
-            hot_terms[t] = {"df": int(df), "n_salt": int(n_salt)}
+    hot_salt: dict[str, int] = {}
+    for t, d in sample_dfs.items():
+        est = d * scale
+        # 0.5 safety margin: over-marking hot is benign (extra slices),
+        # under-marking leaves one oversized reduce group
+        if est > thresh * 0.5:
+            n_salt = min(S, max(1, -(-int(est) // config.target_slice_postings)))
+            if n_salt > 1:
+                hot_salt[t] = n_salt
+    metrics["phase_b_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---------------- Phase C: postings shuffle + segments -------------
     t0 = time.perf_counter()
@@ -456,7 +465,7 @@ def build_index(
         RunEncoder,
         fn_constructor_kwargs=dict(
             num_segments=S,
-            hot_terms={t: v["n_salt"] for t, v in hot_terms.items()},
+            hot_terms=hot_salt,
             min_doc=min_doc, max_doc=max_doc,
         ),
         batch_format="pyarrow",
@@ -474,6 +483,25 @@ def build_index(
         .take_all()
     )
     metrics["phase_c_sec"] = round(time.perf_counter() - t0, 3)
+
+    # exact global df for hot terms: sum their (term, bucket) slices from
+    # the segment term dictionaries (the few hot rows only)
+    hot_terms: dict[str, dict] = {}
+    if hot_salt:
+        import pyarrow.dataset as pads
+
+        seg_ds = pads.dataset(os.path.join(out_dir, "segments"))
+        ht = seg_ds.to_table(
+            columns=["term", "df"],
+            filter=pads.field("term").isin(list(hot_salt)),
+        )
+        sums: dict[str, int] = {}
+        for t, d in zip(ht["term"].to_pylist(), ht["df"].to_pylist()):
+            sums[t] = sums.get(t, 0) + int(d)
+        hot_terms = {
+            t: {"df": sums.get(t, 0), "n_salt": n}
+            for t, n in hot_salt.items() if sums.get(t, 0) > 0
+        }
     metrics["docs_per_sec_total"] = round(
         num_docs / max(1e-9, metrics["phase_a_sec"] + metrics["phase_b_sec"]
                        + metrics["phase_c_sec"]), 1)
@@ -497,6 +525,7 @@ def build_index(
             key=lambda r: r["seg_id"],
         ),
         meta_cols=meta_cols,
+        termstats="segments",  # term dictionary lives in the segment files
         id_col="doc_id",
         lineage={"input": _lineage(files, config, analyzer), "files": len(files)},
         metrics=metrics,

@@ -223,10 +223,12 @@ class Index:
             # termstats is sorted by term -> row-group pruning via range
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
             expr = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+        seen: set[str] = set()  # salted terms appear once per slice
         out: list[str] = []
         for batch in ds.to_batches(columns=["term"], filter=expr):
             for t in batch["term"].to_pylist():
-                if rx.match(t):
+                if t not in seen and rx.match(t):
+                    seen.add(t)
                     out.append(t)
                     if len(out) >= self.cfg.max_wildcard_terms:
                         return out

@@ -29,11 +29,18 @@ def test_segments_exist_and_cover_terms(built_index, oracle):
 
 
 def test_termstats_df_match_oracle(built_index, oracle):
-    ts = pads.dataset(built_index.termstats_dir()).to_table()
-    df = dict(zip(ts["term"].to_pylist(), ts["df"].to_pylist()))
+    # term dictionary = segment files; salted terms sum across slices
+    ts = pads.dataset(built_index.termstats_dir()).to_table(
+        columns=["term", "df"])
+    df: dict = {}
+    for t, d in zip(ts["term"].to_pylist(), ts["df"].to_pylist()):
+        df[t] = df.get(t, 0) + d
     assert len(df) == len(oracle.postings)
     for t, p in oracle.postings.items():
         assert df[t] == len(p), t
+    # hot-term manifest df is exact
+    for t, h in built_index.hot_terms.items():
+        assert h["df"] == len(oracle.postings[t])
 
 
 def test_hot_terms_salted(built_index):
