@@ -65,6 +65,10 @@ class _BaseAnalyzer:
     #: a query layer can refuse to run against an incompatible index.
     version: str = "icat-1"
     name: str = "icat"
+    #: re2 pattern of separator runs for the vectorized batch kernel; the
+    #: complement class must be a superset of every char the token regex
+    #: can consume (so pre-splitting on it is lossless)
+    candidate_split: str = r"[^\p{L}\p{N}\p{M}_'’.,]+"
 
     def __init__(self) -> None:
         self._memo: dict[str, tuple[str, ...]] = {}
@@ -137,6 +141,7 @@ class SimpleAnalyzer(_BaseAnalyzer):
 
     version = "simple-1"
     name = "simple"
+    candidate_split = r"\s+"  # tokens are maximal non-space runs
 
     _SIMPLE_RE = re.compile(r"\S+")
 

@@ -54,7 +54,7 @@ from ray.data.aggregate import Max, Min, Sum
 
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.config import DEFAULT_CONFIG, EngineConfig
-from icat_lucene_ray.index.codec import encode_postings
+from icat_lucene_ray.index.codec import encode_postings_multi
 from icat_lucene_ray.index.docids import hash_ids_from_strings, term_shards_np
 from icat_lucene_ray.index.manifest import IndexManifest
 
@@ -64,49 +64,37 @@ from icat_lucene_ray.index.manifest import IndexManifest
 # ---------------------------------------------------------------------------
 
 class Tokenizer:
-    """Actor-pool stage: analyzer built once per actor (its stem memo is
-    the per-worker state, ≈ the reference's per-process analyzer
-    singletons, ``IcatSynonymAnalyzer.java:31-44``)."""
+    """Actor-pool stage: analyzer + vectorized kernel built once per
+    actor; the candidate→stems memo is the per-worker state (≈ the
+    reference's per-process analyzer singletons,
+    ``IcatSynonymAnalyzer.java:31-44``). Heavy splitting runs in Arrow's
+    re2 kernel; Python touches only unique candidates per batch."""
 
     def __init__(self, analyzer: str, text_col: str, id_col: str | None,
                  key_col: str, meta_cols: list[str]):
-        self.an = get_analyzer(analyzer)
+        from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
+
+        self.van = VectorizedAnalyzer(get_analyzer(analyzer))
         self.text_col = text_col
         self.id_col = id_col
         self.key_col = key_col
         self.meta_cols = meta_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        term_offsets = np.zeros(n + 1, dtype=np.int64)
-        flat_terms: list[str] = []
-        flat_tfs: list[int] = []
-        doc_lens = np.zeros(n, dtype=np.int32)
-        tf = self.an.term_freqs
-        for i, text in enumerate(texts):
-            c = tf(text if text is not None else "")
-            flat_terms.extend(c.keys())
-            flat_tfs.extend(c.values())
-            term_offsets[i + 1] = len(flat_terms)
-            doc_lens[i] = sum(c.values())
+        offsets, terms, tfs, doc_lens = self.van.term_freq_batch(
+            batch[self.text_col])
 
         if self.id_col is not None:
             doc_ids = batch[self.id_col].cast(pa.int64())
         else:
             doc_ids = pa.array(hash_ids_from_strings(batch[self.key_col]))
 
+        off32 = pa.array(offsets, type=pa.int32())
         cols: dict[str, Any] = {
             "doc_id": doc_ids,
             "doc_len": pa.array(doc_lens),
-            "terms": pa.ListArray.from_arrays(
-                pa.array(term_offsets, type=pa.int32()),
-                pa.array(flat_terms, type=pa.string()),
-            ),
-            "tfs": pa.ListArray.from_arrays(
-                pa.array(term_offsets, type=pa.int32()),
-                pa.array(flat_tfs, type=pa.int32()),
-            ),
+            "terms": pa.ListArray.from_arrays(off32, terms),
+            "tfs": pa.ListArray.from_arrays(off32, pa.array(tfs)),
         }
         for m in self.meta_cols:
             cols[m] = batch[m]
@@ -282,28 +270,22 @@ class SegmentWriter:
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(codes_s))
 
-        dictionary = term_enc.dictionary.to_pylist()
-        rows = {k: [] for k in ("term", "bucket", "df", "cf", "docs", "tfs",
-                                "dls", "block_last", "block_max")}
-        for s, e in zip(starts, ends):
-            enc = encode_postings(doc_s[s:e], tf_s[s:e], dl_s[s:e],
-                                  k1=self.k1, b=self.b, avgdl=self.avgdl,
-                                  block=self.block)
-            rows["term"].append(dictionary[codes_s[s]])
-            rows["bucket"].append(int(buckets_s[s]))
-            for k in ("df", "cf", "docs", "tfs", "dls", "block_last", "block_max"):
-                rows[k].append(enc[k])
-
+        # one vectorized pass over all terms' blocks (per-term Python cost
+        # is buffer slicing only)
+        enc = encode_postings_multi(
+            doc_s, tf_s, dl_s, starts, ends,
+            k1=self.k1, b=self.b, avgdl=self.avgdl, block=self.block)
+        dictionary = term_enc.dictionary
         seg = pa.table({
-            "term": pa.array(rows["term"], pa.string()),
-            "bucket": pa.array(rows["bucket"], pa.int32()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "cf": pa.array(rows["cf"], pa.int64()),
-            "docs": pa.array(rows["docs"], pa.binary()),
-            "tfs": pa.array(rows["tfs"], pa.binary()),
-            "dls": pa.array(rows["dls"], pa.binary()),
-            "block_last": pa.array(rows["block_last"], pa.binary()),
-            "block_max": pa.array(rows["block_max"], pa.binary()),
+            "term": dictionary.take(pa.array(codes_s[starts])),
+            "bucket": pa.array(buckets_s[starts].astype(np.int32)),
+            "df": pa.array(enc["df"], pa.int64()),
+            "cf": pa.array(enc["cf"], pa.int64()),
+            "docs": pa.array(enc["docs"], pa.binary()),
+            "tfs": pa.array(enc["tfs"], pa.binary()),
+            "dls": pa.array(enc["dls"], pa.binary()),
+            "block_last": pa.array(enc["block_last"], pa.binary()),
+            "block_max": pa.array(enc["block_max"], pa.binary()),
         }).sort_by([("term", "ascending"), ("bucket", "ascending")])
 
         path = os.path.join(self.out_dir, "segments", f"seg_{skey:05d}.parquet")

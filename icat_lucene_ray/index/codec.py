@@ -179,6 +179,122 @@ def encode_postings(
     }
 
 
+def _pack_all_blocks(padded: np.ndarray, nblocks: int, block: int):
+    """Bit-pack a (nblocks*block,) padded value array in one vectorized
+    pass; returns (widths uint8[nblocks], payload bytes, byte_lens)."""
+    v2d = padded.reshape(nblocks, block)
+    widths = _bit_widths(v2d.max(axis=1))
+    byte_lens = (widths.astype(np.int64) * block + 7) // 8
+    offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(byte_lens, out=offsets[1:])
+    payload = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        w = int(w)
+        idx = np.nonzero(widths == w)[0]
+        k = len(idx)
+        nbytes_in = (w + 7) // 8
+        b8 = np.ascontiguousarray(v2d[idx]).view(np.uint8).reshape(k, block, 8)
+        bits = np.unpackbits(
+            np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2,
+            bitorder="little")[:, :, :w]
+        packed = np.packbits(bits.reshape(k, block * w), axis=-1,
+                             bitorder="little")
+        blen = (block * w + 7) // 8
+        dest = offsets[idx][:, None] + np.arange(blen)
+        payload[dest] = packed
+    return widths, payload, byte_lens, offsets
+
+
+def encode_postings_multi(
+    doc_s: np.ndarray,
+    tf_s: np.ndarray,
+    dl_s: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    *,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block: int = 128,
+) -> dict:
+    """Encode MANY terms' postings at once (one segment's worth).
+
+    ``doc_s/tf_s/dl_s`` are the segment's postings sorted by
+    (term, doc); ``starts[i]:ends[i]`` delimits term i. All bit packing
+    runs in a single pass over the union of every term's blocks — per
+    term Python cost is just buffer slicing. Per-term streams are
+    byte-identical to :func:`encode_postings` output.
+
+    Returns dict of lists: docs, tfs, dls, block_last, block_max
+    (bytes per term) + df, cf (ints per term).
+    """
+    n_terms = len(starts)
+    lens = (ends - starts).astype(np.int64)
+    N = len(doc_s)
+    doc_s = np.ascontiguousarray(doc_s, dtype=np.int64)
+
+    # per-term delta chains, vectorized with resets at term starts
+    deltas = np.empty(N, dtype=np.uint64)
+    if N:
+        np.subtract(doc_s[1:], doc_s[:-1], out=deltas[1:], casting="unsafe")
+        deltas[starts] = doc_s[starts].astype(np.uint64)
+
+    nblocks_t = -(-lens // block)
+    blk_off = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nblocks_t, out=blk_off[1:])
+    total_blocks = int(blk_off[-1])
+
+    # scatter values into the padded (total_blocks * block) layout
+    within = np.arange(N, dtype=np.int64) - np.repeat(starts, lens)
+    gpos = np.repeat(blk_off[:-1] * block, lens) + within
+
+    def pack(vals: np.ndarray):
+        padded = np.zeros(total_blocks * block, dtype=np.uint64)
+        padded[gpos] = vals
+        return _pack_all_blocks(padded, total_blocks, block)
+
+    w_d, p_d, bl_d, off_d = pack(deltas)
+    w_t, p_t, bl_t, off_t = pack(tf_s.astype(np.uint64))
+    w_l, p_l, bl_l, off_l = pack(dl_s.astype(np.uint64))
+
+    # block metadata (real values only, no padding artifacts)
+    btid = np.repeat(np.arange(n_terms), nblocks_t)
+    b_local = np.arange(total_blocks) - blk_off[btid]
+    last_idx = starts[btid] + np.minimum((b_local + 1) * block, lens[btid]) - 1
+    block_last_all = doc_s[last_idx].astype(np.uint64)
+    tfn = tf_norm(tf_s, dl_s, k1, b, avgdl)
+    padded_tfn = np.zeros(total_blocks * block, dtype=np.float64)
+    padded_tfn[gpos] = tfn
+    block_max_all = padded_tfn.reshape(total_blocks, block).max(axis=1) \
+        .astype(np.float32)
+
+    # per-term byte ranges
+    cf_all = np.zeros(n_terms, dtype=np.int64)
+    np.add.at(cf_all, np.repeat(np.arange(n_terms), lens),
+              tf_s.astype(np.int64))
+
+    out = {"docs": [], "tfs": [], "dls": [], "block_last": [],
+           "block_max": [], "df": lens.tolist(), "cf": cf_all.tolist()}
+    w_d_b, w_t_b, w_l_b = w_d.tobytes(), w_t.tobytes(), w_l.tobytes()
+    p_d_b, p_t_b, p_l_b = p_d.tobytes(), p_t.tobytes(), p_l.tobytes()
+    bl_bytes = block_last_all.tobytes()
+    bm_bytes = block_max_all.tobytes()
+    for i in range(n_terms):
+        b0, b1 = int(blk_off[i]), int(blk_off[i + 1])
+        hdr = np.uint32(lens[i]).tobytes()
+        out["docs"].append(hdr + w_d_b[b0:b1]
+                           + p_d_b[int(off_d[b0]):int(off_d[b1])])
+        out["tfs"].append(hdr + w_t_b[b0:b1]
+                          + p_t_b[int(off_t[b0]):int(off_t[b1])])
+        out["dls"].append(hdr + w_l_b[b0:b1]
+                          + p_l_b[int(off_l[b0]):int(off_l[b1])])
+        out["block_last"].append(bl_bytes[b0 * 8:b1 * 8])
+        out["block_max"].append(bm_bytes[b0 * 4:b1 * 4])
+    return out
+
+
 def decode_postings(
     row: dict,
     block: int = 128,

@@ -70,3 +70,35 @@ def test_block_metadata():
         assert block_last[i] == ids[e - 1]
         true_max = tf_norm(tfs[s:e], dls[s:e], 1.2, 0.75, 250.0).max()
         assert abs(block_max[i] - true_max) < 1e-6
+
+
+def test_multi_encode_byte_identical():
+    """encode_postings_multi output per term == encode_postings output."""
+    from icat_lucene_ray.index.codec import encode_postings_multi
+
+    rng = np.random.default_rng(11)
+    # several terms with varied dfs incl. block-boundary sizes
+    dfs = [1, 5, 127, 128, 129, 300, 1000]
+    doc_parts, tf_parts, dl_parts, starts, ends = [], [], [], [], []
+    pos = 0
+    for df in dfs:
+        ids = np.sort(rng.choice(1 << 45, size=df, replace=False)).astype(np.int64)
+        doc_parts.append(ids)
+        tf_parts.append(rng.integers(1, 60, df))
+        dl_parts.append(rng.integers(20, 2000, df))
+        starts.append(pos)
+        ends.append(pos + df)
+        pos += df
+    doc_s = np.concatenate(doc_parts)
+    tf_s = np.concatenate(tf_parts)
+    dl_s = np.concatenate(dl_parts)
+    multi = encode_postings_multi(
+        doc_s, tf_s, dl_s, np.array(starts), np.array(ends),
+        k1=1.2, b=0.75, avgdl=250.0)
+    for i, df in enumerate(dfs):
+        single = encode_postings(doc_parts[i], tf_parts[i], dl_parts[i],
+                                 k1=1.2, b=0.75, avgdl=250.0)
+        for k in ("docs", "tfs", "dls", "block_last", "block_max"):
+            assert multi[k][i] == single[k], (k, df)
+        assert multi["df"][i] == single["df"]
+        assert multi["cf"][i] == single["cf"]
