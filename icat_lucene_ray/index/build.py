@@ -2,31 +2,51 @@
 
 Pipeline (SURVEY.md §7.2; north_rule):
 
-  Phase A  tokenize   ``read_parquet(pages)`` → ``map_batches(Tokenizer)``
-                      (zero-copy Arrow in, per-doc term-frequency vectors
-                      out) → ``write_parquet(analyzed/)``. The analyzed
-                      table doubles as the doc store (stored fields +
-                      doc_len ≈ Lucene StoredField + norms,
-                      ``Field.java:59-60,85-96``). Resumable per input
-                      shard via lineage markers (≈ the reference's
-                      lock(minId,maxId) population protocol,
-                      ``Lucene.java:1155-1212``).
-  Phase B  stats      one cheap numeric aggregate (N, Σdl, doc-id range)
-                      + a deterministic sample scan that estimates df for
-                      the Zipf head → hot-term set for salting. No term
-                      shuffle here: exact per-term df falls out of the
-                      Phase C shuffle for free (each (term, bucket) slice
-                      lands in exactly one segment), so the segment
-                      writers emit the term dictionary (termstats shards)
-                      as a side output and the driver sums the few hot
-                      slices for exact global hot-term df.
-  Phase C  postings   ``map_batches(RunEncoder)`` combiner emits one
-                      sorted posting *run* per (term[, doc-range bucket])
-                      per batch → the ONLY shuffle in the build,
-                      ``groupby(shard_key)`` → ``map_groups`` merges runs
-                      and writes one immutable bit-packed segment per
-                      shard key with block-max metadata + its termstats
-                      shard.
+  Phase A  tokenize+stats  ``read_parquet(pages)`` → ``map_batches(
+                    Tokenizer)`` actor pool (zero-copy Arrow in, per-doc
+                    term-frequency vectors out) → ``map_batches(
+                    AnalyzedWriter)`` task stage that writes the
+                    analyzed/doc-store parquet files itself and returns
+                    ONE tiny stats row per file (row count, Σdoc_len,
+                    doc-id range, head-term df candidates). The stats
+                    rows are the only thing the driver materializes, so
+                    global corpus stats cost no second scan — at 10^12
+                    docs that saves a multi-TB column-scan job. The
+                    analyzed table doubles as the doc store (stored
+                    fields + doc_len ≈ Lucene StoredField + norms,
+                    ``Field.java:59-60,85-96``). Resumable per input
+                    shard via lineage markers that also carry the folded
+                    stats (≈ the reference's lock(minId,maxId)
+                    population protocol, ``Lucene.java:1155-1212``).
+  Phase B  plan     driver-side arithmetic over the stats rows: N,
+                    avgdl, doc-id range, and the hot-term salt map
+                    (Zipf head detection from the per-file df
+                    candidates). No cluster work.
+  Phase C  postings explicit map-side-split exchange — the ONLY
+                    all-to-all in the build. One ``encode`` task per
+                    analyzed row-group range runs the ``RunEncoder``
+                    combiner (one sorted posting run per (term[,bucket])
+                    per batch) and splits its output into S per-segment
+                    pieces (``num_returns=S``); one ``write`` task per
+                    segment concatenates its pieces and writes one
+                    immutable bit-packed segment with block-max
+                    metadata. No sort-based shuffle: the segment writer
+                    re-sorts its own postings locally (lexsort), so a
+                    hash exchange is sufficient — measured ~2× faster
+                    than ``groupby(skey)`` (which must globally sort)
+                    and identical output byte-for-byte.
+
+Partitioning assumptions of the exchange (documented per the
+custom-operator rule):
+
+- ``S`` (num_segments) must be sized so one segment's posting runs fit
+  a worker's heap (runs ≈ 1.4× the analyzed-table bytes; pick
+  S ≥ runs_bytes / ~2 GB at scale).
+- encode-task count T is bounded (row-group grouping targets a few
+  hundred tasks) so the piece matrix T×S stays small; at extreme scale
+  add an intermediate combine level.
+- Pieces are compacted before return so object-store shipping is
+  proportional to the slice, not the parent table.
 
 Head-term skew (SURVEY.md §7.4): terms with global df >
 ``salt_df_threshold`` are split across ``n_salt`` doc-range buckets,
@@ -41,6 +61,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 from typing import Any
 
 import numpy as np
@@ -50,7 +71,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.config import DEFAULT_CONFIG, EngineConfig
@@ -101,36 +121,103 @@ class Tokenizer:
         return pa.table(cols)
 
 
-# ---------------------------------------------------------------------------
-# Phase B: hot-term estimation from a deterministic sample
-# ---------------------------------------------------------------------------
+class AnalyzedWriter:
+    """Task stage: writes one analyzed parquet file per batch (atomic
+    write-then-rename; the file name is a content hash of the doc-id
+    buffer so a retried task overwrites its own output, never
+    duplicates it) and returns a single stats row: row count, Σdoc_len,
+    doc-id range, and the batch's head-term df candidates (terms whose
+    in-batch df clears ``min_df`` — on Zipfian text the global head is
+    the head of every batch, so summing these per-file partials gives
+    the driver a reliable salt-map estimate with no term shuffle)."""
 
-def _sample_term_dfs(an_dir: str, max_rows: int = 65536) -> tuple[dict[str, int], int]:
-    """Exact df over a deterministic sample (the first analyzed file(s)).
+    STATS_SCHEMA = pa.schema([
+        ("path", pa.string()),
+        ("n_docs", pa.int64()),
+        ("sum_dl", pa.int64()),
+        ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
+        ("cand_terms", pa.list_(pa.string())),
+        ("cand_dfs", pa.list_(pa.int64())),
+    ])
 
-    Used only to *detect* the Zipf head for salting — over-marking a
-    term hot costs a few extra slices; under-marking costs one larger
-    reduce group — both benign, so a sample is the right tool. Exact
-    global df for scoring comes out of Phase C.
-    """
-    files = sorted(
-        os.path.join(r, f)
-        for r, _d, fs in os.walk(an_dir) for f in fs if f.endswith(".parquet")
-    )
-    counts: dict[str, int] = {}
-    rows = 0
-    for path in files:
-        t = pq.read_table(path, columns=["terms"])
-        flat = t["terms"].combine_chunks().flatten()
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        df = np.bincount(codes, minlength=len(enc.dictionary))
-        for term, d in zip(enc.dictionary.to_pylist(), df):
-            counts[term] = counts.get(term, 0) + int(d)
-        rows += t.num_rows
-        if rows >= max_rows:
-            break
-    return counts, rows
+    def __init__(self, shard_dir: str, max_candidates: int = 1024):
+        self.shard_dir = shard_dir
+        self.max_candidates = max_candidates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self.STATS_SCHEMA.empty_table()
+        doc_ids = batch["doc_id"].combine_chunks()
+        name = hashlib.blake2b(
+            b"".join(bytes(b) for b in doc_ids.buffers() if b is not None),
+            digest_size=8).hexdigest()
+        path = os.path.join(self.shard_dir, f"an_{name}.parquet")
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(batch, tmp, row_group_size=8192, compression="zstd")
+        os.replace(tmp, path)
+
+        # head-term candidates: per-batch df via dictionary codes
+        flat = batch["terms"].combine_chunks().flatten()
+        cand_t: list[str] = []
+        cand_d: list[int] = []
+        if len(flat):
+            enc = flat.dictionary_encode()
+            dfs = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                              minlength=len(enc.dictionary))
+            min_df = max(8, batch.num_rows // 50)
+            top = np.nonzero(dfs >= min_df)[0]
+            if len(top) > self.max_candidates:
+                top = top[np.argsort(dfs[top])[::-1][:self.max_candidates]]
+            cand_t = pc.take(enc.dictionary, pa.array(top)).to_pylist()
+            cand_d = dfs[top].tolist()
+
+        dl = batch["doc_len"].to_numpy(zero_copy_only=False)
+        ids = doc_ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "path": [path],
+            "n_docs": [batch.num_rows],
+            "sum_dl": [int(dl.sum())],
+            "min_doc": [int(ids.min())],
+            "max_doc": [int(ids.max())],
+            "cand_terms": [cand_t],
+            "cand_dfs": [cand_d],
+        }, schema=self.STATS_SCHEMA)
+
+
+#: per-worker-process AnalyzedWriter cache — the writer stage runs as
+#: Ray TASKS (stateless, no actor spawn cost); worker processes are
+#: reused, so construction happens once per worker per shard dir
+_WRITER_CACHE: dict[str, AnalyzedWriter] = {}
+
+
+def _write_analyzed_batch(batch: pa.Table, *, shard_dir: str) -> pa.Table:
+    w = _WRITER_CACHE.get(shard_dir)
+    if w is None:
+        w = _WRITER_CACHE[shard_dir] = AnalyzedWriter(shard_dir)
+    return w(batch)
+
+
+def _fold_stats(rows: list[dict]) -> dict:
+    """Fold AnalyzedWriter stats rows into one shard-level summary."""
+    out = {"n_docs": 0, "sum_dl": 0, "min_doc": None, "max_doc": None,
+           "cand": {}}
+    for r in rows:
+        if not r["n_docs"]:
+            continue
+        out["n_docs"] += int(r["n_docs"])
+        out["sum_dl"] += int(r["sum_dl"])
+        mn, mx = int(r["min_doc"]), int(r["max_doc"])
+        out["min_doc"] = mn if out["min_doc"] is None else min(out["min_doc"], mn)
+        out["max_doc"] = mx if out["max_doc"] is None else max(out["max_doc"], mx)
+        cand = out["cand"]
+        for t, d in zip(r["cand_terms"], r["cand_dfs"]):
+            cand[t] = cand.get(t, 0) + int(d)
+    # bound marker size: keep the largest candidates only
+    if len(out["cand"]) > 8192:
+        keep = sorted(out["cand"].items(), key=lambda kv: -kv[1])[:8192]
+        out["cand"] = dict(keep)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -236,10 +323,10 @@ class RunEncoder:
 
 
 class SegmentWriter:
-    """``map_groups`` stage: merge all runs of one shard key into an
-    immutable segment file (≈ ``ShardBucket`` dirs, ``Lucene.java:115-225``,
-    but write-once). Rows sorted by (term, bucket) for parquet row-group
-    pruning at query time."""
+    """Merges all runs of one shard key into an immutable segment file
+    (≈ ``ShardBucket`` dirs, ``Lucene.java:115-225``, but write-once).
+    Rows sorted by (term, bucket) for parquet row-group pruning at
+    query time."""
 
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int):
         self.out_dir = out_dir
@@ -298,6 +385,89 @@ class SegmentWriter:
             "n_postings": pa.array([int(np.sum(lengths))], pa.int64()),
             "bytes": pa.array([os.path.getsize(path)], pa.int64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Phase C exchange tasks (explicit hash shuffle, no sort)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _encode_split_task(units: list[tuple[str, int, int]], num_segments: int,
+                       hot_terms: dict[str, int], min_doc: int, max_doc: int,
+                       batch_rows: int):
+    """Read a list of (path, rg_start, rg_end) analyzed row-group ranges,
+    run the RunEncoder combiner, and return S per-segment pieces.
+    Pieces are compacted (combine_chunks) so object-store shipping is
+    proportional to each slice."""
+    enc = RunEncoder(num_segments=num_segments, hot_terms=hot_terms,
+                     min_doc=min_doc, max_doc=max_doc)
+    S = num_segments
+    parts: list[list[pa.Table]] = [[] for _ in range(S)]
+    cols = ["doc_id", "doc_len", "terms", "tfs"]
+    for path, rg0, rg1 in units:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=batch_rows, columns=cols,
+                                  row_groups=list(range(rg0, rg1))):
+            t = enc(pa.Table.from_batches([rb]))
+            if t.num_rows == 0:
+                continue
+            skey = t["skey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(skey, kind="stable")
+            ts = t.take(pa.array(order))
+            bounds = np.searchsorted(skey[order], np.arange(S + 1))
+            for s in range(S):
+                if bounds[s + 1] > bounds[s]:
+                    parts[s].append(
+                        ts.slice(bounds[s], bounds[s + 1] - bounds[s]))
+    out = []
+    for p in parts:
+        out.append(pa.concat_tables(p).combine_chunks() if p else None)
+    # num_returns=S: with S == 1 Ray treats the return as ONE object, so
+    # hand back the bare table rather than a 1-tuple
+    return out[0] if S == 1 else tuple(out)
+
+
+@ray.remote
+def _write_segment_task(out_dir: str, k1: float, b: float, avgdl: float,
+                        block: int, *pieces):
+    pieces = [p for p in pieces if p is not None and p.num_rows]
+    if not pieces:
+        return None
+    w = SegmentWriter(out_dir, k1, b, avgdl, block)
+    return w(pa.concat_tables(pieces)).to_pylist()[0]
+
+
+def _rowgroup_units(files: list[str], target_tasks: int
+                    ) -> list[list[tuple[str, int, int]]]:
+    """Split analyzed files into ~target_tasks groups of row-group
+    ranges (each group = one encode task)."""
+    units: list[tuple[str, int, int, int]] = []  # path, rg, rows
+    total_rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rows = md.row_group(rg).num_rows
+            units.append((f, rg, rg + 1, rows))
+            total_rows += rows
+    if not units:
+        return []
+    per_task = max(1, total_rows // max(1, target_tasks))
+    groups: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_rows = 0
+    for path, rg0, rg1, rows in units:
+        # merge contiguous row-groups of the same file into one unit
+        if cur and cur[-1][0] == path and cur[-1][2] == rg0:
+            cur[-1] = (path, cur[-1][1], rg1)
+        else:
+            cur.append((path, rg0, rg1))
+        cur_rows += rows
+        if cur_rows >= per_task:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 # ---------------------------------------------------------------------------
@@ -366,9 +536,11 @@ def build_index(
     metrics: dict[str, Any] = {}
 
     # actor-pool size: leave headroom for read/write stages (ray_guide:
-    # a pool reserving every CPU starves the other stages)
+    # a pool reserving every CPU starves the other stages; measured, a
+    # full-width pool also pays spawn cost that never amortizes on
+    # short jobs)
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = config.tokenize_concurrency or max(1, ncpu - 2)
+    pool = config.tokenize_concurrency or max(2, ncpu * 3 // 4)
 
     read_cols = [text_col] + meta_cols
     if id_col:
@@ -376,95 +548,114 @@ def build_index(
     elif key_col not in read_cols:
         read_cols.append(key_col)
 
-    # ---------------- Phase A: tokenize -> analyzed/ -------------------
-    t0 = time.perf_counter()
-    shards = [files[i::checkpoint_shards] for i in range(checkpoint_shards)]
-    shards = [s for s in shards if s]
-    skipped = 0
-    for si, shard_files in enumerate(shards):
-        shard_dir = os.path.join(an_dir, f"shard_{si:05d}")
-        marker = os.path.join(shard_dir, "_DONE.json")
-        lin = _lineage(shard_files, config, f"A:{analyzer}:{si}")
-        if resume and os.path.exists(marker):
-            with open(marker) as f:
-                if json.load(f).get("lineage") == lin:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_min_block = ctx.target_min_block_size
+    # analyzed blocks are ~1 MB at default settings -> hundreds of tiny
+    # tasks; 32 MB blocks keep per-task overhead amortized
+    ctx.target_min_block_size = 32 * 1024 * 1024
+
+    try:
+        # ------------- Phase A: tokenize + write + stats ---------------
+        t0 = time.perf_counter()
+        shards = [files[i::checkpoint_shards] for i in range(checkpoint_shards)]
+        shards = [s for s in shards if s]
+        skipped = 0
+        shard_stats: list[dict] = []
+        for si, shard_files in enumerate(shards):
+            shard_dir = os.path.join(an_dir, f"shard_{si:05d}")
+            marker = os.path.join(shard_dir, "_DONE.json")
+            lin = _lineage(shard_files, config, f"A:{analyzer}:{si}")
+            if resume and os.path.exists(marker):
+                with open(marker) as f:
+                    mk = json.load(f)
+                if mk.get("lineage") == lin and "stats" in mk:
                     skipped += 1
+                    shard_stats.append(mk["stats"])
                     continue
-        # stale or partial output: wipe before rewriting (the marker is
-        # written last, so a shard dir without a matching marker is junk)
-        if os.path.exists(shard_dir):
-            import shutil
+            # stale or partial output: wipe before rewriting (the marker is
+            # written last, so a shard dir without a matching marker is junk)
+            if os.path.exists(shard_dir):
+                import shutil
 
-            shutil.rmtree(shard_dir)
-        ds = ray.data.read_parquet(shard_files, columns=read_cols)
-        ds = ds.map_batches(
-            Tokenizer,
-            fn_constructor_kwargs=dict(
-                analyzer=analyzer, text_col=text_col, id_col=id_col,
-                key_col=key_col, meta_cols=meta_cols,
-            ),
-            batch_format="pyarrow",
-            batch_size=config.tokenize_batch_size,
-            concurrency=pool,
-        )
-        ds.write_parquet(shard_dir, min_rows_per_file=config.analyzed_rows_per_file)
-        with open(marker, "w") as f:
-            json.dump({"lineage": lin, "files": shard_files}, f)
-    metrics["phase_a_sec"] = round(time.perf_counter() - t0, 3)
-    metrics["phase_a_shards_skipped"] = skipped
+                shutil.rmtree(shard_dir)
+            os.makedirs(shard_dir, exist_ok=True)
+            ds = ray.data.read_parquet(shard_files, columns=read_cols)
+            ds = ds.map_batches(
+                Tokenizer,
+                fn_constructor_kwargs=dict(
+                    analyzer=analyzer, text_col=text_col, id_col=id_col,
+                    key_col=key_col, meta_cols=meta_cols,
+                ),
+                batch_format="pyarrow",
+                batch_size=config.tokenize_batch_size,
+                concurrency=pool,
+            )
+            stats_rows = ds.map_batches(
+                _write_analyzed_batch,
+                fn_kwargs=dict(shard_dir=shard_dir),
+                batch_format="pyarrow",
+                batch_size=config.analyzed_rows_per_file,
+            ).take_all()
+            st = _fold_stats(stats_rows)
+            shard_stats.append(st)
+            with open(marker, "w") as f:
+                json.dump({"lineage": lin, "files": shard_files, "stats": st}, f)
+        metrics["phase_a_sec"] = round(time.perf_counter() - t0, 3)
+        metrics["phase_a_shards_skipped"] = skipped
 
-    # ---------------- Phase B: global stats + hot-term sample ----------
-    t0 = time.perf_counter()
-    an_stats = ray.data.read_parquet(an_dir, columns=["doc_id", "doc_len"])
-    agg = an_stats.aggregate(Sum("doc_len", alias_name="total_len"),
-                             Min("doc_id", alias_name="min_doc"),
-                             Max("doc_id", alias_name="max_doc"))
-    num_docs = an_stats.count()
-    total_len = int(agg["total_len"] or 0)
-    min_doc = int(agg["min_doc"] or 0)
-    max_doc = int(agg["max_doc"] or 0)
-    avgdl = (total_len / num_docs) if num_docs else 1.0
+        # ------------- Phase B: fold stats, pick salt map (driver) -----
+        t0 = time.perf_counter()
+        num_docs = sum(s["n_docs"] for s in shard_stats)
+        total_len = sum(s["sum_dl"] for s in shard_stats)
+        mins = [s["min_doc"] for s in shard_stats if s["min_doc"] is not None]
+        maxs = [s["max_doc"] for s in shard_stats if s["max_doc"] is not None]
+        min_doc = min(mins) if mins else 0
+        max_doc = max(maxs) if maxs else 0
+        avgdl = (total_len / num_docs) if num_docs else 1.0
 
-    sample_dfs, sample_rows = _sample_term_dfs(an_dir)
-    scale = num_docs / max(1, sample_rows)
-    thresh = min(config.salt_df_threshold, config.target_slice_postings)
-    hot_salt: dict[str, int] = {}
-    for t, d in sample_dfs.items():
-        est = d * scale
-        # 0.5 safety margin: over-marking hot is benign (extra slices),
-        # under-marking leaves one oversized reduce group
-        if est > thresh * 0.5:
-            n_salt = min(S, max(1, -(-int(est) // config.target_slice_postings)))
-            if n_salt > 1:
-                hot_salt[t] = n_salt
-    metrics["phase_b_sec"] = round(time.perf_counter() - t0, 3)
+        cand: dict[str, int] = {}
+        for s in shard_stats:
+            for t, d in s["cand"].items():
+                cand[t] = cand.get(t, 0) + int(d)
+        thresh = min(config.salt_df_threshold, config.target_slice_postings)
+        hot_salt: dict[str, int] = {}
+        for t, est in cand.items():
+            # est is a (slight) underestimate of global df — candidates
+            # below a per-file cutoff are dropped — hence the 0.5 margin:
+            # over-marking hot is benign (extra slices), under-marking
+            # leaves one oversized reduce group
+            if est > thresh * 0.5:
+                n_salt = min(S, max(1, -(-int(est) // config.target_slice_postings)))
+                if n_salt > 1:
+                    hot_salt[t] = n_salt
+        metrics["phase_b_sec"] = round(time.perf_counter() - t0, 3)
 
-    # ---------------- Phase C: postings shuffle + segments -------------
-    t0 = time.perf_counter()
-    an_post = ray.data.read_parquet(
-        an_dir, columns=["doc_id", "doc_len", "terms", "tfs"])
-    runs = an_post.map_batches(
-        RunEncoder,
-        fn_constructor_kwargs=dict(
-            num_segments=S,
-            hot_terms=hot_salt,
-            min_doc=min_doc, max_doc=max_doc,
-        ),
-        batch_format="pyarrow",
-        batch_size=config.tokenize_batch_size,
-        concurrency=pool,
-    )
-    writer = SegmentWriter(out_dir, config.k1, config.b, avgdl, config.codec_block)
-
-    def write_segment(group: pa.Table) -> pa.Table:
-        return writer(group)
-
-    seg_stats = (
-        runs.groupby("skey")
-        .map_groups(write_segment, batch_format="pyarrow")
-        .take_all()
-    )
-    metrics["phase_c_sec"] = round(time.perf_counter() - t0, 3)
+        # ------------- Phase C: explicit exchange -> segments ----------
+        t0 = time.perf_counter()
+        an_files = [f for f in _input_files(an_dir)
+                    if os.path.basename(f).startswith("an_")]
+        groups = _rowgroup_units(an_files, target_tasks=ncpu * 3)
+        metrics["phase_c_encode_tasks"] = len(groups)
+        opts = {"num_returns": S} if S > 1 else {}
+        enc_refs = [
+            _encode_split_task.options(**opts).remote(
+                g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size)
+            for g in groups
+        ]
+        if S == 1:
+            enc_refs = [[r] for r in enc_refs]
+        write_refs = [
+            _write_segment_task.remote(
+                out_dir, config.k1, config.b, avgdl, config.codec_block,
+                *[r[s] for r in enc_refs])
+            for s in range(S)
+        ]
+        seg_stats = [r for r in ray.get(write_refs) if r is not None]
+        metrics["phase_c_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        ctx.target_min_block_size = prev_min_block
 
     # exact global df for hot terms: sum their (term, bucket) slices from
     # the segment term dictionaries (the few hot rows only)
