@@ -96,25 +96,44 @@ _LANG_MARKERS: dict[str, frozenset[str]] = {
 
 class LangId:
     """Actor-pool language-ID stage: marker tables built once per actor.
-    Deterministic n-gram/stopword-overlap heuristic; emits 'und' when no
-    language scores above ``min_hits`` markers."""
+    Deterministic stopword-overlap heuristic; emits 'und' when no
+    language scores above ``min_hits`` markers. Vectorized: Arrow re2
+    word split + is_in membership over the flat token stream, per-doc
+    per-language hit counts via one bincount each."""
 
     def __init__(self, col: str = "text", out: str = "lang_pred",
                  min_hits: int = 2):
         self.col, self.out, self.min_hits = col, out, min_hits
-        self.word_re = re.compile(r"[a-zäöüßéèêàçñ]+")
-
-    def _predict(self, text: str) -> str:
-        toks = self.word_re.findall((text or "").lower()[:2000])
-        best, best_hits = "und", self.min_hits - 1
-        for lang, markers in _LANG_MARKERS.items():
-            hits = sum(1 for t in toks if t in markers)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        self.langs = list(_LANG_MARKERS)
+        self.marker_arrays = {
+            lang: pa.array(sorted(m)) for lang, m in _LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._predict(t) for t in batch[self.col].to_pylist()]
+        texts = batch[self.col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        lower = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.coalesce(texts, ""), 0, 2000))
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-zäöüßéèêàçñ]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        if len(flat):
+            for li, lang in enumerate(self.langs):
+                m = pc.is_in(flat, value_set=self.marker_arrays[lang]) \
+                    .to_numpy(zero_copy_only=False)
+                hits[li] = np.bincount(doc_rep, weights=m, minlength=n)
+        # winner = first language (declaration order) with the strictly
+        # highest count above the threshold — same tie discipline as the
+        # scalar reference loop
+        best = hits.argmax(axis=0)
+        ok = hits.max(axis=0) >= self.min_hits
+        lang_arr = np.array(self.langs + ["und"])
+        preds = lang_arr[np.where(ok, best, len(self.langs))]
         return batch.append_column(self.out, pa.array(preds, pa.string()))
 
 
@@ -166,11 +185,30 @@ class WinnowFingerprint:
         self.window, self.stride = window, stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = []
-        for t in batch[self.col].to_pylist():
-            hs = rolling_hashes((t or "").split(), self.window)
-            mins = [int(hs[i:i + self.stride].min()) & 0x7FFF_FFFF_FFFF_FFFF
-                    for i in range(0, len(hs), self.stride)]
-            res.append(mins)
-        return batch.append_column(
-            self.out, pa.array(res, pa.list_(pa.int64())))
+        from icat_lucene_ray.ops.dedup import (_TokenHasher, _shingle_hash_batch,
+                                               _tokenize_flat)
+
+        if not hasattr(self, "_hasher"):
+            self._hasher = _TokenHasher()
+        offs, th = _tokenize_flat(batch[self.col], self._hasher)
+        sh_off, hs = _shingle_hash_batch(offs, th, self.window)
+        # strided per-doc min: one global reduceat over the concatenated
+        # stride-start positions of every doc
+        n = len(sh_off) - 1
+        m = np.diff(sh_off)
+        n_chunks = -(-m // self.stride)
+        starts_parts = [
+            sh_off[d] + np.arange(0, m[d], self.stride, dtype=np.int64)
+            for d in range(n)
+        ]
+        if hs.size:
+            starts = np.concatenate(starts_parts)
+            mins = (np.minimum.reduceat(hs, starts)
+                    & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        else:
+            mins = np.empty(0, dtype=np.int64)
+        chunk_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(n_chunks, out=chunk_off[1:])
+        lists = pa.ListArray.from_arrays(pa.array(chunk_off, pa.int32()),
+                                         pa.array(mins))
+        return batch.append_column(self.out, lists)
