@@ -74,6 +74,33 @@ def cmd_search(args):
     }, default=str))
 
 
+def cmd_modify(args):
+    """Apply a JSON op array (the reference's POST /modify payload,
+    Lucene.java:481-513) and commit."""
+    from icat_lucene_ray.index.modify import IndexUpdater
+
+    _init_ray(args.num_cpus)
+    if args.ops == "-":
+        ops = json.load(sys.stdin)
+    else:
+        with open(args.ops) as f:
+            ops = json.load(f)
+    up = IndexUpdater(args.index)
+    up.modify(ops)
+    m = up.commit()
+    print(json.dumps({"generation": m.generation, "num_docs": m.num_docs,
+                      "avgdl": round(m.avgdl, 2)}))
+
+
+def cmd_merge(args):
+    from icat_lucene_ray.index.modify import force_merge
+
+    _init_ray(args.num_cpus)
+    m = force_merge(args.index, args.out)
+    print(json.dumps({"num_docs": m.num_docs, "segments": len(m.segments),
+                      "avgdl": round(m.avgdl, 2)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="icat_lucene_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,6 +127,18 @@ def main(argv=None):
     s.add_argument("--actors", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    mo = sub.add_parser("modify", help="apply create/update/delete ops + commit")
+    mo.add_argument("--index", required=True)
+    mo.add_argument("--ops", required=True, help="JSON op-array file, or - for stdin")
+    mo.add_argument("--num-cpus", type=int, default=None)
+    mo.set_defaults(fn=cmd_modify)
+
+    mg = sub.add_parser("merge", help="fold deltas+tombstones into a clean index")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     args.fn(args)

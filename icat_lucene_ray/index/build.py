@@ -285,10 +285,15 @@ class RunEncoder:
         hot_mask = n_salt[codes] > 1
         if hot_mask.any():
             # bucket = rel // ceil(span/n_salt): overflow-free division
-            # (rel can be ~2^63; multiplying first would overflow uint64)
+            # (rel can be ~2^63; multiplying first would overflow uint64).
+            # Clamped to [0, n_salt): docs outside the planned id range
+            # (delta commits add ids the original span never saw) land in
+            # the boundary buckets, which stay contiguous doc ranges.
             widths = (self.span + n_salt - 1) // n_salt
             rel = doc_rep[hot_mask] - self.min_doc
-            buckets[hot_mask] = rel // widths[codes[hot_mask]]
+            hot_codes = codes[hot_mask]
+            buckets[hot_mask] = np.clip(
+                rel // widths[hot_codes], 0, n_salt[hot_codes] - 1)
 
         order = np.lexsort((doc_rep, buckets, codes))
         codes_s, buckets_s = codes[order], buckets[order]
@@ -328,9 +333,11 @@ class SegmentWriter:
     Rows sorted by (term, bucket) for parquet row-group pruning at
     query time."""
 
-    def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int):
+    def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int,
+                 name_prefix: str = "seg"):
         self.out_dir = out_dir
         self.k1, self.b, self.avgdl, self.block = k1, b, avgdl, block
+        self.name_prefix = name_prefix
 
     def __call__(self, group: pa.Table) -> pa.Table:
         skey = int(group["skey"][0].as_py())
@@ -375,7 +382,8 @@ class SegmentWriter:
             "block_max": pa.array(enc["block_max"], pa.binary()),
         }).sort_by([("term", "ascending"), ("bucket", "ascending")])
 
-        path = os.path.join(self.out_dir, "segments", f"seg_{skey:05d}.parquet")
+        path = os.path.join(self.out_dir, "segments",
+                            f"{self.name_prefix}_{skey:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(seg, tmp, row_group_size=2048, compression="zstd")
         os.replace(tmp, path)  # atomic, idempotent on retry

@@ -40,6 +40,13 @@ class IndexManifest:
     id_col: str = "doc_id"
     lineage: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
+    #: commit generation (0 = initial bulk build); bumped by every
+    #: IndexUpdater.commit ≈ a Lucene commit point (Lucene.java:571-587)
+    generation: int = 0
+    #: committed delta generations, oldest first; each entry:
+    #: {"gen", "doc_dir", "seg_prefix", "segments": [...],
+    #:  "tombstones": path|None, "n_created", "n_deleted"}
+    deltas: list[dict] = field(default_factory=list)
     format_version: int = FORMAT_VERSION
 
     # ------------------------------------------------------------------
@@ -72,3 +79,7 @@ class IndexManifest:
 
     def segment_path(self, seg_id: int) -> str:
         return os.path.join(self.root, "segments", f"seg_{seg_id:05d}.parquet")
+
+    def delta_segment_path(self, gen: int, seg_id: int) -> str:
+        return os.path.join(self.root, "segments",
+                            f"delta_{gen:05d}_{seg_id:05d}.parquet")

@@ -1,0 +1,389 @@
+"""Incremental index modification — the reference's write path.
+
+Reimplements ``POST /modify`` (``Lucene.java:481-513``): a batch of
+``create`` / ``update`` / ``delete`` operations buffers in the updater
+and becomes durable AND visible only at :meth:`IndexUpdater.commit`
+(≈ the commit/refresh cycle, ``Lucene.java:571-587,163-171`` — SURVEY.md
+§2.9 "commit happens-before search visibility").
+
+Mechanics (LSM-style, because our segments are immutable):
+
+- ``delete`` / the old version of an ``update`` become **tombstones** —
+  a parquet file of doc_ids per generation. A tombstone written at
+  generation g masks postings and doc-store rows of every generation
+  < g, so a doc updated at g2 after g1 resolves to the g2 version.
+- ``create`` / the new version of an ``update`` become a **delta
+  generation**: one analyzed doc-store file + delta segment files
+  (same codec, same term→segment routing and hot-term salt map as the
+  base build, so the query side unions slices with ordered concat).
+- ``commit()`` writes all delta files first, then atomically replaces
+  ``manifest.json`` (the commit point). A crash mid-commit leaves
+  orphan files that no manifest references — harmless.
+
+Stat semantics (documented divergence): ``num_docs`` / ``avgdl`` are
+updated **exactly** at each commit, while per-term ``df`` still counts
+tombstoned docs until :func:`force_merge` rewrites the segments —
+the same staleness Lucene exhibits between deletes and merges.
+
+``delete_by_query`` ≈ D2 (``Lucene.java:301-317``); ``force_merge``
+≈ Lucene's segment merge: per-segment Ray tasks decode base + delta
+postings, drop tombstoned docs, and re-encode a clean generation-0
+index into a new directory.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from icat_lucene_ray.analysis import get_analyzer
+from icat_lucene_ray.config import EngineConfig
+from icat_lucene_ray.index.build import RunEncoder, SegmentWriter
+from icat_lucene_ray.index.codec import decode_u64_blocks, encode_postings_multi
+from icat_lucene_ray.index.docids import hash_ids_from_strings
+from icat_lucene_ray.index.manifest import IndexManifest
+
+
+class IndexUpdater:
+    """Buffered create/update/delete over an existing index directory.
+
+    Documents are plain dicts with the index's text column plus any
+    ``meta_cols``; the id comes from the manifest's ``id_col`` if
+    present in the doc, else it is hashed from the key column (same
+    rule as the bulk build). Nothing is visible until :meth:`commit`.
+    """
+
+    def __init__(self, root: str, text_col: str = "text"):
+        self.root = root
+        self.m = IndexManifest.load(root)
+        self.cfg = EngineConfig.from_dict(self.m.config)
+        self.text_col = text_col
+        self._creates: list[dict] = []
+        self._deletes: list[int] = []
+
+    # ---------------- op surface (S1 modify, Lucene.java:484-513) ------
+    def create(self, doc: dict) -> None:
+        self._creates.append(dict(doc))
+
+    def update(self, doc: dict) -> None:
+        """Delete-then-add by id ≈ updateDocument (Lucene.java:327-330)."""
+        d = dict(doc)
+        self._deletes.append(self._doc_id_of(d))
+        self._creates.append(d)
+
+    def delete(self, doc_id: int) -> None:
+        self._deletes.append(int(doc_id))
+
+    def modify(self, ops: list[dict]) -> None:
+        """Reference op-array shape: [{"create": doc} | {"update": doc}
+        | {"delete": id}, ...]."""
+        for op in ops:
+            if "create" in op:
+                self.create(op["create"])
+            elif "update" in op:
+                self.update(op["update"])
+            elif "delete" in op:
+                self.delete(op["delete"])
+            else:
+                raise ValueError(f"unknown op {sorted(op)}")
+
+    def delete_by_query(self, q) -> int:
+        """D2: evaluate a query against the CURRENT committed state and
+        tombstone every hit (Lucene.java:301-317). Returns hit count."""
+        from icat_lucene_ray.query.engine import Index
+
+        docs, _ = Index(self.root)._eval(q)
+        self._deletes.extend(int(d) for d in docs)
+        return len(docs)
+
+    # ---------------- commit (ST4) -------------------------------------
+    def _doc_id_of(self, doc: dict) -> int:
+        idc = self.m.id_col
+        if idc in doc and doc[idc] is not None:
+            return int(doc[idc])
+        key_col = next((c for c in ("url", *self.m.meta_cols)
+                        if c in doc), None)
+        if key_col is None:
+            raise ValueError(f"doc needs {idc!r} or a key column")
+        return int(hash_ids_from_strings([doc[key_col]])[0])
+
+    def _analyze_creates(self) -> pa.Table:
+        from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
+
+        van = VectorizedAnalyzer(get_analyzer(self.m.analyzer))
+        texts = pa.array([d.get(self.text_col) or "" for d in self._creates])
+        offsets, terms, tfs, doc_lens = van.term_freq_batch(texts)
+        ids = pa.array([self._doc_id_of(d) for d in self._creates], pa.int64())
+        off32 = pa.array(offsets, type=pa.int32())
+        cols: dict[str, Any] = {
+            "doc_id": ids,
+            "doc_len": pa.array(doc_lens),
+            "terms": pa.ListArray.from_arrays(off32, terms),
+            "tfs": pa.ListArray.from_arrays(off32, pa.array(tfs)),
+        }
+        for c in self.m.meta_cols:
+            cols[c] = pa.array([d.get(c) for d in self._creates])
+        return pa.table(cols)
+
+    def commit(self) -> IndexManifest:
+        """Make buffered ops durable and visible (new manifest
+        generation). No-op if nothing is buffered."""
+        if not self._creates and not self._deletes:
+            return self.m
+        m = self.m
+        gen = m.generation + 1
+        entry: dict[str, Any] = {"gen": gen, "doc_dir": None,
+                                 "seg_prefix": f"delta_{gen:05d}",
+                                 "segments": [], "tombstones": None,
+                                 "n_created": len(self._creates),
+                                 "n_deleted": 0}
+
+        # -------- tombstones (dedup, keep order-independent) ----------
+        tomb = np.unique(np.asarray(self._deletes, dtype=np.int64))
+        # liveness + doc_len of the tombstoned docs, for exact stats:
+        # one pruned (doc_id, doc_len) scan of the committed doc store
+        removed_tokens = 0
+        n_removed = 0
+        if len(tomb):
+            from icat_lucene_ray.query.engine import Index
+
+            idx = Index(self.root)
+            t = idx._doc_store_table(columns=["doc_id", "doc_len"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dls = t["doc_len"].to_numpy(zero_copy_only=False)
+            hit = np.isin(ids, tomb)
+            n_removed = int(hit.sum())
+            removed_tokens = int(dls[hit].sum())
+            os.makedirs(os.path.join(self.root, "deletes"), exist_ok=True)
+            tpath = os.path.join(self.root, "deletes",
+                                 f"gen_{gen:05d}.parquet")
+            tmp = f"{tpath}.tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(pa.table({"doc_id": pa.array(tomb, pa.int64())}),
+                           tmp)
+            os.replace(tmp, tpath)
+            entry["tombstones"] = os.path.relpath(tpath, self.root)
+            entry["n_deleted"] = n_removed
+
+        # -------- delta doc store + delta segments --------------------
+        added_tokens = 0
+        if self._creates:
+            an = self._analyze_creates()
+            added_tokens = int(np.sum(
+                an["doc_len"].to_numpy(zero_copy_only=False)))
+            doc_dir = os.path.join(m.doc_table_dir(), f"delta_{gen:05d}")
+            os.makedirs(doc_dir, exist_ok=True)
+            fpath = os.path.join(doc_dir, f"an_{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(an, fpath, row_group_size=8192, compression="zstd")
+            entry["doc_dir"] = os.path.relpath(doc_dir, self.root)
+
+            hot_salt = {t: v["n_salt"] for t, v in m.hot_terms.items()}
+            enc = RunEncoder(num_segments=m.num_segments, hot_terms=hot_salt,
+                             min_doc=m.min_doc, max_doc=m.max_doc)
+            runs = enc(an)
+            writer = SegmentWriter(
+                self.root, self.cfg.k1, self.cfg.b,
+                self._new_avgdl(added_tokens, removed_tokens, n_removed),
+                self.cfg.codec_block, name_prefix=entry["seg_prefix"])
+            skeys = runs["skey"].to_numpy(zero_copy_only=False)
+            for s in np.unique(skeys):
+                grp = runs.filter(pa.array(skeys == s))
+                stats = writer(grp).to_pylist()[0]
+                entry["segments"].append({k: int(stats[k]) for k in
+                                          ("seg_id", "n_terms",
+                                           "n_postings", "bytes")})
+            # exact hot-term df bump from the delta slices
+            if m.hot_terms:
+                t_terms = runs["term"].to_pylist()
+                t_docs = runs["docs"]
+                for i, tname in enumerate(t_terms):
+                    if tname in m.hot_terms:
+                        m.hot_terms[tname]["df"] += len(t_docs[i])
+
+        # -------- stats + manifest (the atomic commit point) ----------
+        m.num_docs = m.num_docs - n_removed + len(self._creates)
+        m.total_tokens = m.total_tokens - removed_tokens + added_tokens
+        m.avgdl = (m.total_tokens / m.num_docs) if m.num_docs else 1.0
+        m.generation = gen
+        m.deltas.append(entry)
+        m.save()
+        self._creates, self._deletes = [], []
+        return m
+
+    def _new_avgdl(self, added: int, removed: int, n_removed: int) -> float:
+        n = self.m.num_docs - n_removed + len(self._creates)
+        tok = self.m.total_tokens - removed + added
+        return (tok / n) if n else 1.0
+
+
+# ---------------------------------------------------------------------------
+# force_merge — fold deltas + tombstones into a clean gen-0 index
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
+                        seg_id: int, tomb: list[tuple[int, np.ndarray]],
+                        k1: float, b: float,
+                        avgdl: float, block: int) -> dict | None:
+    """Decode every (term,bucket) slice of one shard key across base +
+    delta segment files, drop tombstoned docs, re-encode one clean
+    segment (the per-segment merge actor of SURVEY.md §7.2 step 6).
+
+    ``seg_paths`` carries (path, source_generation); a tombstone of
+    generation g masks only postings from sources with generation < g —
+    that is what resolves an update (tombstone at g + re-add at g) to
+    the new version without dropping it."""
+    rows: dict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    for path, src_gen in seg_paths:
+        mask_parts = [ids for g, ids in tomb if g > src_gen]
+        mask = (np.unique(np.concatenate(mask_parts))
+                if mask_parts else np.empty(0, np.int64))
+        t = pq.read_table(path)
+        for i in range(t.num_rows):
+            key = (t["term"][i].as_py(), int(t["bucket"][i].as_py()))
+            docs = np.cumsum(decode_u64_blocks(
+                t["docs"][i].as_py(), block).astype(np.int64))
+            tfs = decode_u64_blocks(t["tfs"][i].as_py(), block).astype(np.int64)
+            dls = decode_u64_blocks(t["dls"][i].as_py(), block).astype(np.int64)
+            if len(mask):
+                keep = ~np.isin(docs, mask)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if len(docs):
+                rows.setdefault(key, []).append((docs, tfs, dls))
+    if not rows:
+        return None
+    keys = sorted(rows)
+    doc_parts, tf_parts, dl_parts, starts, ends = [], [], [], [], []
+    pos = 0
+    for key in keys:
+        parts = rows[key]
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dl = np.concatenate([p[2] for p in parts])
+        order = np.argsort(d, kind="stable")
+        doc_parts.append(d[order])
+        tf_parts.append(tf[order])
+        dl_parts.append(dl[order])
+        starts.append(pos)
+        ends.append(pos + len(d))
+        pos += len(d)
+    enc = encode_postings_multi(
+        np.concatenate(doc_parts), np.concatenate(tf_parts),
+        np.concatenate(dl_parts), np.asarray(starts), np.asarray(ends),
+        k1=k1, b=b, avgdl=avgdl, block=block)
+    seg = pa.table({
+        "term": pa.array([k[0] for k in keys], pa.string()),
+        "bucket": pa.array([k[1] for k in keys], pa.int32()),
+        "df": pa.array(enc["df"], pa.int64()),
+        "cf": pa.array(enc["cf"], pa.int64()),
+        "docs": pa.array(enc["docs"], pa.binary()),
+        "tfs": pa.array(enc["tfs"], pa.binary()),
+        "dls": pa.array(enc["dls"], pa.binary()),
+        "block_last": pa.array(enc["block_last"], pa.binary()),
+        "block_max": pa.array(enc["block_max"], pa.binary()),
+    }).sort_by([("term", "ascending"), ("bucket", "ascending")])
+    path = os.path.join(out_dir, "segments", f"seg_{seg_id:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(seg, tmp, row_group_size=2048, compression="zstd")
+    os.replace(tmp, path)
+    n_post = int(np.sum([e - s for s, e in zip(starts, ends)]))
+    return {"seg_id": seg_id, "n_terms": seg.num_rows,
+            "n_postings": n_post, "bytes": os.path.getsize(path)}
+
+
+def force_merge(root: str, out_root: str) -> IndexManifest:
+    """Rewrite base + delta segments into a clean generation-0 index at
+    ``out_root`` (tombstones applied, df exact again). Doc store rows
+    are re-filtered per source generation. Parallel: one Ray task per
+    shard key."""
+    from icat_lucene_ray.query.engine import Index
+
+    idx = Index(root)
+    m = idx.manifest
+    os.makedirs(os.path.join(out_root, "segments"), exist_ok=True)
+
+    # (path, source_gen) per shard key
+    seg_files: dict[int, list[tuple[str, int]]] = {}
+    for s in m.segments:
+        seg_files.setdefault(s["seg_id"], []).append(
+            (m.segment_path(s["seg_id"]), 0))
+    for d in m.deltas:
+        for s in d["segments"]:
+            seg_files.setdefault(s["seg_id"], []).append(
+                (m.delta_segment_path(d["gen"], s["seg_id"]), d["gen"]))
+    live_tbl = idx._doc_store_table(columns=["doc_id", "doc_len"])
+    live_ids = np.sort(live_tbl["doc_id"].to_numpy(zero_copy_only=False))
+    num_docs = len(live_ids)
+    total_tokens = int(live_tbl["doc_len"].to_numpy(zero_copy_only=False).sum())
+    avgdl = (total_tokens / num_docs) if num_docs else 1.0
+
+    refs = []
+    for seg_id, paths in sorted(seg_files.items()):
+        refs.append(_merge_segment_task.remote(
+            paths, out_root, seg_id, idx._tomb, idx.cfg.k1, idx.cfg.b,
+            avgdl, idx.cfg.codec_block))
+    seg_stats = [r for r in ray.get(refs) if r is not None]
+
+    # doc store: live rows only, one file per source file
+    an_out = os.path.join(out_root, "analyzed", "shard_00000")
+    os.makedirs(an_out, exist_ok=True)
+
+    for gen, src in idx._doc_sources:
+        mask_ids = idx._tombstones_after(gen)
+        for frag in src.get_fragments():
+            t = frag.to_table()
+            keep = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False),
+                            mask_ids) if len(mask_ids) else \
+                np.ones(t.num_rows, bool)
+            t = t.filter(pa.array(keep))
+            if t.num_rows:
+                pq.write_table(
+                    t, os.path.join(an_out,
+                                    f"an_{uuid.uuid4().hex[:12]}.parquet"),
+                    row_group_size=8192, compression="zstd")
+
+    # exact hot-term dfs from the merged segments (tombstones are gone,
+    # so the pre-merge manifest values are stale)
+    hot_terms: dict[str, dict] = {}
+    if m.hot_terms:
+        seg_ds = pads.dataset(os.path.join(out_root, "segments"))
+        ht = seg_ds.to_table(
+            columns=["term", "df"],
+            filter=pads.field("term").isin(list(m.hot_terms)))
+        sums: dict[str, int] = {}
+        for t, dfv in zip(ht["term"].to_pylist(), ht["df"].to_pylist()):
+            sums[t] = sums.get(t, 0) + int(dfv)
+        hot_terms = {t: {"df": sums.get(t, 0), "n_salt": v["n_salt"]}
+                     for t, v in m.hot_terms.items() if sums.get(t, 0) > 0}
+
+    out = IndexManifest(
+        root=out_root,
+        analyzer=m.analyzer,
+        analyzer_version=m.analyzer_version,
+        config=m.config,
+        num_docs=num_docs,
+        avgdl=avgdl,
+        total_tokens=total_tokens,
+        # keep the ORIGINAL doc-id span: hot-term bucket boundaries in the
+        # merged postings were computed against it, and future commits
+        # must keep bucketing consistently
+        min_doc=m.min_doc,
+        max_doc=m.max_doc,
+        num_segments=m.num_segments,
+        hot_terms=hot_terms,
+        segments=sorted(seg_stats, key=lambda r: r["seg_id"]),
+        meta_cols=m.meta_cols,
+        termstats="segments",
+        id_col=m.id_col,
+        lineage={"merged_from": root, "generation": m.generation},
+        metrics={},
+    )
+    out.save()
+    return out

@@ -79,6 +79,8 @@ class Index:
 
     def __init__(self, root: str, *, use_actors: bool = False,
                  num_actors: int | None = None):
+        import os
+
         self.manifest = IndexManifest.load(root)
         self.cfg = EngineConfig.from_dict(self.manifest.config)
         self.analyzer = get_analyzer(self.manifest.analyzer)
@@ -87,12 +89,82 @@ class Index:
         m = self.manifest
         self._paths = {s["seg_id"]: m.segment_path(s["seg_id"]) for s in m.segments}
         self._readers = SegmentGroupReader(self._paths, self.cfg.codec_block)
-        self._doc_ds = pads.dataset(m.doc_table_dir())
+
+        # generations (commit points): base = gen 0; each committed delta
+        # adds segment slices + optional tombstones. A tombstone of gen g
+        # masks every SOURCE older than g (SURVEY.md §2.9 visibility).
+        self._gen_readers: list[tuple[int, SegmentGroupReader]] = [
+            (0, self._readers)]
+        self._tomb: list[tuple[int, np.ndarray]] = []
+        doc_root = m.doc_table_dir()
+        base_files = sorted(
+            os.path.join(r, f)
+            for top in os.listdir(doc_root)
+            if not top.startswith("delta_")
+            for r, _d, fs in os.walk(os.path.join(doc_root, top))
+            for f in fs if f.endswith(".parquet")
+        ) if os.path.isdir(doc_root) else []
+        self._doc_sources: list[tuple[int, pads.Dataset]] = [
+            (0, pads.dataset(base_files))]
+        for d in m.deltas:
+            if d.get("tombstones"):
+                import pyarrow.parquet as _pq
+
+                ids = _pq.read_table(
+                    os.path.join(root, d["tombstones"]))["doc_id"] \
+                    .to_numpy(zero_copy_only=False)
+                self._tomb.append((d["gen"], np.sort(ids)))
+            if d["segments"]:
+                paths = {s["seg_id"]: m.delta_segment_path(d["gen"], s["seg_id"])
+                         for s in d["segments"]}
+                self._gen_readers.append(
+                    (d["gen"], SegmentGroupReader(paths, self.cfg.codec_block)))
+            if d.get("doc_dir"):
+                self._doc_sources.append(
+                    (d["gen"], pads.dataset(os.path.join(root, d["doc_dir"]))))
+        self._tomb_after: dict[int, np.ndarray] = {}
+
+        self._doc_ds = self._doc_sources[0][1]  # base source (schema access)
         self._all_docs: np.ndarray | None = None
         self._df_cache: dict[str, int] = {}
         self._actors = None
         if use_actors:
             self._init_actors(num_actors)
+
+    # ---------------- generations / tombstones ------------------------
+    def _tombstones_after(self, gen: int) -> np.ndarray:
+        """Sorted ids tombstoned by any generation > ``gen``."""
+        got = self._tomb_after.get(gen)
+        if got is None:
+            parts = [ids for g, ids in self._tomb if g > gen]
+            got = (np.unique(np.concatenate(parts)) if parts
+                   else np.empty(0, np.int64))
+            self._tomb_after[gen] = got
+        return got
+
+    def _live_mask(self, gen: int, ids: np.ndarray) -> np.ndarray | None:
+        """Boolean keep-mask for rows of source generation ``gen``
+        (None = all live)."""
+        dead = self._tombstones_after(gen)
+        if not len(dead) or not len(ids):
+            return None
+        keep = ~np.isin(ids, dead)
+        return None if keep.all() else keep
+
+    def _doc_store_table(self, columns: list[str],
+                         filter=None) -> pa.Table:
+        """Live doc-store rows (per-source tombstone masks applied)."""
+        cols = list(dict.fromkeys(["doc_id"] + columns))
+        parts = []
+        for gen, src in self._doc_sources:
+            t = src.to_table(columns=cols, filter=filter)
+            if t.num_rows:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                keep = self._live_mask(gen, ids)
+                if keep is not None:
+                    t = t.filter(pa.array(keep))
+            parts.append(t)
+        return pa.concat_tables(parts)
 
     # ---------------- actor pool -------------------------------------
     def _init_actors(self, num_actors: int | None):
@@ -124,14 +196,17 @@ class Index:
         return [(base, 0)]
 
     def term_df(self, stem: str) -> int:
+        """df summed across generations. Like Lucene's docFreq, it still
+        counts tombstoned docs until a merge (documented staleness)."""
         df = self._df_cache.get(stem)
         if df is None:
             hot = self.manifest.hot_terms.get(stem)
             if hot:
-                df = hot["df"]
+                df = hot["df"]  # kept exact across commits by IndexUpdater
             else:
                 seg, bucket = self._slices(stem)[0]
-                df = self._readers.df(seg, stem, bucket)
+                df = sum(rdr.df(seg, stem, bucket)
+                         for _gen, rdr in self._gen_readers)
             self._df_cache[stem] = df
         return df
 
@@ -145,7 +220,10 @@ class Index:
         idf = self.idf(df)
         k1, b = self.cfg.k1, self.cfg.b
         slices = self._slices(stem)
+        parts = []
         if self._actors is not None:
+            # actors own the base (gen-0) segments; delta generations are
+            # small and scored inline
             import ray
 
             futs = [
@@ -154,14 +232,19 @@ class Index:
                 for seg, bucket in slices
                 if seg in self._actor_of
             ]
-            parts = [p for p in ray.get(futs) if p is not None]
+            for p in ray.get(futs):
+                if p is not None:
+                    parts.append(self._mask_part(0, p))
+            gen_readers = self._gen_readers[1:]
         else:
-            parts = []
+            gen_readers = self._gen_readers
+        for gen, rdr in gen_readers:
             for seg, bucket in slices:
-                got = self._readers.score_term(
+                got = rdr.score_term(
                     seg, stem, bucket, idf, k1, b, self.avgdl, doc_range)
                 if got is not None:
-                    parts.append(got)
+                    parts.append(self._mask_part(gen, got))
+        parts = [p for p in parts if len(p[0])]
         if not parts:
             return _EMPTY
         if len(parts) == 1:
@@ -173,17 +256,24 @@ class Index:
             docs, scores = docs[order], scores[order]
         return docs, scores
 
+    def _mask_part(self, gen: int, part):
+        docs, scores = part
+        keep = self._live_mask(gen, docs)
+        if keep is None:
+            return part
+        return docs[keep], scores[keep]
+
     def _eval_stems(self, stems: list[str], doc_range=None):
         return _union_sum([self._score_stem(s, doc_range) for s in stems])
 
     # ---------------- doc-store predicates ----------------------------
     def _doc_ids_where(self, expr) -> np.ndarray:
-        t = self._doc_ds.to_table(columns=["doc_id"], filter=expr)
+        t = self._doc_store_table(columns=["doc_id"], filter=expr)
         return np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
 
     def all_doc_ids(self) -> np.ndarray:
         if self._all_docs is None:
-            t = self._doc_ds.to_table(columns=["doc_id"])
+            t = self._doc_store_table(columns=["doc_id"])
             self._all_docs = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
         return self._all_docs
 
@@ -346,9 +436,8 @@ class Index:
         return docs[order], scores[order]
 
     def _fetch_doc_rows(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
-        cols = list(dict.fromkeys(["doc_id"] + columns))
         expr = pads.field("doc_id").isin(pa.array(doc_ids))
-        return self._doc_ds.to_table(columns=cols, filter=expr)
+        return self._doc_store_table(columns, filter=expr)
 
     def search(
         self,
@@ -482,12 +571,18 @@ class Index:
         counters: dict[str, dict] = {d: {} for d in (dims or [])}
         range_counts: dict[str, list[int]] = {
             f: [0] * len(rs) for f, rs in (ranges or {}).items()}
-        for batch in self._doc_ds.to_batches(columns=["doc_id"] + scan_cols):
+        batches = (
+            (gen, b) for gen, src in self._doc_sources
+            for b in src.to_batches(columns=["doc_id"] + scan_cols))
+        for gen, batch in batches:
             bids = batch["doc_id"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(docs, bids)
             pos[pos >= len(docs)] = max(0, len(docs) - 1)
             m = len(docs) > 0
             member = (docs[pos] == bids) if m else np.zeros(len(bids), bool)
+            keep = self._live_mask(gen, bids)
+            if keep is not None:
+                member &= keep
             if not member.any():
                 continue
             for d in dims or []:

@@ -1,0 +1,203 @@
+"""Incremental modify path — create/update/delete + commit visibility +
+delete-by-query + force_merge (FIXTURES.md model: reference semantics
+from Lucene.java:484-513 (modify), 327-330 (update = delete+add),
+301-317 (delete-by-query), 571-587 (commit visibility))."""
+
+import numpy as np
+import pytest
+
+from icat_lucene_ray.config import EngineConfig
+from icat_lucene_ray.corpus import write_pages
+from icat_lucene_ray.index.build import build_index
+from icat_lucene_ray.index.modify import IndexUpdater, force_merge
+from icat_lucene_ray.query import And, Index, MatchAll, Term
+
+
+CFG = EngineConfig(num_segments=4)
+
+
+@pytest.fixture()
+def small_index(ray_session, tmp_path):
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 120, rows_per_file=60, vocab_size=800)
+    out = str(tmp_path / "idx")
+    build_index(pages, out, meta_cols=["lang"], config=CFG)
+    return out
+
+
+def _hits(idx, q, k=200):
+    r = idx.search(q, k=k)
+    return set(r.table["doc_id"].to_pylist())
+
+
+def test_create_visible_only_after_commit(small_index):
+    up = IndexUpdater(small_index)
+    up.create({"url": "https://x.test/new1", "text": "zanzibar quokka zanzibar",
+               "lang": "en"})
+    assert Index(small_index).count(Term("zanzibar")) == 0  # not committed
+    up.commit()
+    idx = Index(small_index)
+    assert idx.count(Term("zanzibar")) == 1
+    r = idx.search(Term("quokka"), k=5, fields=["lang", "url"])
+    assert r.table["url"].to_pylist() == ["https://x.test/new1"]
+    # stats were updated exactly
+    assert idx.N == 121
+
+
+def test_delete_removes_from_search_and_facets(small_index):
+    idx0 = Index(small_index)
+    victim = int(idx0.search(MatchAll(), k=1).table["doc_id"][0].as_py())
+    up = IndexUpdater(small_index)
+    up.delete(victim)
+    up.commit()
+    idx = Index(small_index)
+    assert victim not in set(idx.all_doc_ids())
+    assert idx.N == 119
+    assert victim not in _hits(idx, MatchAll())
+
+
+def test_update_replaces_content(small_index):
+    idx0 = Index(small_index)
+    # find a doc matching some term, replace its text entirely
+    any_doc = idx0.search(MatchAll(), k=1, fields=["url"])
+    did = int(any_doc.table["doc_id"][0].as_py())
+    url = any_doc.table["url"][0].as_py()
+    up = IndexUpdater(small_index)
+    up.update({"doc_id": did, "url": url, "text": "xylophone only", "lang": "en"})
+    up.commit()
+    idx = Index(small_index)
+    assert _hits(idx, Term("xylophone")) == {did}
+    # the old content of that doc no longer matches anything
+    for stem_q in (Term("xylophone"),):
+        pass
+    # doc count unchanged (update = delete + add of same id)
+    assert idx.N == 120
+    # fetching the doc returns the NEW stored fields only
+    t = idx.search(Term("xylophone"), k=5, fields=["url"]).table
+    assert t.num_rows == 1 and t["url"][0].as_py() == url
+
+
+def test_update_twice_latest_wins(small_index):
+    up = IndexUpdater(small_index)
+    up.create({"url": "https://x.test/v", "text": "versioned alpha", "lang": "en"})
+    up.commit()
+    did = int(Index(small_index).search(Term("versioned"), k=1)
+              .table["doc_id"][0].as_py())
+    up2 = IndexUpdater(small_index)
+    up2.update({"doc_id": did, "url": "https://x.test/v",
+                "text": "versioned beta", "lang": "en"})
+    up2.commit()
+    idx = Index(small_index)
+    assert _hits(idx, And([Term("versioned"), Term("beta")])) == {did}
+    assert _hits(idx, Term("alpha")) == set()
+    # exactly one live doc-store row for the id
+    t = idx._doc_store_table(columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()
+    assert ids.count(did) == 1
+
+
+def test_delete_by_query(small_index):
+    idx0 = Index(small_index)
+    # pick the corpus's most frequent stem directly from the index
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(idx0.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    q = Term(ts["term"].iloc[0])
+    n = idx0.count(q)
+    assert n > 0
+    up = IndexUpdater(small_index)
+    assert up.delete_by_query(q) == n
+    up.commit()
+    idx = Index(small_index)
+    assert idx.count(q) == 0
+    assert idx.N == 120 - n
+
+
+def test_modify_op_array(small_index):
+    up = IndexUpdater(small_index)
+    up.modify([
+        {"create": {"url": "https://x.test/a", "text": "oparray one", "lang": "en"}},
+        {"create": {"url": "https://x.test/b", "text": "oparray two", "lang": "en"}},
+    ])
+    up.commit()
+    assert Index(small_index).count(Term("oparray")) == 2
+
+
+def test_force_merge_equals_fresh_build(ray_session, tmp_path):
+    """modify+merge == building from scratch over the final corpus:
+    identical segment bytes and identical search results."""
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 100, rows_per_file=50, vocab_size=600)
+    idx_dir = str(tmp_path / "idx")
+    build_index(pages, idx_dir, meta_cols=["lang"], config=CFG)
+
+    # mutate: delete 3 docs, update 1, add 2
+    idx0 = Index(idx_dir)
+    ids = sorted(idx0.all_doc_ids().tolist())
+    up = IndexUpdater(idx_dir)
+    for d in ids[:3]:
+        up.delete(d)
+    up.update({"doc_id": ids[5], "url": "https://u.test/upd",
+               "text": "merged content alpha beta", "lang": "en"})
+    up.create({"url": "https://u.test/n1", "text": "fresh gamma delta", "lang": "de"})
+    up.create({"url": "https://u.test/n2", "text": "fresh epsilon", "lang": "fr"})
+    up.commit()
+
+    merged = str(tmp_path / "merged")
+    force_merge(idx_dir, merged)
+
+    midx = Index(merged)
+    # live ids match the incremental view
+    live = Index(idx_dir)
+    assert set(midx.all_doc_ids()) == set(live.all_doc_ids())
+    assert midx.N == live.N
+    # after merge, df is exact again and results match the live view
+    for q in (Term("fresh"), Term("merged"), MatchAll()):
+        assert _hits(midx, q) == _hits(live, q)
+    # deleted docs' postings are physically gone
+    for d in ids[:3]:
+        assert d not in set(midx.all_doc_ids())
+
+
+def test_search_scores_consistent_after_merge(ray_session, tmp_path):
+    """Post-merge BM25 == fresh-build BM25 over the same live corpus
+    (rank + score identity on a term query)."""
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 80, rows_per_file=40, vocab_size=500)
+    idx_dir = str(tmp_path / "idx")
+    build_index(pages, idx_dir, meta_cols=["lang"], config=CFG)
+    up = IndexUpdater(idx_dir)
+    victims = sorted(Index(idx_dir).all_doc_ids().tolist())[:5]
+    for d in victims:
+        up.delete(d)
+    up.commit()
+    merged = str(tmp_path / "merged")
+    force_merge(idx_dir, merged)
+
+    midx = Index(merged)
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(midx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    probe = ts["term"].iloc[0]
+    r = midx.search(Term(probe), k=10)
+    # brute-force oracle over the surviving raw corpus
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icat_lucene_ray.index.docids import hash_ids_from_strings
+    from icat_lucene_ray.query.oracle import OracleIndex
+
+    corpus = pa.concat_tables([pq.read_table(f) for f in
+                               sorted(glob.glob(pages + "/*.parquet"))])
+    ids = hash_ids_from_strings(corpus["url"].combine_chunks())
+    keep = ~np.isin(ids, np.asarray(victims))
+    oracle = OracleIndex(corpus.filter(pa.array(keep)))
+    e = oracle.search(Term(probe), k=10)
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(r.table["doc_id"].to_pylist(), r.table["score"].to_pylist())]
+    want = [(int(d), round(float(s), 9)) for d, s in e]
+    assert got == want
