@@ -342,7 +342,8 @@ class SegmentWriter:
     def __call__(self, group: pa.Table) -> pa.Table:
         skey = int(group["skey"][0].as_py())
         docs_col = group["docs"].combine_chunks()
-        lengths = np.diff(docs_col.offsets.to_numpy(zero_copy_only=False))
+        run_off = docs_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(run_off)
         doc_flat = docs_col.flatten().to_numpy(zero_copy_only=False)
         tf_flat = group["tf"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         dl_flat = group["dl"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
@@ -350,19 +351,47 @@ class SegmentWriter:
         term_enc = group["term"].combine_chunks().dictionary_encode()
         run_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         run_buckets = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes_rep = np.repeat(run_codes, lengths)
-        buckets_rep = np.repeat(run_buckets, lengths)
 
-        order = np.lexsort((doc_flat, buckets_rep, codes_rep))
-        codes_s, buckets_s = codes_rep[order], buckets_rep[order]
-        doc_s, tf_s, dl_s = doc_flat[order], tf_flat[order], dl_flat[order]
+        # Sort at RUN granularity (runs are already doc-sorted inside),
+        # gather each run's postings into term-grouped layout with ONE
+        # pass per stream, then doc-sort only within multi-run term
+        # groups (small, cache-resident sorts). This replaces a 3-key
+        # lexsort + per-posting key replication — the memory-traffic
+        # hot spot under 32-way concurrency.
+        from icat_lucene_ray.index.codec import _scratch, concat_ranges
 
-        change = np.empty(len(codes_s), dtype=bool)
-        change[0] = True
-        np.not_equal(codes_s[1:], codes_s[:-1], out=change[1:])
-        change[1:] |= buckets_s[1:] != buckets_s[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(codes_s))
+        rkey = run_codes * (run_buckets.max() + 1 if len(run_buckets) else 1) \
+            + run_buckets
+        run_order = np.argsort(rkey, kind="stable")
+        g_lens = lengths[run_order]
+        total = int(g_lens.sum())
+        g_ends = np.cumsum(g_lens)
+        gather = concat_ranges(run_off[:-1][run_order], g_lens,
+                               _scratch("gather", total, np.int64))
+        doc_s = np.take(doc_flat, gather,
+                        out=_scratch("doc_s", total, doc_flat.dtype))
+        tf_s = np.take(tf_flat, gather,
+                       out=_scratch("tf_s", total, tf_flat.dtype))
+        dl_s = np.take(dl_flat, gather,
+                       out=_scratch("dl_s", total, dl_flat.dtype))
+
+        rkey_s = rkey[run_order]
+        first_run = np.empty(len(rkey_s), dtype=bool)
+        if len(rkey_s):
+            first_run[0] = True
+            np.not_equal(rkey_s[1:], rkey_s[:-1], out=first_run[1:])
+        group_run_idx = np.flatnonzero(first_run)
+        run_pstart = g_ends - g_lens
+        starts = run_pstart[group_run_idx]
+        ends = np.append(starts[1:], total)
+        # doc-sort inside term groups that got postings from >1 run
+        nruns_per_group = np.diff(np.append(group_run_idx, len(rkey_s)))
+        for gi in np.flatnonzero(nruns_per_group > 1):
+            s, e = starts[gi], ends[gi]
+            o = np.argsort(doc_s[s:e], kind="stable")
+            doc_s[s:e] = doc_s[s:e][o]
+            tf_s[s:e] = tf_s[s:e][o]
+            dl_s[s:e] = dl_s[s:e][o]
 
         # one vectorized pass over all terms' blocks (per-term Python cost
         # is buffer slicing only)
@@ -370,9 +399,11 @@ class SegmentWriter:
             doc_s, tf_s, dl_s, starts, ends,
             k1=self.k1, b=self.b, avgdl=self.avgdl, block=self.block)
         dictionary = term_enc.dictionary
+        codes_g = run_codes[run_order][group_run_idx]
+        buckets_g = run_buckets[run_order][group_run_idx]
         seg = pa.table({
-            "term": dictionary.take(pa.array(codes_s[starts])),
-            "bucket": pa.array(buckets_s[starts].astype(np.int32)),
+            "term": dictionary.take(pa.array(codes_g)),
+            "bucket": pa.array(buckets_g.astype(np.int32)),
             "df": pa.array(enc["df"], pa.int64()),
             "cf": pa.array(enc["cf"], pa.int64()),
             "docs": pa.array(enc["docs"], pa.binary()),
@@ -436,13 +467,47 @@ def _encode_split_task(units: list[tuple[str, int, int]], num_segments: int,
 
 
 @ray.remote
-def _write_segment_task(out_dir: str, k1: float, b: float, avgdl: float,
-                        block: int, *pieces):
-    pieces = [p for p in pieces if p is not None and p.num_rows]
-    if not pieces:
-        return None
-    w = SegmentWriter(out_dir, k1, b, avgdl, block)
-    return w(pa.concat_tables(pieces)).to_pylist()[0]
+class _SegmentWriterActor:
+    """Writer-pool actor: each actor writes several segments in sequence.
+
+    Actors (not tasks) on purpose, for two measured reasons:
+    - the codec scratch-buffer pool warms once per actor and is reused
+      for every subsequent segment (fresh task workers re-fault every
+      page);
+    - the pool bounds concurrent writers. The encode stage is
+      compute-bound and scales with CPUs, but segment writing is
+      memory-traffic-bound: 32 concurrent writers put this box at >90%
+      kernel time (page-fault/TLB storms) and 13× per-task slowdown.
+      A bounded pool keeps aggregate throughput at its peak instead.
+    """
+
+    def __init__(self, out_dir: str, k1: float, b: float, avgdl: float,
+                 block: int, name_prefix: str = "seg"):
+        self.w = SegmentWriter(out_dir, k1, b, avgdl, block,
+                               name_prefix=name_prefix)
+
+    def warmup(self, est_postings: int) -> bool:
+        """Pre-fault the scratch pool while the encode stage still runs:
+        first-touch page faults are this stage's dominant cost, and the
+        encode stage is compute-bound, so the two overlap cleanly."""
+        from icat_lucene_ray.index.codec import _scratch
+
+        p = est_postings
+        for name, nbytes in [("gather", 8 * p), ("doc_s", 8 * p),
+                             ("tf_s", 4 * p), ("dl_s", 4 * p),
+                             ("deltas", 8 * p), ("gpos", 8 * p),
+                             ("padded", 9 * p), ("ptfn", 9 * p),
+                             ("pay_d", 9 * p), ("pay_t", 2 * p),
+                             ("pay_l", 2 * p), ("take64", 8 * p),
+                             ("btid", p // 8), ("blocal", p // 8)]:
+            _scratch(name, nbytes, np.uint8)[:] = 0
+        return True
+
+    def write(self, *pieces):
+        pieces = [p for p in pieces if p is not None and p.num_rows]
+        if not pieces:
+            return None
+        return self.w(pa.concat_tables(pieces)).to_pylist()[0]
 
 
 def _rowgroup_units(files: list[str], target_tasks: int
@@ -654,13 +719,19 @@ def build_index(
         ]
         if S == 1:
             enc_refs = [[r] for r in enc_refs]
+        n_writers = min(S, max(2, ncpu // 4))
+        writers = [
+            _SegmentWriterActor.remote(
+                out_dir, config.k1, config.b, avgdl, config.codec_block)
+            for _ in range(n_writers)
+        ]
         write_refs = [
-            _write_segment_task.remote(
-                out_dir, config.k1, config.b, avgdl, config.codec_block,
-                *[r[s] for r in enc_refs])
+            writers[s % n_writers].write.remote(*[r[s] for r in enc_refs])
             for s in range(S)
         ]
         seg_stats = [r for r in ray.get(write_refs) if r is not None]
+        for w in writers:
+            ray.kill(w)
         metrics["phase_c_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         ctx.target_min_block_size = prev_min_block

@@ -28,6 +28,63 @@ import numpy as np
 
 _HEADER = 4  # u32 value count
 
+# ---------------------------------------------------------------------------
+# scratch-buffer pool
+#
+# The encoder's temporaries are tens-to-hundreds of MB; with 32 workers
+# allocating/freeing them per task, glibc mmap/munmap churn puts the
+# machine into a kernel page-fault + TLB-shootdown storm (observed: >90%
+# system time, 13× slowdown vs solo). Buffers here are allocated once
+# per worker process and reused — faults happen on first touch only.
+# Resident cost per worker ≈ the largest segment's working set.
+# ---------------------------------------------------------------------------
+
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    """A reusable uninitialized array of ``n`` items of ``dtype``."""
+    dt = np.dtype(dtype)
+    nbytes = n * dt.itemsize
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.nbytes < nbytes:
+        buf = _SCRATCH[name] = np.empty(int(nbytes * 1.25) + 64, np.uint8)
+    return buf[:nbytes].view(dt)
+
+
+def clear_scratch() -> None:
+    _SCRATCH.clear()
+
+
+def concat_ranges(starts: np.ndarray, lens: np.ndarray,
+                  out: np.ndarray) -> np.ndarray:
+    """out[:] = concatenate([arange(s, s+l) for s, l in zip(starts, lens)])
+    in one cumsum pass (no np.repeat / np.arange temporaries).
+    Precondition: every ``lens`` entry > 0."""
+    total = out.shape[0]
+    if total == 0:
+        return out
+    out[:] = 1
+    out[0] = starts[0]
+    # at each range boundary, jump from (prev_start + prev_len - 1) to start
+    bpos = np.cumsum(lens)[:-1]
+    out[bpos] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    np.cumsum(out, out=out)
+    return out
+
+
+def repeat_ids(lens: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """out[:] = np.repeat(arange(len(lens)), lens) without temporaries.
+    Precondition: every ``lens`` entry > 0."""
+    total = out.shape[0]
+    if total == 0:
+        return out
+    out[:] = 0
+    bpos = np.cumsum(lens)[:-1]
+    out[bpos] = 1
+    np.cumsum(out, out=out)
+    return out
+
 
 def _bit_widths(block_max: np.ndarray) -> np.ndarray:
     """Per-block bit width: smallest w with max < 2**w (0 for all-zero)."""
@@ -36,6 +93,24 @@ def _bit_widths(block_max: np.ndarray) -> np.ndarray:
     for k in range(64):
         w += (m >= np.uint64(1) << np.uint64(k)).astype(np.uint8)
     return w
+
+
+def _storage_widths(w: np.ndarray) -> np.ndarray:
+    """Round widths >4 up to byte-aligned classes {8, 16, 32, 64}.
+
+    Bit-packing traffic is one BYTE per BIT (unpackbits), so wide blocks
+    (e.g. ~45-bit deltas of hashed doc ids) cost ~6× more memory traffic
+    than a plain memcpy while saving <30% space. Byte-aligned classes
+    store raw little-endian uintN — byte-identical to what packbits
+    would produce at w=N, so the format stays self-consistent and any
+    decoder that handles generic widths remains correct. Only w ≤ 4
+    keeps true bit packing (≥2× space win, negligible traffic)."""
+    out = w.copy()
+    out[(w > 4) & (w <= 8)] = 8
+    out[(w > 8) & (w <= 16)] = 16
+    out[(w > 16) & (w <= 32)] = 32
+    out[w > 32] = 64
+    return out.astype(np.uint8)
 
 
 def encode_u64_blocks(values: np.ndarray, block: int = 128) -> bytes:
@@ -49,7 +124,7 @@ def encode_u64_blocks(values: np.ndarray, block: int = 128) -> bytes:
     padded = np.zeros(nblocks * block, dtype=np.uint64)
     padded[:n] = vals
     v2d = padded.reshape(nblocks, block)
-    widths = _bit_widths(v2d.max(axis=1))
+    widths = _storage_widths(_bit_widths(v2d.max(axis=1)))
     out_parts.append(widths.tobytes())
 
     byte_lens = (widths.astype(np.int64) * block + 7) // 8
@@ -63,14 +138,22 @@ def encode_u64_blocks(values: np.ndarray, block: int = 128) -> bytes:
         w = int(w)
         idx = np.nonzero(widths == w)[0]
         k = len(idx)
-        nbytes_in = (w + 7) // 8
-        # little-endian byte view -> keep only the w meaningful bits
-        b8 = np.ascontiguousarray(v2d[idx]).view(np.uint8).reshape(k, block, 8)
-        bits = np.unpackbits(
-            np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2, bitorder="little"
-        )[:, :, :w]
-        packed = np.packbits(bits.reshape(k, block * w), axis=-1, bitorder="little")
         blen = (block * w + 7) // 8
+        if w == 64:
+            packed = np.ascontiguousarray(v2d[idx]).view(np.uint8) \
+                .reshape(k, blen)
+        elif w in (8, 16, 32):
+            dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[w]
+            packed = v2d[idx].astype(dt).view(np.uint8).reshape(k, blen)
+        else:
+            nbytes_in = (w + 7) // 8
+            # little-endian byte view -> keep only the w meaningful bits
+            b8 = np.ascontiguousarray(v2d[idx]).view(np.uint8).reshape(k, block, 8)
+            bits = np.unpackbits(
+                np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2,
+                bitorder="little")[:, :, :w]
+            packed = np.packbits(bits.reshape(k, block * w), axis=-1,
+                                 bitorder="little")
         dest = offsets[idx][:, None] + np.arange(blen)
         payload[dest] = packed
     out_parts.append(payload.tobytes())
@@ -112,6 +195,12 @@ def decode_u64_blocks(
             continue
         blen = (block * w + 7) // 8
         src = payload[offsets[idx][:, None] + np.arange(blen)]
+        if w in (8, 16, 32, 64):
+            # byte-aligned class: plain little-endian widen (memcpy-speed)
+            dt = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[w]
+            o2d[idx] = np.ascontiguousarray(src).view(dt) \
+                .astype(np.uint64).reshape(k, block)
+            continue
         bits = np.unpackbits(src, axis=-1, bitorder="little")[:, : block * w]
         bits = bits.reshape(k, block, w)
         nbytes_out = (w + 7) // 8
@@ -179,29 +268,52 @@ def encode_postings(
     }
 
 
-def _pack_all_blocks(padded: np.ndarray, nblocks: int, block: int):
+def _pack_all_blocks(padded: np.ndarray, nblocks: int, block: int,
+                     scratch_name: str = ""):
     """Bit-pack a (nblocks*block,) padded value array in one vectorized
     pass; returns (widths uint8[nblocks], payload bytes, byte_lens)."""
     v2d = padded.reshape(nblocks, block)
-    widths = _bit_widths(v2d.max(axis=1))
+    widths = _storage_widths(_bit_widths(v2d.max(axis=1)))
     byte_lens = (widths.astype(np.int64) * block + 7) // 8
     offsets = np.zeros(nblocks + 1, dtype=np.int64)
     np.cumsum(byte_lens, out=offsets[1:])
-    payload = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    nbytes = int(offsets[-1])
+    # every payload byte belongs to exactly one nonzero-width block and is
+    # fully written below (zero-width blocks occupy no bytes), so the
+    # buffer needs no zeroing and is safe to reuse across calls
+    payload = (_scratch(f"pay_{scratch_name}", nbytes, np.uint8)
+               if scratch_name else np.empty(nbytes, dtype=np.uint8))
     for w in np.unique(widths):
         if w == 0:
             continue
         w = int(w)
         idx = np.nonzero(widths == w)[0]
         k = len(idx)
-        nbytes_in = (w + 7) // 8
-        b8 = np.ascontiguousarray(v2d[idx]).view(np.uint8).reshape(k, block, 8)
-        bits = np.unpackbits(
-            np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2,
-            bitorder="little")[:, :, :w]
-        packed = np.packbits(bits.reshape(k, block * w), axis=-1,
-                             bitorder="little")
         blen = (block * w + 7) // 8
+        if w == 64:
+            if k == nblocks:  # common case: one class, contiguous memcpy
+                payload[:] = v2d.reshape(-1).view(np.uint8)[:nbytes]
+                continue
+            take = _scratch("take64", k * block, np.uint64).reshape(k, block)
+            np.take(v2d, idx, axis=0, out=take)
+            packed = take.view(np.uint8).reshape(k, blen)
+        elif w in (8, 16, 32):
+            take = _scratch("take64", k * block, np.uint64).reshape(k, block)
+            np.take(v2d, idx, axis=0, out=take)
+            dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[w]
+            tN = _scratch("takeN", k * block, dt).reshape(k, block)
+            tN[:] = take
+            packed = tN.view(np.uint8).reshape(k, blen)
+        else:
+            nbytes_in = (w + 7) // 8
+            take = _scratch("take64", k * block, np.uint64).reshape(k, block)
+            np.take(v2d, idx, axis=0, out=take)
+            b8 = take.view(np.uint8).reshape(k, block, 8)
+            bits = np.unpackbits(
+                np.ascontiguousarray(b8[:, :, :nbytes_in]), axis=2,
+                bitorder="little")[:, :, :w]
+            packed = np.packbits(bits.reshape(k, block * w), axis=-1,
+                                 bitorder="little")
         dest = offsets[idx][:, None] + np.arange(blen)
         payload[dest] = packed
     return widths, payload, byte_lens, offsets
@@ -236,7 +348,7 @@ def encode_postings_multi(
     doc_s = np.ascontiguousarray(doc_s, dtype=np.int64)
 
     # per-term delta chains, vectorized with resets at term starts
-    deltas = np.empty(N, dtype=np.uint64)
+    deltas = _scratch("deltas", N, np.uint64)
     if N:
         np.subtract(doc_s[1:], doc_s[:-1], out=deltas[1:], casting="unsafe")
         deltas[starts] = doc_s[starts].astype(np.uint64)
@@ -246,50 +358,52 @@ def encode_postings_multi(
     np.cumsum(nblocks_t, out=blk_off[1:])
     total_blocks = int(blk_off[-1])
 
-    # scatter values into the padded (total_blocks * block) layout
-    within = np.arange(N, dtype=np.int64) - np.repeat(starts, lens)
-    gpos = np.repeat(blk_off[:-1] * block, lens) + within
+    # positions of real values inside the padded (total_blocks * block)
+    # layout; the pad slots keep whatever zeros the fill below writes
+    gpos = concat_ranges(blk_off[:-1] * block, lens,
+                         _scratch("gpos", N, np.int64))
+    padded = _scratch("padded", total_blocks * block, np.uint64)
 
-    def pack(vals: np.ndarray):
-        padded = np.zeros(total_blocks * block, dtype=np.uint64)
+    def pack(vals: np.ndarray, name: str):
+        padded[:] = 0
         padded[gpos] = vals
-        return _pack_all_blocks(padded, total_blocks, block)
+        return _pack_all_blocks(padded, total_blocks, block, scratch_name=name)
 
-    w_d, p_d, bl_d, off_d = pack(deltas)
-    w_t, p_t, bl_t, off_t = pack(tf_s.astype(np.uint64))
-    w_l, p_l, bl_l, off_l = pack(dl_s.astype(np.uint64))
+    w_d, p_d, bl_d, off_d = pack(deltas, "d")
+    w_t, p_t, bl_t, off_t = pack(tf_s.astype(np.uint64, copy=False), "t")
+    w_l, p_l, bl_l, off_l = pack(dl_s.astype(np.uint64, copy=False), "l")
 
     # block metadata (real values only, no padding artifacts)
-    btid = np.repeat(np.arange(n_terms), nblocks_t)
-    b_local = np.arange(total_blocks) - blk_off[btid]
+    btid = repeat_ids(nblocks_t, _scratch("btid", total_blocks, np.int64))
+    b_local = concat_ranges(np.zeros(n_terms, np.int64), nblocks_t,
+                            _scratch("blocal", total_blocks, np.int64))
     last_idx = starts[btid] + np.minimum((b_local + 1) * block, lens[btid]) - 1
     block_last_all = doc_s[last_idx].astype(np.uint64)
     tfn = tf_norm(tf_s, dl_s, k1, b, avgdl)
-    padded_tfn = np.zeros(total_blocks * block, dtype=np.float64)
-    padded_tfn[gpos] = tfn
-    block_max_all = padded_tfn.reshape(total_blocks, block).max(axis=1) \
-        .astype(np.float32)
+    # per-block max via reduceat over block start positions (every block
+    # is non-empty, so the index vector is strictly increasing)
+    blk_starts = starts[btid] + b_local * block
+    block_max_all = (np.maximum.reduceat(tfn, blk_starts)
+                     if N else np.zeros(0)).astype(np.float32)
 
-    # per-term byte ranges
-    cf_all = np.zeros(n_terms, dtype=np.int64)
-    np.add.at(cf_all, np.repeat(np.arange(n_terms), lens),
-              tf_s.astype(np.int64))
+    # per-term totals (postings are term-contiguous -> reduceat)
+    cf_all = (np.add.reduceat(tf_s.astype(np.int64, copy=False), starts)
+              if N else np.zeros(0, np.int64))
 
     out = {"docs": [], "tfs": [], "dls": [], "block_last": [],
            "block_max": [], "df": lens.tolist(), "cf": cf_all.tolist()}
     w_d_b, w_t_b, w_l_b = w_d.tobytes(), w_t.tobytes(), w_l.tobytes()
-    p_d_b, p_t_b, p_l_b = p_d.tobytes(), p_t.tobytes(), p_l.tobytes()
     bl_bytes = block_last_all.tobytes()
     bm_bytes = block_max_all.tobytes()
     for i in range(n_terms):
         b0, b1 = int(blk_off[i]), int(blk_off[i + 1])
         hdr = np.uint32(lens[i]).tobytes()
         out["docs"].append(hdr + w_d_b[b0:b1]
-                           + p_d_b[int(off_d[b0]):int(off_d[b1])])
+                           + p_d[int(off_d[b0]):int(off_d[b1])].tobytes())
         out["tfs"].append(hdr + w_t_b[b0:b1]
-                          + p_t_b[int(off_t[b0]):int(off_t[b1])])
+                          + p_t[int(off_t[b0]):int(off_t[b1])].tobytes())
         out["dls"].append(hdr + w_l_b[b0:b1]
-                          + p_l_b[int(off_l[b0]):int(off_l[b1])])
+                          + p_l[int(off_l[b0]):int(off_l[b1])].tobytes())
         out["block_last"].append(bl_bytes[b0 * 8:b1 * 8])
         out["block_max"].append(bm_bytes[b0 * 4:b1 * 4])
     return out
