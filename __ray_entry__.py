@@ -384,6 +384,118 @@ def _keep_latest_event(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _rel_denorm_update(sf_dir: str):
+    """J2 updateByRelation (Lucene.java:1846-1939): broadcast the changed
+    parent rows, rewrite mapped fields into every child row."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from icat_lucene_ray.ops.relations import update_by_relation
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey"])
+    out = update_by_relation(
+        cust, nation, child_key="c_nationkey", parent_key="n_nationkey",
+        field_mapping={"n_name": "nation_name", "n_regionkey": "region_key"},
+    ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    return out
+
+
+def _rel_cascade_delete(sf_dir: str):
+    """J2 cascadeDelete (Lucene.java:1901-1913): children of deleted
+    parents are dropped (broadcast anti-join). Deleted parents =
+    n_nationkey % 5 == 0 (fixed deterministic rule)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from icat_lucene_ray.ops.relations import cascade_delete
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    dead = [int(k) for k in nation["n_nationkey"].to_pylist() if k % 5 == 0]
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey"])
+    out = cascade_delete(cust, dead, child_key="c_nationkey") \
+        .to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    return out
+
+
+# ---------------- path fields (M5/M6, location tokenizations) ---------------
+
+_PATH_IDX_CACHE: dict[tuple, Any] = {}
+
+
+def _path_index(sf_dir: str, analyzer: str):
+    """Index of synthesized paths '/{source}/{lang}/doc{doc_id}.txt' over
+    the documents table (SQL-mirrorable; ≈ the reference's location
+    fields over one corpus, Field.java:61-67)."""
+    key = (sf_dir, analyzer)
+    got = _PATH_IDX_CACHE.get(key)
+    if got is not None:
+        return got
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.query import Index
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "source", "lang"])
+    paths = pa.array([f"/{s}/{l}/doc{d}.txt" for d, s, l in
+                      zip(t["doc_id"].to_pylist(), t["source"].to_pylist(),
+                          t["lang"].to_pylist())])
+    tag = hashlib.blake2b(f"{sf_dir}:{analyzer}".encode(),
+                          digest_size=6).hexdigest()
+    src = os.path.join(tempfile.gettempdir(), f"ilr_paths_{tag}")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": t["doc_id"], "text": paths}),
+                   os.path.join(src, "paths.parquet"))
+    out = os.path.join(tempfile.gettempdir(), f"ilr_pidx_{tag}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(src, out, text_col="text", id_col="doc_id",
+                analyzer=analyzer, config=EngineConfig(num_segments=4))
+    idx = Index(out)
+    _PATH_IDX_CACHE[key] = idx
+    return idx
+
+
+def _ft_path_segment(sf_dir: str):
+    """location-style segment match: docs whose path contains segment
+    'src1' (split on '/', lowercase — M5)."""
+    from icat_lucene_ray.query import Term
+
+    idx = _path_index(sf_dir, "path")
+    docs, _ = idx._eval(Term("src1"))
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+def _ft_path_prefix(sf_dir: str):
+    """location.exact-style hierarchy prefix count per source dir
+    (M6; case-sensitive prefixes)."""
+    from icat_lucene_ray.query import Term
+
+    idx = _path_index(sf_dir, "path_hierarchy")
+    rows = [(s, idx.count(Term(f"/{s}")))
+            for s in ("src0", "src1", "src2", "src3")]
+    return pa.table({"prefix": pa.array([r[0] for r in rows]),
+                     "n_docs": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def _ft_path_filename(sf_dir: str):
+    """location.fileName-style match: filename token 'txt' via the
+    filename analyzer (basename, split on '.')."""
+    from icat_lucene_ray.query import Term
+
+    idx = _path_index(sf_dir, "filename")
+    n = idx.count(Term("txt"))
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -425,6 +537,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text_langid,
         "agg_rollup_sum": _agg_rollup_sum,
         "keep_latest_event": _keep_latest_event,
+        "rel_denorm_update": _rel_denorm_update,
+        "rel_cascade_delete": _rel_cascade_delete,
+        "ft_path_segment": _ft_path_segment,
+        "ft_path_prefix": _ft_path_prefix,
+        "ft_path_filename": _ft_path_filename,
     }
 
 
@@ -559,4 +676,29 @@ def oracle_sql() -> dict[str, str]:
         "keep_latest_event": """
             SELECT user_id, max(ts) AS ts FROM events
             GROUP BY user_id ORDER BY user_id""",
+        "rel_denorm_update": """
+            SELECT c.c_custkey, c.c_nationkey,
+                   n.n_name AS nation_name, n.n_regionkey AS region_key
+            FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_custkey""",
+        "rel_cascade_delete": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)
+            ORDER BY c_custkey""",
+        "ft_path_segment": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(
+                string_split(lower('/' || source || '/' || lang ||
+                                   '/doc' || doc_id || '.txt'), '/'),
+                'src1')
+            ORDER BY doc_id""",
+        "ft_path_prefix": """
+            SELECT p.prefix, count(d.doc_id)::BIGINT AS n_docs
+            FROM (SELECT unnest(['src0','src1','src2','src3']) AS prefix) p
+            LEFT JOIN documents d ON d.source = p.prefix
+            GROUP BY p.prefix ORDER BY p.prefix""",
+        "ft_path_filename": """
+            SELECT count(*)::BIGINT AS n_docs FROM documents""",
     }

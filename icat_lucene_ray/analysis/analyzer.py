@@ -149,36 +149,72 @@ class SimpleAnalyzer(_BaseAnalyzer):
         return self._SIMPLE_RE.findall(text.lower())
 
 
-class SeparatorAnalyzer:
+class SeparatorAnalyzer(_BaseAnalyzer):
     """Split on one separator char + lowercase
     (IcatSeparatorAnalyzer.java:13-26; used for ``location`` with '/'
-    and ``location.fileName`` with '.')."""
+    and ``location.fileName`` with '.'). Indexable: registered as
+    ``path`` (separator '/')."""
 
-    def __init__(self, separator: str) -> None:
+    version = "sep-1"
+    name = "path"
+    candidate_split = r"\s+"  # paths contain no spaces; one candidate each
+
+    def __init__(self, separator: str = "/") -> None:
+        super().__init__()
         self.separator = separator
-        self.version = f"sep({separator!r})-1"
-        self.name = f"separator:{separator}"
+        self.version = f"sep({separator})-1"
 
     def tokens(self, text: str) -> list[str]:
-        return [p.lower() for p in text.split(self.separator) if p]
+        return [p.lower() for w in text.split() for p in
+                w.split(self.separator) if p]
 
 
-class PathHierarchyAnalyzer:
+class PathHierarchyAnalyzer(_BaseAnalyzer):
     """Case-sensitive path-prefix tokens (``location.exact``,
-    Lucene.java:440-445): ``/a/b/c`` → ``/a``, ``/a/b``, ``/a/b/c``."""
+    Lucene.java:440-445): ``/a/b/c`` → ``/a``, ``/a/b``, ``/a/b/c``.
+    Applied per whitespace-separated path (so the vectorized kernel's
+    pre-split is lossless)."""
 
     version = "pathhier-1"
     name = "path_hierarchy"
+    candidate_split = r"\s+"
 
     def tokens(self, text: str) -> list[str]:
-        parts = text.split("/")
         out: list[str] = []
-        acc = ""
-        for i, p in enumerate(parts):
-            if p == "" and i == 0:
-                continue
-            acc = f"{acc}/{p}"
-            out.append(acc)
+        for w in text.split():
+            acc = ""
+            for i, p in enumerate(w.split("/")):
+                if p == "" and i == 0:
+                    continue
+                acc = f"{acc}/{p}"
+                out.append(acc)
+        return out
+
+    def analyze_query_term(self, term: str) -> list[str]:
+        """Query side matches the reference: a location.exact query term
+        is ONE exact (case-sensitive) prefix term, not the expansion —
+        the hierarchy expansion happens at index time only
+        (Lucene.java:440-445; query via TermQuery on the stored
+        prefix)."""
+        term = term.strip()
+        return [term] if term else []
+
+
+class FileNameAnalyzer(_BaseAnalyzer):
+    """``location.fileName`` semantics (Lucene.java:437-448 wiring with
+    IcatSeparatorAnalyzer('.')): the substring after the last '/',
+    split on '.', lowercased — so ``/a/b/report.final.pdf`` yields
+    ``report``, ``final``, ``pdf``."""
+
+    version = "filename-1"
+    name = "filename"
+    candidate_split = r"\s+"
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in text.split():
+            base = w.rsplit("/", 1)[-1]
+            out.extend(p.lower() for p in base.split(".") if p)
         return out
 
 
@@ -186,6 +222,9 @@ _REGISTRY = {
     "icat": IcatAnalyzer,
     "icat_synonym": IcatSynonymAnalyzer,
     "simple": SimpleAnalyzer,
+    "path": SeparatorAnalyzer,
+    "path_hierarchy": PathHierarchyAnalyzer,
+    "filename": FileNameAnalyzer,
 }
 
 

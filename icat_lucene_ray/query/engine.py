@@ -302,9 +302,13 @@ class Index:
     # ---------------- wildcard expansion ------------------------------
     def expand_wildcard(self, pattern: str) -> list[str]:
         """Dictionary scan (term dictionary = termstats table). Pattern is
-        lowercased first (M11, SearchBucket.java:171-194); matching
-        bypasses the analyzer as in Lucene wildcard queries."""
-        pattern = pattern.lower()
+        lowercased first (M11, SearchBucket.java:171-194) — except for
+        case-sensitive `.exact`-style indexes (path_hierarchy), exactly
+        as the reference skips `.exact` fields in lowercaseWildcardQueries
+        (SearchBucket.java:180-185); matching bypasses the analyzer as in
+        Lucene wildcard queries."""
+        if self.manifest.analyzer != "path_hierarchy":
+            pattern = pattern.lower()
         rx = re.compile(fnmatch.translate(pattern))
         prefix = pattern.split("*", 1)[0].split("?", 1)[0]
         ds = pads.dataset(self.manifest.termstats_dir())
