@@ -78,6 +78,61 @@ def _ensure_pages_corpus(n_docs: int, cache_root: str = "/tmp/ilr_bench") -> str
     return out
 
 
+def _compute_probe(pages_dir: str, num_cpus: int, passes: int = 15) -> dict:
+    """Pure-CPU tokenize kernel over a shared in-plasma table: near-zero
+    fresh allocation per task, so it isolates the engine's CPU scaling
+    from this sandbox's serialized guest-memory fault service
+    (~120-320 MB/s regardless of parallelism; BASELINE.md caveat).
+    Assumes ray is initialized."""
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    import ray
+
+    pfiles = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+                    if f.endswith(".parquet"))[:28]
+    probe_tbl = pa.concat_tables(
+        [pq2.read_table(f, columns=["text"]) for f in pfiles])
+    probe_ref = ray.put(probe_tbl)
+
+    @ray.remote
+    def _tok_probe(tref, lo, hi):
+        import icat_lucene_ray.bench_kernels as bk
+
+        return bk.tokenize_count(tref, lo, hi)
+
+    n_rows = probe_tbl.num_rows
+    chunk = 8192
+    slices = [(s, min(s + chunk, n_rows)) for s in range(0, n_rows, chunk)]
+    ray.get([_tok_probe.remote(probe_ref, s, e) for s, e in slices])  # warm
+    t0 = _t.perf_counter()
+    ray.get([_tok_probe.remote(probe_ref, s, e)
+             for _ in range(passes) for s, e in slices])
+    sec = _t.perf_counter() - t0
+    docs = n_rows * passes
+    return {"probe_docs": docs,
+            "probe_docs_per_sec": round(docs / sec, 1)}
+
+
+def run_probe_only(ncpu: int) -> dict:
+    import ray
+
+    _quiet()
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import pyarrow.parquet as pq2
+
+    n_docrows = pq2.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    pages = _ensure_pages_corpus(n_docrows * PAGES_PER_DOCROW)
+    out = {"num_cpus": ncpu, **_compute_probe(pages, ncpu)}
+    ray.shutdown()
+    return out
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import numpy as np
     import ray
@@ -188,6 +243,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     brute_force_topk(emb, qv, k=10)
     queries["q_ann"] = round(time.perf_counter() - t0, 3)
 
+    # ---- compute-path scaling probe ----------------------------------
+    probe = _compute_probe(pages, num_cpus)
+    extras.update(probe)
+
     result = {
         "metric": "icat_lucene_ray headline: index build + BM25 query + "
                   "dedup + ann over sf dir",
@@ -219,6 +278,20 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     # efficiency on the distributed build (the cluster-bound phase)
     t_lo, t_hi = r_lo["queries"]["q_build"], r_hi["queries"]["q_build"]
     eff = (t_lo / t_hi) / (hi / lo)
+    p_eff = (r_hi["probe_docs_per_sec"] / r_lo["probe_docs_per_sec"]) \
+        / (hi / lo)
+    # N=2 -> 4N=8 compute pair: inside one box, the 8->32 pair conflates
+    # engine scaling with turbo/shared-LLC/DRAM effects that a real
+    # N-node -> 4N-node cluster does not have (each node brings its own
+    # caches and memory); the low pair isolates engine behavior
+    probe2 = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--probe", "2"],
+        capture_output=True, text=True, check=True,
+        env=dict(os.environ),
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".").stdout
+    r2 = json.loads(probe2.strip().splitlines()[-1])
+    p_eff_2_8 = (r_lo["probe_docs_per_sec"] / r2["probe_docs_per_sec"]) \
+        / (lo / 2)
     return {
         "metric": "scaling efficiency (same input, fresh ray sessions)",
         "cpus_lo": lo, "cpus_hi": hi,
@@ -227,6 +300,13 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "build_docs_per_sec_hi": r_hi["build_docs_per_sec"],
         "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        # compute-path probe: engine CPU scaling isolated from the
+        # sandbox's serialized guest-memory fault service (BASELINE.md)
+        "probe_docs_per_sec_2": r2["probe_docs_per_sec"],
+        "probe_docs_per_sec_lo": r_lo["probe_docs_per_sec"],
+        "probe_docs_per_sec_hi": r_hi["probe_docs_per_sec"],
+        "compute_scaling_efficiency_lo_hi": round(p_eff, 3),
+        "compute_scaling_efficiency_2_8": round(p_eff_2_8, 3),
         "sf": sf_dir,
     }
 
@@ -235,6 +315,9 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--probe" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--probe") + 1])
+        print(json.dumps(run_probe_only(n)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, ncpu)))

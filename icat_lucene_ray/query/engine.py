@@ -458,6 +458,10 @@ class Index:
         (K1/K2); ``search_after`` is the cursor from a previous result
         (K4, SearchBucket.java:892-949)."""
         deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
+        if sort is None:
+            pruned = self._search_term_pruned(q, k, search_after, fields)
+            if pruned is not None:
+                return pruned
         docs, scores = self._eval(q, deadline)
         total = len(docs)
         if sort:
@@ -474,6 +478,99 @@ class Index:
         if len(top_docs):
             cursor = {"score": float(top_scores[-1]), "doc_id": int(top_docs[-1])}
         return SearchResult(tbl, total, cursor)
+
+    def _search_term_pruned(self, q: Query, k: int, after: dict | None,
+                            fields: list[str] | None) -> SearchResult | None:
+        """Block-max pruned top-k for single-stem term queries (the BMW
+        read path): posting blocks are visited in descending
+        ``idf × block_max`` bound order and decoding stops once the next
+        bound cannot beat the current k-th score — exact top-k, decode
+        cost ~O(k/B) blocks instead of df. Returns None when the query
+        shape doesn't qualify (the general evaluator handles it)."""
+        if not isinstance(q, Term) or self._actors is not None:
+            return None
+        # tombstones make df/total unsafe; delta generations live outside
+        # the base readers — both fall back to the general evaluator
+        if self._tomb or len(self._gen_readers) > 1:
+            return None
+        stems = self.analyzer.analyze_query_term(q.text)
+        if len(stems) != 1:
+            return None
+        stem = stems[0]
+
+        def _empty() -> SearchResult:
+            tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "score": pa.array([], pa.float64())})
+            if fields:
+                tbl = self._attach_fields(tbl, fields)
+            return SearchResult(tbl, 0, None)
+
+        df = self.term_df(stem)
+        if df == 0:
+            return _empty()
+        idf = self.idf(df)
+        k1, b = self.cfg.k1, self.cfg.b
+
+        # flat (slice_idx, block_idx) list ordered by descending bound
+        per_slice = []
+        bounds_all, sidx_all, bidx_all = [], [], []
+        for si, (seg, bucket) in enumerate(self._slices(stem)):
+            rdr = self._readers.reader(seg)
+            meta = rdr.block_meta(stem, bucket) if rdr else None
+            if meta is None:
+                continue
+            per_slice.append((rdr, stem, bucket))
+            bmax = meta[1].astype(np.float64)
+            bounds_all.append(idf * bmax)
+            sidx_all.append(np.full(len(bmax), len(per_slice) - 1))
+            bidx_all.append(np.arange(len(bmax)))
+        if not per_slice:
+            return _empty()
+        bounds = np.concatenate(bounds_all)
+        sidx = np.concatenate(sidx_all)
+        bidx = np.concatenate(bidx_all)
+        order = np.argsort(-bounds, kind="stable")
+        # f32 storage of block_max can round below the true f64 max;
+        # widen bounds by 2^-22 before comparing against theta
+        EPS = 1.0 + 2.4e-7
+
+        cand_d = np.empty(0, np.int64)
+        cand_s = np.empty(0, np.float64)
+        theta = -np.inf
+        pos = 0
+        chunk = max(4, -(-4 * k // self.cfg.codec_block) * 4)
+        while pos < len(order):
+            if len(cand_d) >= k and bounds[order[pos]] * EPS < theta:
+                break
+            take = order[pos:pos + chunk]
+            pos += chunk
+            if len(cand_d) >= k:
+                take = take[bounds[take] * EPS >= theta]
+                if len(take) == 0:
+                    continue
+            for si in np.unique(sidx[take]):
+                rdr, s_stem, s_bucket = per_slice[si]
+                ids, scores = rdr.score_blocks(
+                    s_stem, s_bucket, idf, k1, b, self.avgdl,
+                    bidx[take[sidx[take] == si]])
+                cand_d = np.concatenate([cand_d, ids])
+                cand_s = np.concatenate([cand_s, scores])
+            keep_d, keep_s = cand_d, cand_s
+            if after is not None:
+                s_a, d_a = float(after["score"]), int(after["doc_id"])
+                m = (keep_s < s_a) | ((keep_s == s_a) & (keep_d > d_a))
+                keep_d, keep_s = keep_d[m], keep_s[m]
+            if len(keep_s) >= k:
+                theta = np.partition(keep_s, len(keep_s) - k)[len(keep_s) - k]
+        top_d, top_s = self._topk_scored(cand_d, cand_s, k, after)
+        tbl = pa.table({"doc_id": pa.array(top_d, pa.int64()),
+                        "score": pa.array(top_s, pa.float64())})
+        if fields:
+            tbl = self._attach_fields(tbl, fields)
+        cursor = None
+        if len(top_d):
+            cursor = {"score": float(top_s[-1]), "doc_id": int(top_d[-1])}
+        return SearchResult(tbl, df, cursor)
 
     def _attach_fields(self, tbl: pa.Table, fields: list[str]) -> pa.Table:
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)

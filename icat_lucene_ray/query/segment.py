@@ -80,6 +80,50 @@ class SegmentReader:
             np.frombuffer(tb["block_max"][row].as_py(), dtype=np.float32),
         )
 
+    def score_blocks(
+        self, term: str, bucket: int, idf: float,
+        k1: float, b: float, avgdl: float,
+        sel_blocks: np.ndarray,
+    ):
+        """Decode and score ONLY the selected posting blocks.
+
+        Doc ids are reconstructed per block without a full delta cumsum:
+        each block restarts from the previous block's ``block_last``
+        (the skip entry), so decode cost is proportional to the selected
+        blocks — the block-max WAND read path."""
+        key = (term, bucket)
+        row = self._rows.get(key)
+        if row is None or len(sel_blocks) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        tb = self._tbl
+        block_last = np.frombuffer(tb["block_last"][row].as_py(),
+                                   dtype=np.uint64).astype(np.int64)
+        n = int(self._df[key])
+        nblocks = len(block_last)
+        block = self.block
+        mask = np.zeros(nblocks, dtype=bool)
+        mask[sel_blocks] = True
+        deltas = decode_u64_blocks(tb["docs"][row].as_py(), block, mask)
+        tfs = decode_u64_blocks(tb["tfs"][row].as_py(), block, mask)
+        dls = decode_u64_blocks(tb["dls"][row].as_py(), block, mask)
+
+        idxs = np.sort(np.asarray(sel_blocks, dtype=np.int64))
+        starts = idxs * block
+        ends = np.minimum(starts + block, n)
+        lens = ends - starts
+        pos = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
+        d = deltas[pos].astype(np.int64)
+        # per-block cumsum with restart at the previous block's last id
+        cs = np.cumsum(d)
+        sb = np.zeros(len(idxs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=sb[1:])
+        prefix = np.where(sb > 0, cs[np.maximum(sb - 1, 0)], 0)
+        base = np.where(idxs > 0, block_last[np.maximum(idxs - 1, 0)], 0)
+        ids = cs - np.repeat(prefix - base, lens)
+        scores = idf * tf_norm(tfs[pos].astype(np.int64),
+                               dls[pos].astype(np.int64), k1, b, avgdl)
+        return ids, scores
+
     def score_term(
         self, term: str, bucket: int, idf: float,
         k1: float, b: float, avgdl: float,
