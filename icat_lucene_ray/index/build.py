@@ -104,18 +104,16 @@ class Tokenizer:
         offsets, terms, tfs, doc_lens = self.van.term_freq_batch(
             batch[self.text_col])
 
-        if self.id_col is not None:
-            doc_ids = batch[self.id_col].cast(pa.int64())
-        else:
-            doc_ids = pa.array(hash_ids_from_strings(batch[self.key_col]))
-
         off32 = pa.array(offsets, type=pa.int32())
-        cols: dict[str, Any] = {
-            "doc_id": doc_ids,
-            "doc_len": pa.array(doc_lens),
-            "terms": pa.ListArray.from_arrays(off32, terms),
-            "tfs": pa.ListArray.from_arrays(off32, pa.array(tfs)),
-        }
+        cols: dict[str, Any] = {}
+        if self.id_col is not None:
+            cols["doc_id"] = batch[self.id_col].cast(pa.int64())
+        # else: DENSE implicit ids — doc_id = file base + row, assigned
+        # in phase B from per-file row counts (Lucene-ordinal-style;
+        # narrow posting deltas). No id column is materialized.
+        cols["doc_len"] = pa.array(doc_lens)
+        cols["terms"] = pa.ListArray.from_arrays(off32, terms)
+        cols["tfs"] = pa.ListArray.from_arrays(off32, pa.array(tfs))
         for m in self.meta_cols:
             cols[m] = batch[m]
         return pa.table(cols)
@@ -141,16 +139,21 @@ class AnalyzedWriter:
         ("cand_dfs", pa.list_(pa.int64())),
     ])
 
-    def __init__(self, shard_dir: str, max_candidates: int = 1024):
+    def __init__(self, shard_dir: str, key_col: str | None = None,
+                 max_candidates: int = 1024):
         self.shard_dir = shard_dir
+        self.key_col = key_col
         self.max_candidates = max_candidates
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return self.STATS_SCHEMA.empty_table()
-        doc_ids = batch["doc_id"].combine_chunks()
+        # content-hash filename (idempotent on task retry): keyed on the
+        # id column when present, else the document key column
+        kc = ("doc_id" if "doc_id" in batch.column_names else self.key_col)
+        key = batch[kc].combine_chunks()
         name = hashlib.blake2b(
-            b"".join(bytes(b) for b in doc_ids.buffers() if b is not None),
+            b"".join(bytes(b) for b in key.buffers() if b is not None),
             digest_size=8).hexdigest()
         path = os.path.join(self.shard_dir, f"an_{name}.parquet")
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -173,13 +176,17 @@ class AnalyzedWriter:
             cand_d = dfs[top].tolist()
 
         dl = batch["doc_len"].to_numpy(zero_copy_only=False)
-        ids = doc_ids.to_numpy(zero_copy_only=False)
+        if "doc_id" in batch.column_names:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mn, mx = int(ids.min()), int(ids.max())
+        else:
+            mn = mx = -1  # dense mode: ids assigned in phase B
         return pa.table({
             "path": [path],
             "n_docs": [batch.num_rows],
             "sum_dl": [int(dl.sum())],
-            "min_doc": [int(ids.min())],
-            "max_doc": [int(ids.max())],
+            "min_doc": [mn],
+            "max_doc": [mx],
             "cand_terms": [cand_t],
             "cand_dfs": [cand_d],
         }, schema=self.STATS_SCHEMA)
@@ -191,25 +198,28 @@ class AnalyzedWriter:
 _WRITER_CACHE: dict[str, AnalyzedWriter] = {}
 
 
-def _write_analyzed_batch(batch: pa.Table, *, shard_dir: str) -> pa.Table:
+def _write_analyzed_batch(batch: pa.Table, *, shard_dir: str,
+                          key_col: str | None = None) -> pa.Table:
     w = _WRITER_CACHE.get(shard_dir)
     if w is None:
-        w = _WRITER_CACHE[shard_dir] = AnalyzedWriter(shard_dir)
+        w = _WRITER_CACHE[shard_dir] = AnalyzedWriter(shard_dir, key_col)
     return w(batch)
 
 
 def _fold_stats(rows: list[dict]) -> dict:
     """Fold AnalyzedWriter stats rows into one shard-level summary."""
     out = {"n_docs": 0, "sum_dl": 0, "min_doc": None, "max_doc": None,
-           "cand": {}}
+           "cand": {}, "files": []}
     for r in rows:
         if not r["n_docs"]:
             continue
         out["n_docs"] += int(r["n_docs"])
         out["sum_dl"] += int(r["sum_dl"])
-        mn, mx = int(r["min_doc"]), int(r["max_doc"])
-        out["min_doc"] = mn if out["min_doc"] is None else min(out["min_doc"], mn)
-        out["max_doc"] = mx if out["max_doc"] is None else max(out["max_doc"], mx)
+        out["files"].append([r["path"], int(r["n_docs"])])
+        if int(r["min_doc"]) >= 0:
+            mn, mx = int(r["min_doc"]), int(r["max_doc"])
+            out["min_doc"] = mn if out["min_doc"] is None else min(out["min_doc"], mn)
+            out["max_doc"] = mx if out["max_doc"] is None else max(out["max_doc"], mx)
         cand = out["cand"]
         for t, d in zip(r["cand_terms"], r["cand_dfs"]):
             cand[t] = cand.get(t, 0) + int(d)
@@ -431,23 +441,35 @@ class SegmentWriter:
 # ---------------------------------------------------------------------------
 
 @ray.remote
-def _encode_split_task(units: list[tuple[str, int, int]], num_segments: int,
+def _encode_split_task(units: list[tuple[str, int, int, int]],
+                       num_segments: int,
                        hot_terms: dict[str, int], min_doc: int, max_doc: int,
-                       batch_rows: int):
-    """Read a list of (path, rg_start, rg_end) analyzed row-group ranges,
-    run the RunEncoder combiner, and return S per-segment pieces.
-    Pieces are compacted (combine_chunks) so object-store shipping is
-    proportional to each slice."""
+                       batch_rows: int,
+                       id_bases: dict[str, int] | None = None):
+    """Read a list of (path, rg_start, rg_end, row_off) analyzed
+    row-group ranges, run the RunEncoder combiner, and return S
+    per-segment pieces. With ``id_bases`` (dense-id mode) doc ids are
+    attached as base(file) + row position. Pieces are compacted
+    (combine_chunks) so object-store shipping is proportional to each
+    slice."""
     enc = RunEncoder(num_segments=num_segments, hot_terms=hot_terms,
                      min_doc=min_doc, max_doc=max_doc)
     S = num_segments
     parts: list[list[pa.Table]] = [[] for _ in range(S)]
-    cols = ["doc_id", "doc_len", "terms", "tfs"]
-    for path, rg0, rg1 in units:
+    cols = ["doc_len", "terms", "tfs"]
+    if id_bases is None:
+        cols = ["doc_id"] + cols
+    for path, rg0, rg1, row_off in units:
         pf = pq.ParquetFile(path)
+        off = (id_bases[path] + row_off) if id_bases is not None else 0
         for rb in pf.iter_batches(batch_size=batch_rows, columns=cols,
                                   row_groups=list(range(rg0, rg1))):
-            t = enc(pa.Table.from_batches([rb]))
+            t = pa.Table.from_batches([rb])
+            if id_bases is not None:
+                ids = pa.array(np.arange(off, off + t.num_rows), pa.int64())
+                off += t.num_rows
+                t = t.add_column(0, "doc_id", ids)
+            t = enc(t)
             if t.num_rows == 0:
                 continue
             skey = t["skey"].to_numpy(zero_copy_only=False)
@@ -511,29 +533,33 @@ class _SegmentWriterActor:
 
 
 def _rowgroup_units(files: list[str], target_tasks: int
-                    ) -> list[list[tuple[str, int, int]]]:
+                    ) -> list[list[tuple[str, int, int, int]]]:
     """Split analyzed files into ~target_tasks groups of row-group
-    ranges (each group = one encode task)."""
-    units: list[tuple[str, int, int, int]] = []  # path, rg, rows
+    ranges (each group = one encode task). Units carry the in-file row
+    offset of their first row group so dense doc ids (base + row) can
+    be attached without reading anything extra."""
+    units: list[tuple[str, int, int, int, int]] = []
     total_rows = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
+        off = 0
         for rg in range(md.num_row_groups):
             rows = md.row_group(rg).num_rows
-            units.append((f, rg, rg + 1, rows))
+            units.append((f, rg, rg + 1, off, rows))
+            off += rows
             total_rows += rows
     if not units:
         return []
     per_task = max(1, total_rows // max(1, target_tasks))
-    groups: list[list[tuple[str, int, int]]] = []
-    cur: list[tuple[str, int, int]] = []
+    groups: list[list[tuple[str, int, int, int]]] = []
+    cur: list[tuple[str, int, int, int]] = []
     cur_rows = 0
-    for path, rg0, rg1, rows in units:
+    for path, rg0, rg1, off, rows in units:
         # merge contiguous row-groups of the same file into one unit
         if cur and cur[-1][0] == path and cur[-1][2] == rg0:
-            cur[-1] = (path, cur[-1][1], rg1)
+            cur[-1] = (path, cur[-1][1], rg1, cur[-1][3])
         else:
-            cur.append((path, rg0, rg1))
+            cur.append((path, rg0, rg1, off))
         cur_rows += rows
         if cur_rows >= per_task:
             groups.append(cur)
@@ -667,7 +693,8 @@ def build_index(
             )
             stats_rows = ds.map_batches(
                 _write_analyzed_batch,
-                fn_kwargs=dict(shard_dir=shard_dir),
+                fn_kwargs=dict(shard_dir=shard_dir,
+                               key_col=(None if id_col else key_col)),
                 batch_format="pyarrow",
                 batch_size=config.analyzed_rows_per_file,
             ).take_all()
@@ -682,11 +709,27 @@ def build_index(
         t0 = time.perf_counter()
         num_docs = sum(s["n_docs"] for s in shard_stats)
         total_len = sum(s["sum_dl"] for s in shard_stats)
-        mins = [s["min_doc"] for s in shard_stats if s["min_doc"] is not None]
-        maxs = [s["max_doc"] for s in shard_stats if s["max_doc"] is not None]
-        min_doc = min(mins) if mins else 0
-        max_doc = max(maxs) if maxs else 0
         avgdl = (total_len / num_docs) if num_docs else 1.0
+        id_files: list[list] = []
+        id_bases: dict[str, int] = {}
+        if id_col:
+            mins = [s["min_doc"] for s in shard_stats if s["min_doc"] is not None]
+            maxs = [s["max_doc"] for s in shard_stats if s["max_doc"] is not None]
+            min_doc = min(mins) if mins else 0
+            max_doc = max(maxs) if maxs else 0
+        else:
+            # DENSE implicit ids: doc_id = base(file) + row, bases by
+            # prefix sum over the path-sorted analyzed file list. Fully
+            # deterministic per (input, config) — file names are content
+            # hashes — so resumed/re-run partitions assign identical ids.
+            all_files = sorted(
+                (p, n) for s in shard_stats for p, n in s.get("files", []))
+            base = 0
+            for p, n in all_files:
+                id_files.append([os.path.relpath(p, out_dir), n])
+                id_bases[p] = base
+                base += n
+            min_doc, max_doc = 0, max(0, num_docs - 1)
 
         cand: dict[str, int] = {}
         for s in shard_stats:
@@ -714,7 +757,8 @@ def build_index(
         opts = {"num_returns": S} if S > 1 else {}
         enc_refs = [
             _encode_split_task.options(**opts).remote(
-                g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size)
+                g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size,
+                id_bases if not id_col else None)
             for g in groups
         ]
         if S == 1:
@@ -779,6 +823,8 @@ def build_index(
         meta_cols=meta_cols,
         termstats="segments",  # term dictionary lives in the segment files
         id_col="doc_id",
+        id_assignment="explicit" if id_col else "dense",
+        id_files=id_files,
         lineage={"input": _lineage(files, config, analyzer), "files": len(files)},
         metrics=metrics,
     )

@@ -38,6 +38,13 @@ class IndexManifest:
     termstats: str = "termstats"
     meta_cols: list[str] = field(default_factory=list)
     id_col: str = "doc_id"
+    #: "explicit": doc_id is a physical column of the doc store.
+    #: "dense": doc_id = base(file) + row — Lucene-ordinal-style dense
+    #: ids; ``id_files`` lists [relpath, rows] in id order and bases are
+    #: their prefix sums. (At extreme file counts this list moves to a
+    #: parquet sidecar; list-in-manifest is fine to ~100k files.)
+    id_assignment: str = "explicit"
+    id_files: list[list] = field(default_factory=list)
     lineage: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
     #: commit generation (0 = initial bulk build); bumped by every

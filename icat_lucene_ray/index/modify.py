@@ -68,15 +68,33 @@ class IndexUpdater:
         self.text_col = text_col
         self._creates: list[dict] = []
         self._deletes: list[int] = []
+        self._idx = None
+        self._next_fresh = int(self.m.max_doc) + 1
 
     # ---------------- op surface (S1 modify, Lucene.java:484-513) ------
     def create(self, doc: dict) -> None:
         self._creates.append(dict(doc))
 
     def update(self, doc: dict) -> None:
-        """Delete-then-add by id ≈ updateDocument (Lucene.java:327-330)."""
+        """Delete-then-add by id ≈ updateDocument (Lucene.java:327-330).
+        Like Lucene's IndexWriter, the delete also applies to documents
+        still buffered in THIS batch (same id or same key supersedes the
+        pending create); unknown keys degrade to a plain create."""
         d = dict(doc)
-        self._deletes.append(self._doc_id_of(d))
+        # supersede a pending uncommitted create with the same identity
+        idc = self.m.id_col
+        key_col = next((c for c in ("url", *self.m.meta_cols) if c in d), None)
+        same_id = d.get(idc)
+        same_key = d.get(key_col) if key_col else None
+        self._creates = [
+            c for c in self._creates
+            if not ((same_id is not None and c.get(idc) == same_id)
+                    or (same_key is not None and c.get(key_col) == same_key))
+        ]
+        did = self._doc_id_of(d)
+        if did is not None:
+            self._deletes.append(did)
+            d[idc] = did
         self._creates.append(d)
 
     def delete(self, doc_id: int) -> None:
@@ -105,7 +123,12 @@ class IndexUpdater:
         return len(docs)
 
     # ---------------- commit (ST4) -------------------------------------
-    def _doc_id_of(self, doc: dict) -> int:
+    def _doc_id_of(self, doc: dict, create: bool = False) -> int | None:
+        """Resolve a doc's id: explicit id column if present; in dense-id
+        indexes, look the key column up in the committed doc store (≈
+        the reference's delete-by-id term lookup); fresh creates get the
+        next dense id. Returns None for an update whose key is unknown
+        (treated as a plain create)."""
         idc = self.m.id_col
         if idc in doc and doc[idc] is not None:
             return int(doc[idc])
@@ -113,7 +136,29 @@ class IndexUpdater:
                         if c in doc), None)
         if key_col is None:
             raise ValueError(f"doc needs {idc!r} or a key column")
+        if getattr(self.m, "id_assignment", "explicit") == "dense":
+            found = self._lookup_key(key_col, doc[key_col])
+            if found is not None:
+                return found
+            if create:
+                nid = self._next_fresh
+                self._next_fresh += 1
+                return nid
+            return None
         return int(hash_ids_from_strings([doc[key_col]])[0])
+
+    def _lookup_key(self, key_col: str, value) -> int | None:
+        import pyarrow.dataset as _pads
+
+        from icat_lucene_ray.query.engine import Index
+
+        if self._idx is None:
+            self._idx = Index(self.root)
+        t = self._idx._doc_store_table(
+            columns=[key_col], filter=_pads.field(key_col) == value)
+        if t.num_rows == 0:
+            return None
+        return int(t["doc_id"][t.num_rows - 1].as_py())
 
     def _analyze_creates(self) -> pa.Table:
         from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
@@ -121,7 +166,8 @@ class IndexUpdater:
         van = VectorizedAnalyzer(get_analyzer(self.m.analyzer))
         texts = pa.array([d.get(self.text_col) or "" for d in self._creates])
         offsets, terms, tfs, doc_lens = van.term_freq_batch(texts)
-        ids = pa.array([self._doc_id_of(d) for d in self._creates], pa.int64())
+        ids = pa.array([self._doc_id_of(d, create=True)
+                        for d in self._creates], pa.int64())
         off32 = pa.array(offsets, type=pa.int32())
         cols: dict[str, Any] = {
             "doc_id": ids,
@@ -209,6 +255,8 @@ class IndexUpdater:
 
         # -------- stats + manifest (the atomic commit point) ----------
         m.num_docs = m.num_docs - n_removed + len(self._creates)
+        if getattr(m, "id_assignment", "explicit") == "dense":
+            m.max_doc = max(m.max_doc, self._next_fresh - 1)
         m.total_tokens = m.total_tokens - removed_tokens + added_tokens
         m.avgdl = (m.total_tokens / m.num_docs) if m.num_docs else 1.0
         m.generation = gen
@@ -335,19 +383,17 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
     an_out = os.path.join(out_root, "analyzed", "shard_00000")
     os.makedirs(an_out, exist_ok=True)
 
-    for gen, src in idx._doc_sources:
-        mask_ids = idx._tombstones_after(gen)
-        for frag in src.get_fragments():
-            t = frag.to_table()
-            keep = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False),
-                            mask_ids) if len(mask_ids) else \
-                np.ones(t.num_rows, bool)
-            t = t.filter(pa.array(keep))
-            if t.num_rows:
-                pq.write_table(
-                    t, os.path.join(an_out,
-                                    f"an_{uuid.uuid4().hex[:12]}.parquet"),
-                    row_group_size=8192, compression="zstd")
+    # live rows with explicit doc_id (the merged index always uses
+    # explicit ids: dense bases cannot be preserved across deletions)
+    doc_cols = [f.name for f in idx._doc_sources[0][1].schema]
+    if "doc_id" not in doc_cols:
+        doc_cols = ["doc_id"] + doc_cols
+    live_all = idx._doc_store_table(columns=doc_cols)
+    for s0 in range(0, live_all.num_rows, 65536):
+        t = live_all.slice(s0, 65536)
+        pq.write_table(
+            t, os.path.join(an_out, f"an_{uuid.uuid4().hex[:12]}.parquet"),
+            row_group_size=8192, compression="zstd")
 
     # exact hot-term dfs from the merged segments (tombstones are gone,
     # so the pre-merge manifest values are stale)

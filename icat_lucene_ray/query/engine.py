@@ -97,15 +97,26 @@ class Index:
             (0, self._readers)]
         self._tomb: list[tuple[int, np.ndarray]] = []
         doc_root = m.doc_table_dir()
-        base_files = sorted(
-            os.path.join(r, f)
-            for top in os.listdir(doc_root)
-            if not top.startswith("delta_")
-            for r, _d, fs in os.walk(os.path.join(doc_root, top))
-            for f in fs if f.endswith(".parquet")
-        ) if os.path.isdir(doc_root) else []
+        self._implicit = (getattr(m, "id_assignment", "explicit") == "dense")
+        if self._implicit:
+            # dense ids: the manifest's id_files list IS the doc store in
+            # id order; doc_id = prefix-sum base + row position
+            base_files = [os.path.join(root, p) for p, _n in m.id_files]
+            rows = np.array([n for _p, n in m.id_files], dtype=np.int64)
+            self._bases = np.zeros(len(rows) + 1, dtype=np.int64)
+            np.cumsum(rows, out=self._bases[1:])
+        else:
+            base_files = sorted(
+                os.path.join(r, f)
+                for top in os.listdir(doc_root)
+                if not top.startswith("delta_")
+                for r, _d, fs in os.walk(os.path.join(doc_root, top))
+                for f in fs if f.endswith(".parquet")
+            ) if os.path.isdir(doc_root) else []
         self._doc_sources: list[tuple[int, pads.Dataset]] = [
             (0, pads.dataset(base_files))]
+        self._base_frags = (list(self._doc_sources[0][1].get_fragments())
+                            if self._implicit else None)
         for d in m.deltas:
             if d.get("tombstones"):
                 import pyarrow.parquet as _pq
@@ -151,13 +162,51 @@ class Index:
         keep = ~np.isin(ids, dead)
         return None if keep.all() else keep
 
+    def _base_table(self, cols: list[str], filter=None,
+                    filter_cols: tuple = ()) -> pa.Table:
+        """Base doc-store rows with doc_id attached. In dense-id mode the
+        id is implicit (base + row), so predicates are applied AFTER the
+        ids are attached (via an in-memory dataset wrap) and the columns
+        the predicate touches must be scanned too; explicit mode pushes
+        the filter into the parquet scan."""
+        src = self._doc_sources[0][1]
+        if not self._implicit:
+            return src.to_table(columns=cols, filter=filter)
+        parts = []
+        scan_cols = [c for c in dict.fromkeys(list(cols) + list(filter_cols))
+                     if c != "doc_id"]
+        for i, frag in enumerate(self._base_frags):
+            t = frag.to_table(columns=scan_cols)
+            ids = np.arange(self._bases[i], self._bases[i] + t.num_rows)
+            t = t.add_column(0, "doc_id", pa.array(ids, pa.int64()))
+            if filter is not None:
+                t = pads.dataset(t).to_table(filter=filter)
+            if t.num_rows:
+                parts.append(t.select(cols))
+        return (pa.concat_tables(parts) if parts
+                else self._base_schema_table(cols))
+
+    def _base_schema_table(self, cols: list[str]) -> pa.Table:
+        sch = self._doc_sources[0][1].schema
+        arrays = {}
+        for c in cols:
+            typ = pa.int64() if c == "doc_id" and self._implicit \
+                else sch.field(c).type
+            arrays[c] = pa.array([], typ)
+        return pa.table(arrays)
+
     def _doc_store_table(self, columns: list[str],
-                         filter=None) -> pa.Table:
-        """Live doc-store rows (per-source tombstone masks applied)."""
+                         filter=None, filter_cols: tuple = ()) -> pa.Table:
+        """Live doc-store rows (per-source tombstone masks applied).
+        ``filter_cols`` names the columns the filter expression touches
+        (needed by the dense-id scan path)."""
         cols = list(dict.fromkeys(["doc_id"] + columns))
         parts = []
         for gen, src in self._doc_sources:
-            t = src.to_table(columns=cols, filter=filter)
+            if gen == 0:
+                t = self._base_table(cols, filter, filter_cols)
+            else:
+                t = src.to_table(columns=cols, filter=filter)
             if t.num_rows:
                 ids = t["doc_id"].to_numpy(zero_copy_only=False)
                 keep = self._live_mask(gen, ids)
@@ -267,15 +316,39 @@ class Index:
         return _union_sum([self._score_stem(s, doc_range) for s in stems])
 
     # ---------------- doc-store predicates ----------------------------
-    def _doc_ids_where(self, expr) -> np.ndarray:
-        t = self._doc_store_table(columns=["doc_id"], filter=expr)
+    def _doc_ids_where(self, expr, fields: tuple = ()) -> np.ndarray:
+        t = self._doc_store_table(columns=["doc_id"], filter=expr,
+                                  filter_cols=fields)
         return np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
 
     def all_doc_ids(self) -> np.ndarray:
         if self._all_docs is None:
-            t = self._doc_store_table(columns=["doc_id"])
-            self._all_docs = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+            if self._implicit and len(self._doc_sources) == 1 \
+                    and not self._tomb:
+                self._all_docs = np.arange(int(self._bases[-1]))
+            else:
+                t = self._doc_store_table(columns=["doc_id"])
+                self._all_docs = np.sort(
+                    t["doc_id"].to_numpy(zero_copy_only=False))
         return self._all_docs
+
+    def _doc_batches(self, scan_cols: list[str]):
+        """Yield (gen, record_batch_with_doc_id) across all sources."""
+        for gen, src in self._doc_sources:
+            if gen == 0 and self._implicit:
+                cols = [c for c in scan_cols if c != "doc_id"]
+                for i, frag in enumerate(self._base_frags):
+                    off = int(self._bases[i])
+                    for b in frag.to_batches(columns=cols):
+                        t = pa.Table.from_batches([b]).add_column(
+                            0, "doc_id",
+                            pa.array(np.arange(off, off + len(b)), pa.int64()))
+                        off += len(b)
+                        yield gen, t
+            else:
+                for b in src.to_batches(
+                        columns=list(dict.fromkeys(["doc_id"] + scan_cols))):
+                    yield gen, b
 
     @staticmethod
     def _filter_expr(q: Filter):
@@ -357,10 +430,11 @@ class Index:
             expr = self._filter_expr(q)
             if expr is None:
                 return np.empty(0, np.int64), None
-            return self._doc_ids_where(expr), None
+            return self._doc_ids_where(expr, (q.field_name,)), None
         if isinstance(q, RangeFilter):
             expr = self._range_expr(q)
-            docs = self.all_doc_ids() if expr is None else self._doc_ids_where(expr)
+            docs = self.all_doc_ids() if expr is None else \
+                self._doc_ids_where(expr, (q.field_name,))
             return docs, None
         if isinstance(q, Or):
             parts = [self._eval(c, deadline, doc_range) for c in q.clauses]
@@ -440,6 +514,18 @@ class Index:
         return docs[order], scores[order]
 
     def _fetch_doc_rows(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        if self._implicit and len(self._doc_sources) == 1 and not self._tomb:
+            # dense ids double as row positions -> O(k) point lookups
+            # that read only the touched row groups
+            ids = np.asarray(doc_ids, dtype=np.int64)
+            n_base = int(self._bases[-1])
+            ids = ids[(ids >= 0) & (ids < n_base)]
+            cols = [c for c in dict.fromkeys(["doc_id"] + columns)
+                    if c != "doc_id"]
+            t = self._doc_sources[0][1].take(pa.array(np.sort(ids)),
+                                             columns=cols)
+            return t.add_column(0, "doc_id",
+                                pa.array(np.sort(ids), pa.int64()))
         expr = pads.field("doc_id").isin(pa.array(doc_ids))
         return self._doc_store_table(columns, filter=expr)
 
@@ -672,10 +758,7 @@ class Index:
         counters: dict[str, dict] = {d: {} for d in (dims or [])}
         range_counts: dict[str, list[int]] = {
             f: [0] * len(rs) for f, rs in (ranges or {}).items()}
-        batches = (
-            (gen, b) for gen, src in self._doc_sources
-            for b in src.to_batches(columns=["doc_id"] + scan_cols))
-        for gen, batch in batches:
+        for gen, batch in self._doc_batches(scan_cols):
             bids = batch["doc_id"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(docs, bids)
             pos[pos >= len(docs)] = max(0, len(docs) - 1)

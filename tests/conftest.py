@@ -73,7 +73,13 @@ def engine(built_index):
 
 
 @pytest.fixture(scope="session")
-def oracle(pages_table):
+def oracle(pages_table, engine):
     from icat_lucene_ray.query import OracleIndex
 
-    return OracleIndex(pages_table, analyzer="icat")
+    # dense ids are assigned by the build; take the url -> id map from
+    # the engine's doc store so oracle and engine agree on identities
+    t = engine._doc_store_table(columns=["url"])
+    m = dict(zip(t["url"].to_pylist(), t["doc_id"].to_pylist()))
+    ids = pa.array([m[u] for u in pages_table["url"].to_pylist()], pa.int64())
+    tbl = pages_table.append_column("doc_id", ids)
+    return OracleIndex(tbl, analyzer="icat", id_col="doc_id")

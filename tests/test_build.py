@@ -74,10 +74,16 @@ def test_hot_term_slices_disjoint_ordered(built_index, engine):
 def test_doc_table_columns(built_index):
     ds = pads.dataset(built_index.doc_table_dir())
     names = set(ds.schema.names)
-    assert {"doc_id", "doc_len", "terms", "tfs", "lang", "warc_ts", "url"} <= names
+    # dense-id layout: doc_id is implicit (base + row), not a column
+    assert {"doc_len", "terms", "tfs", "lang", "warc_ts", "url"} <= names
+    assert built_index.id_assignment == "dense"
+    assert sum(n for _p, n in built_index.id_files) == built_index.num_docs
 
 
 def test_doc_ids_unique(built_index):
-    t = pads.dataset(built_index.doc_table_dir()).to_table(columns=["doc_id"])
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    from icat_lucene_ray.query import Index
+
+    ids = Index(built_index.root).all_doc_ids()
     assert len(np.unique(ids)) == len(ids) == built_index.num_docs
+    # dense: exactly [0, N)
+    assert ids.min() == 0 and ids.max() == built_index.num_docs - 1

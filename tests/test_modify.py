@@ -182,20 +182,25 @@ def test_search_scores_consistent_after_merge(ray_session, tmp_path):
         columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
     probe = ts["term"].iloc[0]
     r = midx.search(Term(probe), k=10)
-    # brute-force oracle over the surviving raw corpus
+    # brute-force oracle over the surviving raw corpus, ids taken from
+    # the merged index's live doc store (dense ids are build-assigned)
     import glob
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from icat_lucene_ray.index.docids import hash_ids_from_strings
     from icat_lucene_ray.query.oracle import OracleIndex
 
+    live = midx._doc_store_table(columns=["url"])
+    id_of = dict(zip(live["url"].to_pylist(), live["doc_id"].to_pylist()))
     corpus = pa.concat_tables([pq.read_table(f) for f in
                                sorted(glob.glob(pages + "/*.parquet"))])
-    ids = hash_ids_from_strings(corpus["url"].combine_chunks())
-    keep = ~np.isin(ids, np.asarray(victims))
-    oracle = OracleIndex(corpus.filter(pa.array(keep)))
+    urls = corpus["url"].to_pylist()
+    keep = np.array([u in id_of for u in urls])
+    corpus = corpus.filter(pa.array(keep))
+    ids = pa.array([id_of[u] for u in corpus["url"].to_pylist()], pa.int64())
+    oracle = OracleIndex(corpus.append_column("doc_id", ids),
+                         id_col="doc_id")
     e = oracle.search(Term(probe), k=10)
     got = [(int(d), round(float(s), 9)) for d, s in
            zip(r.table["doc_id"].to_pylist(), r.table["score"].to_pylist())]
