@@ -78,13 +78,10 @@ def cmd_modify(args):
     """Apply a JSON op array (the reference's POST /modify payload,
     Lucene.java:481-513) and commit."""
     from icat_lucene_ray.index.modify import IndexUpdater
+    from icat_lucene_ray.sources import read_modify_ops
 
     _init_ray(args.num_cpus)
-    if args.ops == "-":
-        ops = json.load(sys.stdin)
-    else:
-        with open(args.ops) as f:
-            ops = json.load(f)
+    ops = read_modify_ops(sys.stdin if args.ops == "-" else args.ops)
     up = IndexUpdater(args.index)
     up.modify(ops)
     m = up.commit()
