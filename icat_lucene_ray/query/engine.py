@@ -315,6 +315,61 @@ class Index:
     def _eval_stems(self, stems: list[str], doc_range=None):
         return _union_sum([self._score_stem(s, doc_range) for s in stems])
 
+    def _score_stem_for_docs(self, stem: str, cand: np.ndarray):
+        """Score ``stem`` ONLY at the sorted candidate doc ids: decode
+        just the posting blocks whose doc range covers a candidate
+        (block_last skip data), then intersect — the skip-pointer AND
+        read path. Exact same per-posting scores as a full decode."""
+        df = self.term_df(stem)
+        if df == 0 or not len(cand):
+            return _EMPTY
+        idf = self.idf(df)
+        k1, b = self.cfg.k1, self.cfg.b
+        parts = []
+        use_actors = self._actors is not None
+        if use_actors:
+            import ray
+        for gen, grp in self._gen_readers:
+            for seg, bucket in self._slices(stem):
+                if use_actors and gen == 0:
+                    ai = self._actor_of.get(seg)
+                    if ai is None:
+                        continue
+                    actor = self._actors[ai]
+                    meta = ray.get(actor.block_meta.remote(seg, stem, bucket))
+                else:
+                    r = grp.reader(seg)
+                    meta = r.block_meta(stem, bucket) if r else None
+                if meta is None:
+                    continue
+                block_last = meta[0].astype(np.int64)
+                bsel = np.unique(np.searchsorted(block_last, cand))
+                bsel = bsel[bsel < len(block_last)]
+                if not len(bsel):
+                    continue
+                if use_actors and gen == 0:
+                    ids, sc = ray.get(actor.score_blocks.remote(
+                        seg, stem, bucket, idf, k1, b, self.avgdl, bsel))
+                else:
+                    ids, sc = grp.reader(seg).score_blocks(
+                        stem, bucket, idf, k1, b, self.avgdl, bsel)
+                if not len(ids):
+                    continue
+                pos = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
+                keep = cand[pos] == ids
+                if keep.any():
+                    # per-generation tombstone mask: an updated doc's id is
+                    # live (in cand) but its base-generation postings are not
+                    parts.append(self._mask_part(gen, (ids[keep], sc[keep])))
+        if not parts:
+            return _EMPTY
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        if len(docs) > 1 and np.any(docs[1:] < docs[:-1]):
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+        return docs, scores
+
     # ---------------- doc-store predicates ----------------------------
     def _doc_ids_where(self, expr, fields: tuple = ()) -> np.ndarray:
         t = self._doc_store_table(columns=["doc_id"], filter=expr,
@@ -474,7 +529,14 @@ class Index:
         any_scored = False
         rng = doc_range
         for c in clauses:
-            docs, scores = self._eval(c, deadline, rng)
+            # skip-pointer path: once candidates exist, a single-stem
+            # term clause decodes only the blocks covering them
+            stems1 = (self.analyzer.analyze_query_term(c.text)
+                      if isinstance(c, Term) and cand is not None else None)
+            if stems1 is not None and len(stems1) == 1:
+                docs, scores = self._score_stem_for_docs(stems1[0], cand)
+            else:
+                docs, scores = self._eval(c, deadline, rng)
             if scores is None:
                 scores = np.zeros(len(docs))
             else:
@@ -573,7 +635,7 @@ class Index:
         bound cannot beat the current k-th score — exact top-k, decode
         cost ~O(k/B) blocks instead of df. Returns None when the query
         shape doesn't qualify (the general evaluator handles it)."""
-        if not isinstance(q, Term) or self._actors is not None:
+        if not isinstance(q, Term):
             return None
         # tombstones make df/total unsafe; delta generations live outside
         # the base readers — both fall back to the general evaluator
@@ -597,15 +659,37 @@ class Index:
         idf = self.idf(df)
         k1, b = self.cfg.k1, self.cfg.b
 
-        # flat (slice_idx, block_idx) list ordered by descending bound
+        # flat (slice_idx, block_idx) list ordered by descending bound;
+        # slices resolve to inline readers or to segment actors (same
+        # block protocol either way — only selected blocks are decoded,
+        # and with actors only (ids, scores) cross the object store)
         per_slice = []
         bounds_all, sidx_all, bidx_all = [], [], []
         for si, (seg, bucket) in enumerate(self._slices(stem)):
-            rdr = self._readers.reader(seg)
-            meta = rdr.block_meta(stem, bucket) if rdr else None
-            if meta is None:
-                continue
-            per_slice.append((rdr, stem, bucket))
+            if self._actors is not None:
+                import ray
+
+                ai = self._actor_of.get(seg)
+                if ai is None:
+                    continue
+                actor = self._actors[ai]
+                meta = ray.get(actor.block_meta.remote(seg, stem, bucket))
+                if meta is None:
+                    continue
+
+                def score_fn(blocks, *, actor=actor, seg=seg, bucket=bucket):
+                    return ray.get(actor.score_blocks.remote(
+                        seg, stem, bucket, idf, k1, b, self.avgdl, blocks))
+            else:
+                rdr = self._readers.reader(seg)
+                meta = rdr.block_meta(stem, bucket) if rdr else None
+                if meta is None:
+                    continue
+
+                def score_fn(blocks, *, rdr=rdr, bucket=bucket):
+                    return rdr.score_blocks(
+                        stem, bucket, idf, k1, b, self.avgdl, blocks)
+            per_slice.append(score_fn)
             bmax = meta[1].astype(np.float64)
             bounds_all.append(idf * bmax)
             sidx_all.append(np.full(len(bmax), len(per_slice) - 1))
@@ -635,10 +719,7 @@ class Index:
                 if len(take) == 0:
                     continue
             for si in np.unique(sidx[take]):
-                rdr, s_stem, s_bucket = per_slice[si]
-                ids, scores = rdr.score_blocks(
-                    s_stem, s_bucket, idf, k1, b, self.avgdl,
-                    bidx[take[sidx[take] == si]])
+                ids, scores = per_slice[si](bidx[take[sidx[take] == si]])
                 cand_d = np.concatenate([cand_d, ids])
                 cand_s = np.concatenate([cand_s, scores])
             keep_d, keep_s = cand_d, cand_s
@@ -817,6 +898,17 @@ def _make_segment_actor():
 
         def df(self, seg_id, term, bucket=0):
             return self.group.df(seg_id, term, bucket)
+
+        def block_meta(self, seg_id, term, bucket=0):
+            r = self.group.reader(seg_id)
+            return None if r is None else r.block_meta(term, bucket)
+
+        def score_blocks(self, seg_id, term, bucket, idf, k1, b, avgdl,
+                         sel_blocks):
+            r = self.group.reader(seg_id)
+            return (np.empty(0, np.int64), np.empty(0, np.float64)) \
+                if r is None else r.score_blocks(
+                    term, bucket, idf, k1, b, avgdl, sel_blocks)
 
     return _SegmentActor
 

@@ -91,3 +91,17 @@ def test_pruning_skips_blocks(bmw_index, monkeypatch):
     r = idx2.search(Term(t), k=10)
     assert r.table.num_rows == 10
     assert 0 < decoded["n"] < total_blocks
+
+
+def test_pruned_actor_mode_matches_inline(bmw_index):
+    idx_in = Index(bmw_index)
+    idx_ac = Index(bmw_index, use_actors=True, num_actors=2)
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(idx_in.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    for t in ts["term"].iloc[[0, len(ts) // 2, -1]]:
+        a = idx_in.search(Term(t), k=10)
+        b = idx_ac.search(Term(t), k=10)
+        assert a.table.equals(b.table), t
+        assert a.total_hits == b.total_hits
