@@ -384,6 +384,33 @@ def _keep_latest_event(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _mm_image_features(sf_dir: str):
+    """Multimodal plumbing: attach deterministic fake image blobs to the
+    documents table, run the ImageDecoder actor-pool stage (small batch
+    size — binary payloads are MBs/row in production), emit per-image
+    metadata + feature vector. Real decode is stubbed (no PIL/ffmpeg in
+    this container); the Ray-side schema/actor/batch plumbing is real."""
+    import ray.data
+    from icat_lucene_ray.ops.multimodal import ImageDecoder, make_fake_image
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        blobs = [make_fake_image(int(d)) for d in b["doc_id"].to_pylist()]
+        return b.append_column("image", pa.array(blobs, pa.binary()))
+
+    out = (ds.map_batches(attach, batch_format="pyarrow")
+             .map_batches(ImageDecoder, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["width"] = [m["width"] for m in out["image_meta"]]
+    out["feat0"] = [round(float(f[0]), 6) for f in out["image_feat"]]
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "width": pa.array(out["width"], pa.int32()),
+                     "feat0": pa.array(out["feat0"], pa.float64())})
+
+
 def _rel_denorm_update(sf_dir: str):
     """J2 updateByRelation (Lucene.java:1846-1939): broadcast the changed
     parent rows, rewrite mapped fields into every child row."""
@@ -542,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_path_segment": _ft_path_segment,
         "ft_path_prefix": _ft_path_prefix,
         "ft_path_filename": _ft_path_filename,
+        "mm_image_features": _mm_image_features,
     }
 
 
