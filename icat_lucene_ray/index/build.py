@@ -426,7 +426,7 @@ class SegmentWriter:
         path = os.path.join(self.out_dir, "segments",
                             f"{self.name_prefix}_{skey:05d}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(seg, tmp, row_group_size=2048, compression="zstd")
+        pq.write_table(seg, tmp, row_group_size=256, compression="zstd")
         os.replace(tmp, path)  # atomic, idempotent on retry
         return pa.table({
             "seg_id": pa.array([skey], pa.int32()),

@@ -339,7 +339,7 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
     }).sort_by([("term", "ascending"), ("bucket", "ascending")])
     path = os.path.join(out_dir, "segments", f"seg_{seg_id:05d}.parquet")
     tmp = path + ".tmp"
-    pq.write_table(seg, tmp, row_group_size=2048, compression="zstd")
+    pq.write_table(seg, tmp, row_group_size=256, compression="zstd")
     os.replace(tmp, path)
     n_post = int(np.sum([e - s for s, e in zip(starts, ends)]))
     return {"seg_id": seg_id, "n_terms": seg.num_rows,

@@ -25,10 +25,15 @@ class SegmentReader:
     def __init__(self, path: str, codec_block: int = 128, cache_terms: int = 4096):
         self.path = path
         self.block = codec_block
-        # Load the segment once; binary posting payloads stay as Arrow
-        # buffers (zstd-decompressed by parquet) until a term is decoded.
-        t = pq.read_table(path)
-        self._tbl = t
+        # Open metadata + skip data eagerly (small); the heavy posting
+        # payload columns load lazily on the first decode — keeps
+        # cold-open latency low for term-dictionary / df lookups.
+        t = pq.read_table(path, columns=["term", "bucket", "df",
+                                         "block_last", "block_max"])
+        self._meta_tbl = t
+        self._payload: pq.ParquetFile | None = None
+        self._rg_cache: dict[int, object] = {}
+        self._rg_bounds: np.ndarray | None = None
         self._cache: OrderedDict[tuple[str, int], tuple] = OrderedDict()
         self._cache_cap = cache_terms
         # term dictionary: (term, bucket) -> row
@@ -40,6 +45,26 @@ class SegmentReader:
         self._df: dict[tuple[str, int], int] = dict(
             zip(self._rows.keys(), t["df"].to_pylist())
         )
+
+    def _cell(self, col: str, row: int):
+        """Payload cell access via per-row-group reads: only the row
+        group holding ``row`` is read (and cached), so a cold lookup
+        costs ~1 row group of the docs/tfs/dls columns, not the whole
+        segment."""
+        if self._payload is None:
+            self._payload = pq.ParquetFile(self.path)
+            md = self._payload.metadata
+            bounds = np.zeros(md.num_row_groups + 1, dtype=np.int64)
+            for i in range(md.num_row_groups):
+                bounds[i + 1] = bounds[i] + md.row_group(i).num_rows
+            self._rg_bounds = bounds
+        rg = int(np.searchsorted(self._rg_bounds, row, side="right") - 1)
+        t = self._rg_cache.get(rg)
+        if t is None:
+            t = self._payload.read_row_group(rg, columns=["docs", "tfs", "dls"])
+            self._rg_cache[rg] = t
+        return {c: t[c][row - int(self._rg_bounds[rg])].as_py()
+                for c in ("docs", "tfs", "dls")}
 
     # ------------------------------------------------------------------
     def df(self, term: str, bucket: int = 0) -> int:
@@ -58,11 +83,11 @@ class SegmentReader:
         row = self._rows.get(key)
         if row is None:
             return None
-        tb = self._tbl
-        docs = decode_u64_blocks(tb["docs"][row].as_py(), self.block)
+        cell = self._cell("docs", row)
+        docs = decode_u64_blocks(cell["docs"], self.block)
         doc_ids = np.cumsum(docs.astype(np.int64))
-        tfs = decode_u64_blocks(tb["tfs"][row].as_py(), self.block).astype(np.int64)
-        dls = decode_u64_blocks(tb["dls"][row].as_py(), self.block).astype(np.int64)
+        tfs = decode_u64_blocks(cell["tfs"], self.block).astype(np.int64)
+        dls = decode_u64_blocks(cell["dls"], self.block).astype(np.int64)
         out = (doc_ids, tfs, dls)
         self._cache[key] = out
         if len(self._cache) > self._cache_cap:
@@ -74,7 +99,7 @@ class SegmentReader:
         row = self._rows.get((term, bucket))
         if row is None:
             return None
-        tb = self._tbl
+        tb = self._meta_tbl
         return (
             np.frombuffer(tb["block_last"][row].as_py(), dtype=np.uint64),
             np.frombuffer(tb["block_max"][row].as_py(), dtype=np.float32),
@@ -95,17 +120,18 @@ class SegmentReader:
         row = self._rows.get(key)
         if row is None or len(sel_blocks) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        tb = self._tbl
-        block_last = np.frombuffer(tb["block_last"][row].as_py(),
-                                   dtype=np.uint64).astype(np.int64)
+        block_last = np.frombuffer(
+            self._meta_tbl["block_last"][row].as_py(),
+            dtype=np.uint64).astype(np.int64)
+        cell = self._cell("docs", row)
         n = int(self._df[key])
         nblocks = len(block_last)
         block = self.block
         mask = np.zeros(nblocks, dtype=bool)
         mask[sel_blocks] = True
-        deltas = decode_u64_blocks(tb["docs"][row].as_py(), block, mask)
-        tfs = decode_u64_blocks(tb["tfs"][row].as_py(), block, mask)
-        dls = decode_u64_blocks(tb["dls"][row].as_py(), block, mask)
+        deltas = decode_u64_blocks(cell["docs"], block, mask)
+        tfs = decode_u64_blocks(cell["tfs"], block, mask)
+        dls = decode_u64_blocks(cell["dls"], block, mask)
 
         idxs = np.sort(np.asarray(sel_blocks, dtype=np.int64))
         starts = idxs * block
@@ -148,11 +174,11 @@ class SegmentReader:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             mask = np.zeros(nblocks, dtype=bool)
             mask[b0 : min(nblocks, b1 + 1)] = True
-            tb = self._tbl
-            docs = decode_u64_blocks(tb["docs"][row].as_py(), self.block)
+            cell = self._cell("docs", row)
+            docs = decode_u64_blocks(cell["docs"], self.block)
             doc_ids = np.cumsum(docs.astype(np.int64))
-            tfs = decode_u64_blocks(tb["tfs"][row].as_py(), self.block, mask)
-            dls = decode_u64_blocks(tb["dls"][row].as_py(), self.block, mask)
+            tfs = decode_u64_blocks(cell["tfs"], self.block, mask)
+            dls = decode_u64_blocks(cell["dls"], self.block, mask)
             sel = np.repeat(mask, self.block)[: len(doc_ids)]
             sel &= (doc_ids >= lo) & (doc_ids <= hi)
             d, t_, l_ = doc_ids[sel], tfs[sel].astype(np.int64), dls[sel].astype(np.int64)
