@@ -206,3 +206,28 @@ def test_search_scores_consistent_after_merge(ray_session, tmp_path):
            zip(r.table["doc_id"].to_pylist(), r.table["score"].to_pylist())]
     want = [(int(d), round(float(s), 9)) for d, s in e]
     assert got == want
+
+
+def test_facets_and_sort_respect_tombstones(small_index):
+    idx0 = Index(small_index)
+    f0 = idx0.facets(MatchAll(), dims=["lang"])["lang"]
+    # delete every doc of the most common language
+    top_lang = max(f0, key=f0.get)
+    import pyarrow.dataset as pads
+
+    victims = idx0._doc_ids_where(
+        pads.field("lang") == top_lang, ("lang",)).tolist()
+    up = IndexUpdater(small_index)
+    for d in victims:
+        up.delete(d)
+    up.create({"url": "https://f.test/n", "text": "facetful doc", "lang": "xx"})
+    up.commit()
+
+    idx = Index(small_index)
+    f1 = idx.facets(MatchAll(), dims=["lang"])["lang"]
+    assert top_lang not in f1
+    assert f1.get("xx") == 1
+    assert sum(f1.values()) == idx.N
+    # field-sorted search never returns tombstoned ids
+    r = idx.search(MatchAll(), k=50, sort=[("lang", False)])
+    assert not set(r.table["doc_id"].to_pylist()) & set(victims)
