@@ -724,6 +724,11 @@ def build_index(
             # hashes — so resumed/re-run partitions assign identical ids.
             all_files = sorted(
                 (p, n) for s in shard_stats for p, n in s.get("files", []))
+            if sum(n for _p, n in all_files) != num_docs:
+                raise RuntimeError(
+                    "dense-id base assignment inconsistent with shard "
+                    "stats (stale resume marker from an older layout?) — "
+                    "rebuild without --resume")
             base = 0
             for p, n in all_files:
                 id_files.append([os.path.relpath(p, out_dir), n])
