@@ -319,7 +319,7 @@ def minhash_lsh_dedup(
                                    shingle_k=shingle_k, text_col=text_col,
                                    id_col=id_col),
         batch_format="pyarrow",
-        concurrency=_pool_size(),
+        concurrency=(1, _pool_size()),
     )
     pairs_tbl = (
         sig.groupby("bucket")
@@ -450,7 +450,7 @@ def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
     pigeonhole); verify by exact hamming distance."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=_pool_size(),
+        batch_format="pyarrow", concurrency=(1, _pool_size()),
     )
     pairs: set[tuple[int, int]] = set()
     sig_of: dict[int, int] = {}
