@@ -75,7 +75,7 @@ import ray.data
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.config import DEFAULT_CONFIG, EngineConfig
 from icat_lucene_ray.index.codec import encode_postings_multi
-from icat_lucene_ray.index.docids import hash_ids_from_strings, term_shards_np
+from icat_lucene_ray.index.docids import term_shards_np
 from icat_lucene_ray.index.manifest import IndexManifest
 
 
