@@ -253,7 +253,8 @@ def _dedup_minhash(sf_dir: str):
     from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
 
     res = minhash_lsh_dedup(_docs_ds(sf_dir), threshold=0.8)
-    return pa.table({"doc_id": pa.array(res["keep"], pa.int64())})
+    keep = sorted(res["keep_ds"].to_pandas()["doc_id"].astype(int))
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
 
 def _dedup_simhash(sf_dir: str):
@@ -304,9 +305,10 @@ def _ann_ivf_topk(sf_dir: str):
     from icat_lucene_ray.ops.similarity import ivf_topk
 
     ds = _emb_ds(sf_dir)
-    pdf = ds.limit(4).to_pandas()
-    q = np.asarray(pdf[pdf.vec_id == pdf.vec_id.min()]["embedding"].iloc[0],
-                   dtype=np.float64)
+    q_tbl = ds.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)),
+                           batch_format="pyarrow").take_batch(
+        1, batch_format="pyarrow")
+    q = np.asarray(q_tbl["embedding"][0].as_py(), dtype=np.float64)
     t = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=4)
     t = t.select(["vec_id", "cosine"])
     return _round6(t, "cosine")

@@ -137,14 +137,16 @@ class IndexUpdater:
         if key_col is None:
             raise ValueError(f"doc needs {idc!r} or a key column")
         if getattr(self.m, "id_assignment", "explicit") == "dense":
-            found = self._lookup_key(key_col, doc[key_col])
-            if found is not None:
-                return found
             if create:
+                # a plain create ALWAYS allocates a fresh dense id
+                # (reference addDocument semantics, Lucene.java:496-499) —
+                # reusing a committed id here would leave two live doc-store
+                # rows under one doc_id and break the unique-sorted-id
+                # invariant the query engine relies on
                 nid = self._next_fresh
                 self._next_fresh += 1
                 return nid
-            return None
+            return self._lookup_key(key_col, doc[key_col])
         return int(hash_ids_from_strings([doc[key_col]])[0])
 
     def _lookup_key(self, key_col: str, value) -> int | None:

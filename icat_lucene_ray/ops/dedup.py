@@ -303,21 +303,38 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    target_bucket_rows: int = 65536,
 ) -> dict:
     """MinHash+LSH near-dup detection:
-    shingle→minhash→band→``groupby(bucket)`` (bounded cardinality — the
-    bucket id folds (band, band_hash), so the shuffle has ≤512 groups
-    and pair emission inside each group is one vectorized lexsort, not
-    one Python call per LSH key)→candidate pairs→exact n-gram-Jaccard
-    verify→connected components (driver union-find over the small
-    verified-pair set). Returns
-    ``{"pairs": [(a, b, jaccard)...], "clusters": {doc: root}, "keep": [ids]}``.
+    shingle→minhash→band→``groupby(bucket)``→candidate pairs→exact
+    n-gram-Jaccard verify→connected components (driver union-find over
+    the small verified-pair set).
+
+    Scale invariants (the three things that must stay true at 100 TB):
+
+    - the shuffle key is a coarse bucket whose COUNT grows with the
+      corpus (``ceil(rows·bands / target_bucket_rows)``), so each
+      ``map_groups`` group holds ~``target_bucket_rows`` exploded rows
+      regardless of N; pair emission inside a group is one vectorized
+      lexsort over the true (band, band_hash) collision keys;
+    - candidate texts are fetched by a CLUSTER-side ``is_in`` filter
+      (only survivors reach the driver), never a driver scan;
+    - the full corpus is never materialized: the result carries the
+      (small) ``drop`` set plus a lazy ``keep_ds`` Dataset — callers
+      stream it or write it, the op itself pulls only pairs.
+
+    Returns ``{"pairs": [(a, b, jaccard)...], "clusters": {doc: root},
+    "drop": [ids], "keep_ds": Dataset[id_col]}``.
     """
+    if num_buckets is None:
+        n_rows = ds.count()  # parquet metadata count — no scan
+        num_buckets = max(64, -(-n_rows * bands // target_bucket_rows))
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col),
+                                   id_col=id_col, num_buckets=num_buckets),
         batch_format="pyarrow",
         concurrency=(1, _pool_size()),
     )
@@ -325,18 +342,19 @@ def minhash_lsh_dedup(
         sig.groupby("bucket")
         .map_groups(lambda g: _bucket_pairs_vec(g, id_col),
                     batch_format="pyarrow")
-    ).to_pandas()
+    ).to_pandas()  # candidate pairs only — small by LSH design
     if len(pairs_tbl) == 0:
-        keep = sorted(ds.select_columns([id_col]).to_pandas()[id_col].tolist())
-        return {"pairs": [], "clusters": {}, "keep": keep}
+        return {"pairs": [], "clusters": {}, "drop": [],
+                "keep_ds": ds.select_columns([id_col])}
     cand = set(zip(pairs_tbl["id_a"], pairs_tbl["id_b"]))
 
-    # verify candidates exactly (fetch texts of involved docs only)
+    # verify candidates exactly (cluster-side filter; survivors only)
     involved = sorted({d for p in cand for d in p})
-    texts = _fetch_texts(ds, involved, text_col, id_col)
+    texts = _fetch_rows_by_id(ds, involved, [text_col], id_col)
     verified = []
     for a, b in sorted(cand):
-        j = ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+        j = ngram_jaccard(texts.get(a, (None,))[0] or "",
+                          texts.get(b, (None,))[0] or "", shingle_k)
         if j >= threshold:
             verified.append((int(a), int(b), j))
 
@@ -353,24 +371,56 @@ def minhash_lsh_dedup(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     clusters = {d: find(d) for d in involved if find(d) != d or d in parent}
-    drop = {d for d, r in clusters.items() if r != d}
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].tolist()
-    keep = sorted(d for d in all_ids if d not in drop)
-    return {"pairs": verified, "clusters": clusters, "keep": keep}
+    drop = sorted(d for d, r in clusters.items() if r != d)
+    keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
+    return {"pairs": verified, "clusters": clusters, "drop": drop,
+            "keep_ds": keep_ds}
 
 
-def _fetch_texts(ds, ids, text_col, id_col) -> dict[int, str]:
-    """Fetch the texts of the given ids only (vectorized is_in filter
-    per batch; only matching rows reach the driver)."""
-    want = pa.array(list(ids), pa.int64())
-    out: dict[int, str] = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow"):
-        m = pc.is_in(batch[id_col], value_set=want)
-        hit = batch.filter(m)
-        for d, t in zip(hit[id_col].to_pylist(), hit[text_col].to_pylist()):
-            out[d] = t
-    return out
+def _isin_batch(batch: pa.Table, *, want_ref, cols, id_col, invert=False):
+    """map_batches fn: keep (or drop) rows whose id is in the broadcast
+    set. ``want_ref`` is a ``ray.put`` ObjectRef — resolved zero-copy
+    per task, never re-shipped per batch."""
+    import ray as _ray
+
+    want = _ray.get(want_ref) if isinstance(want_ref, _ray.ObjectRef) \
+        else want_ref
+    m = pc.is_in(batch[id_col], value_set=want)
+    if invert:
+        m = pc.invert(m)
+    return batch.select(cols).filter(m)
+
+
+def filter_out_ids(ds: ray.data.Dataset, drop_ids, id_col: str = "doc_id"
+                   ) -> ray.data.Dataset:
+    """Lazy cluster-side anti-filter: broadcast the (small) drop set via
+    ``ray.put`` and drop matching rows in ``map_batches``."""
+    import ray as _ray
+
+    if not len(drop_ids):
+        return ds
+    ref = _ray.put(pa.array(list(drop_ids), pa.int64()))
+    cols = ds.schema().names
+    return ds.map_batches(
+        _isin_batch,
+        fn_kwargs=dict(want_ref=ref, cols=cols, id_col=id_col, invert=True),
+        batch_format="pyarrow",
+    )
+
+
+def _fetch_rows_by_id(ds, ids, cols: list[str], id_col) -> dict[int, tuple]:
+    """Fetch the given ids' rows only: the ``is_in`` filter runs
+    CLUSTER-side (broadcast id set), so only matching rows cross to the
+    driver — never the corpus."""
+    import ray as _ray
+
+    ref = _ray.put(pa.array(list(ids), pa.int64()))
+    hits = ds.map_batches(
+        _isin_batch,
+        fn_kwargs=dict(want_ref=ref, cols=[id_col] + cols, id_col=id_col),
+        batch_format="pyarrow",
+    ).take_all()  # |ids| rows at most
+    return {int(r[id_col]): tuple(r[c] for c in cols) for r in hits}
 
 
 def _pool_size() -> int:
@@ -433,8 +483,9 @@ class SimHasher:
         hs = self.simhash_batch(batch[self.text_col])
         cols = {
             self.id_col: pa.array(ids, pa.int64()),
-            "simhash": pa.array(
-                (hs & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)),
+            # full 64 bits, two's-complement reinterpretation (no mask —
+            # bit 63 participates in hamming distance)
+            "simhash": pa.array(hs.view(np.int64)),
         }
         for band in range(4):
             cols[f"sh_band{band}"] = pa.array(
@@ -443,30 +494,114 @@ class SimHasher:
         return pa.table(cols)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (unpackbits; no numpy>=2
+    bitwise_count dependency)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8)).reshape(-1, 64) \
+        .sum(axis=1).astype(np.int64)
+
+
+def _explode_simhash_bands(batch: pa.Table, *, id_col: str,
+                           num_buckets: int) -> pa.Table:
+    """(id, simhash, band0..3) rows -> (bucket, band, value, id, simhash)
+    exploded rows; bucket folds (band, value) to a bounded shuffle key."""
+    n = batch.num_rows
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sh = batch["simhash"].to_numpy(zero_copy_only=False)
+    bands = np.repeat(np.arange(4, dtype=np.int32), n)
+    vals = np.concatenate([
+        batch[f"sh_band{b}"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in range(4)])
+    bucket = ((vals.astype(np.uint64)
+               + np.uint64(0x9e37_79b9) * bands.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int32)
+    return pa.table({
+        "bucket": pa.array(bucket),
+        "band": pa.array(bands),
+        "value": pa.array(vals, pa.int64()),
+        id_col: pa.array(np.tile(ids, 4), pa.int64()),
+        "simhash": pa.array(np.tile(sh, 4), pa.int64()),
+    })
+
+
+def _simhash_bucket_pairs(group: pa.Table, *, id_col: str, max_hamming: int,
+                          cap: int = 50) -> pa.Table:
+    """One bucket-shard: equal (band, value) runs -> intra-run pairs,
+    verified by exact 64-bit hamming distance, vectorized."""
+    band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group["value"].to_numpy(zero_copy_only=False)
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.lexsort((ids, val, band))
+    band, val, ids, sh = band[order], val[order], ids[order], sh[order]
+    change = np.empty(len(band), dtype=bool)
+    change[0] = True
+    change[1:] = (band[1:] != band[:-1]) | (val[1:] != val[:-1])
+    starts = np.flatnonzero(change)
+    lens = np.append(starts[1:], len(band)) - starts
+    a_idx: list[np.ndarray] = []
+    b_idx: list[np.ndarray] = []
+    for gi in np.flatnonzero(lens >= 2):
+        s, L = starts[gi], min(int(lens[gi]), cap)
+        iu, ju = np.triu_indices(L, k=1)
+        a_idx.append(s + iu)
+        b_idx.append(s + ju)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if not a_idx:
+        return empty
+    ai = np.concatenate(a_idx)
+    bi = np.concatenate(b_idx)
+    dist = _popcount64(sh[ai] ^ sh[bi])
+    keep = dist <= max_hamming
+    if not keep.any():
+        return empty
+    a, b = ids[ai[keep]], ids[bi[keep]]
+    return pa.table({
+        "id_a": pa.array(np.minimum(a, b), pa.int64()),
+        "id_b": pa.array(np.maximum(a, b), pa.int64()),
+        "hamming": pa.array(dist[keep], pa.int64()),
+    })
+
+
 def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> dict:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int | None = None,
+                  target_bucket_rows: int = 65536) -> dict:
     """SimHash near-dup: docs sharing any 16-bit band are candidates
     (any pair within hamming ≤ 3 of 64 bits shares ≥1 of 4 bands —
-    pigeonhole); verify by exact hamming distance."""
+    pigeonhole); verified by exact hamming distance INSIDE the bucket
+    group (vectorized popcount), so only verified pairs reach the
+    driver. Same adaptive-bucket shuffle shape as MinHash LSH: group
+    size stays ~``target_bucket_rows`` regardless of corpus size."""
+    if num_buckets is None:
+        n_rows = ds.count()
+        num_buckets = max(64, -(-n_rows * 4 // target_bucket_rows))
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, _pool_size()),
     )
-    pairs: set[tuple[int, int]] = set()
-    sig_of: dict[int, int] = {}
-    frames = sigs.to_pandas()
-    sig_of = dict(zip(frames[id_col].astype(int), frames["simhash"].astype(int)))
-    for band in range(4):
-        for _k, grp in frames.groupby(f"sh_band{band}"):
-            ids = sorted(int(x) for x in grp[id_col])[:50]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs.add((ids[i], ids[j]))
-    verified = []
-    for a, b in sorted(pairs):
-        d = bin(sig_of[a] ^ sig_of[b]).count("1")
-        if d <= max_hamming:
-            verified.append((a, b, d))
+    exploded = sigs.map_batches(
+        _explode_simhash_bands,
+        fn_kwargs=dict(id_col=id_col, num_buckets=num_buckets),
+        batch_format="pyarrow",
+    )
+    pairs_tbl = (
+        exploded.groupby("bucket")
+        .map_groups(lambda g: _simhash_bucket_pairs(
+            g, id_col=id_col, max_hamming=max_hamming),
+            batch_format="pyarrow")
+    ).to_pandas()  # verified pairs only — small
+    # a pair within distance d can share several bands -> dedup
+    seen: dict[tuple[int, int], int] = {}
+    for a, b, d in zip(pairs_tbl["id_a"], pairs_tbl["id_b"],
+                       pairs_tbl["hamming"]):
+        seen[(int(a), int(b))] = int(d)
+    verified = sorted((a, b, d) for (a, b), d in seen.items())
     return {"pairs": verified}
 
 
@@ -481,11 +616,32 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block: int = 2048,
+    max_brute_rows: int = 100_000,
+    method: str = "auto",
 ) -> list[tuple[int, int, float]]:
-    """All pairs with cosine ≥ threshold. Streams row-blocks against an
-    accumulated normalized matrix (O(n²) matmul in blocks — the exact
-    small/medium-scale path; the LSH-bucketed path for huge n is
-    ``similarity.random_hyperplane_buckets``)."""
+    """All pairs with cosine ≥ threshold.
+
+    ``method='auto'`` picks the exact O(n²) block-matmul path below the
+    ``max_brute_rows`` cap and the distributed LSH-bucketed path
+    (:func:`embedding_near_dup_lsh`) above it — the brute path
+    materializes the vectors and must never see a 100 TB corpus."""
+    if method == "lsh" or (method == "auto" and ds.count() > max_brute_rows):
+        return embedding_near_dup_lsh(
+            ds, threshold=threshold, vec_col=vec_col, id_col=id_col)
+    return _embedding_near_dup_brute(
+        ds, threshold=threshold, vec_col=vec_col, id_col=id_col, block=block)
+
+
+def _embedding_near_dup_brute(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    block: int,
+) -> list[tuple[int, int, float]]:
+    """Exact small/medium-scale path: streams row-blocks against an
+    accumulated normalized matrix (O(n²) matmul in blocks)."""
     ids_all: list[np.ndarray] = []
     vecs_all: list[np.ndarray] = []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(
@@ -505,6 +661,132 @@ def embedding_near_dup(
             aa, bb = np.nonzero(sim >= threshold)
             for x, y in zip(aa, bb):
                 p, q = int(ia[x]), int(ib[y])
-                if p < q:
-                    out.append((p, q, float(sim[x, y])))
+                if i == j:
+                    # diagonal block generates both orders; keep one
+                    if p >= q:
+                        continue
+                elif p > q:
+                    p, q = q, p  # cross-block pairs appear once, any order
+                out.append((p, q, float(sim[x, y])))
     return sorted(out)
+
+
+class _MultiTableBucketer:
+    """Actor-pool stage for the embedding near-dup scale path: emits one
+    row per (table, doc) with a combined ``(table << nbits) | signbits``
+    bucket key from ``n_tables`` independent sets of seeded random
+    hyperplanes (multiple tables ≈ OR-amplification: a near-dup pair
+    straddling one table's hyperplane still collides in another).
+    Hyperplanes are built once per actor (seeded — identical across the
+    pool); the per-batch work is one matmul."""
+
+    def __init__(self, dim: int, nbits: int = 12, n_tables: int = 4,
+                 seed: int = 5, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, nbits, dim))
+        self.nbits, self.n_tables = nbits, n_tables
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from icat_lucene_ray.ops.similarity import _batch_matrix
+
+        v = _batch_matrix(batch, self.vec_col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        weights = (np.uint64(1) << np.arange(self.nbits, dtype=np.uint64))
+        buckets = np.empty(self.n_tables * n, dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (v @ self.planes[t].T) > 0  # (n, nbits)
+            key = (bits.astype(np.uint64) @ weights)
+            buckets[t * n:(t + 1) * n] = (
+                (np.uint64(t) << np.uint64(self.nbits)) | key
+            ).astype(np.int64)
+        # carry the vector through the shuffle for within-bucket verify
+        vec = batch[self.vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        vecs_rep = pa.concat_arrays([vec] * self.n_tables)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            self.id_col: pa.array(np.tile(ids, self.n_tables), pa.int64()),
+            self.vec_col: vecs_rep,
+        })
+
+
+def _embedding_bucket_pairs(group: pa.Table, *, threshold: float,
+                            vec_col: str, id_col: str,
+                            cap: int = 8192) -> pa.Table:
+    """Within-bucket exact cosine all-pairs (vectorized matmul). Groups
+    larger than ``cap`` rows are truncated (id order) — degenerate
+    buckets (e.g. the all-zero vector bucket) would otherwise go O(n²)."""
+    from icat_lucene_ray.ops.similarity import _batch_matrix, _normalize
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return empty
+    # one doc can appear once per table in the same folded bucket id —
+    # dedup ids before pairing
+    uniq, first = np.unique(ids, return_index=True)
+    if len(uniq) < 2:
+        return empty
+    if len(uniq) > cap:
+        first = first[:cap]
+        uniq = uniq[:cap]
+    sub = group.take(pa.array(first))
+    v = _normalize(_batch_matrix(sub, vec_col))
+    sim = v @ v.T
+    iu, ju = np.triu_indices(len(uniq), k=1)
+    s = sim[iu, ju]
+    keep = s >= threshold
+    if not keep.any():
+        return empty
+    a, b = uniq[iu[keep]], uniq[ju[keep]]
+    return pa.table({
+        "id_a": pa.array(np.minimum(a, b), pa.int64()),
+        "id_b": pa.array(np.maximum(a, b), pa.int64()),
+        "cosine": pa.array(s[keep], pa.float64()),
+    })
+
+
+def embedding_near_dup_lsh(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 12,
+    n_tables: int = 4,
+) -> list[tuple[int, int, float]]:
+    """Distributed embedding near-dup: random-hyperplane buckets
+    (``n_tables`` OR-amplified sign-bit tables) → ``groupby(bucket)`` →
+    within-bucket exact cosine verify → driver dedup of the (small)
+    verified-pair set. Approximate: a pair is found iff it collides in
+    ≥1 table (recall grows with n_tables, shrinks with nbits).
+
+    Partitioning assumption: bucket keys are ~uniform for non-degenerate
+    embeddings; degenerate heavy buckets are truncated at the verify cap
+    (documented in :func:`_embedding_bucket_pairs`)."""
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    exploded = ds.select_columns([id_col, vec_col]).map_batches(
+        _MultiTableBucketer,
+        fn_constructor_kwargs=dict(dim=dim, nbits=nbits, n_tables=n_tables,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, _pool_size()),
+    )
+    pairs_tbl = (
+        exploded.groupby("bucket")
+        .map_groups(lambda g: _embedding_bucket_pairs(
+            g, threshold=threshold, vec_col=vec_col, id_col=id_col),
+            batch_format="pyarrow")
+    ).to_pandas()  # verified pairs only
+    seen: dict[tuple[int, int], float] = {}
+    for a, b, c in zip(pairs_tbl["id_a"], pairs_tbl["id_b"],
+                       pairs_tbl["cosine"]):
+        seen[(int(a), int(b))] = float(c)
+    return sorted((a, b, c) for (a, b), c in seen.items())

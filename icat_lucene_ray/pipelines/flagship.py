@@ -42,7 +42,8 @@ def get_cached_index(sf_dir: str) -> Index:
     out = os.path.join(_CACHE_ROOT, f"docs_{key}")
     try:
         m = IndexManifest.load(out)
-        fresh = m.lineage.get("input") == _lineage(_input_files(src), DOC_CONFIG)
+        fresh = m.lineage.get("input") == _lineage(
+            _input_files(src), DOC_CONFIG, DOC_CONFIG.analyzer)
     except Exception:
         fresh = False
     if not fresh:

@@ -554,10 +554,16 @@ class Index:
             rng = (int(cand[0]), int(cand[-1]))  # block-skip window
         for f in filters:
             docs, _ = self._eval(f, deadline, rng)
-            keep = np.isin(cand, docs, assume_unique=True)
-            cand, cand_scores = cand[keep], cand_scores[keep]
+            if cand is None:
+                # filter-only conjunction (Occur.FILTER-only trees,
+                # SearchBucket.java:347-357): seed from the first filter
+                cand, cand_scores = docs, np.zeros(len(docs))
+            else:
+                keep = np.isin(cand, docs, assume_unique=True)
+                cand, cand_scores = cand[keep], cand_scores[keep]
             if len(cand) == 0:
                 return _EMPTY
+            rng = (int(cand[0]), int(cand[-1]))
         return cand, (cand_scores if any_scored else None)
 
     # ---------------- top-k / sort / pagination ------------------------

@@ -109,7 +109,8 @@ def test_minhash_lsh_dedup(dup_ds):
     assert (0, 100) in found       # exact dup has jaccard 1.0
     assert (1, 101) in found       # one-token change
     assert (2, 102) in found       # suffix append
-    assert 100 not in res["keep"] and 0 in res["keep"]
+    keep = set(res["keep_ds"].to_pandas()["doc_id"].astype(int))
+    assert 100 in res["drop"] and 100 not in keep and 0 in keep
 
 
 def test_minhash_jaccard_estimate_close():
@@ -144,6 +145,43 @@ def test_embedding_near_dup(ray_session):
     ds = ray.data.from_items(rows)
     pairs = embedding_near_dup(ds, threshold=0.99)
     assert any(p == 10 and q == 20 for p, q, _ in pairs)
+
+
+def test_embedding_near_dup_lsh_matches_planted(ray_session):
+    """The distributed LSH path finds the planted near-dup pair and
+    emits each pair once despite multi-table collisions."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 16))
+    vecs[20] = vecs[10] + 0.001 * rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_near_dup(ds, threshold=0.99, method="lsh")
+    assert any(p == 10 and q == 20 for p, q, _ in pairs)
+    keys = [(p, q) for p, q, _ in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_embedding_near_dup_cross_block_order(ray_session):
+    """Cross-block pairs survive regardless of id ordering in the input
+    (ADVICE: only p<q-ordered appends dropped reversed-order pairs)."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((8, 16))
+    vecs[1] = vecs[6] + 0.0005 * rng.standard_normal(16)
+    # descending ids + tiny blocks force the pair across blocks with
+    # the larger id in the earlier block
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in (7, 6, 5, 4, 3, 2, 1, 0)]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_near_dup(ds, threshold=0.99, block=2)
+    assert any(p == 1 and q == 6 for p, q, _ in pairs)
 
 
 # ---------------- similarity ----------------------------------------------

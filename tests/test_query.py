@@ -64,6 +64,15 @@ def test_filter_plus_text(engine, oracle):
     assert_rank_identical(engine, oracle, q)
 
 
+def test_filter_only_conjunction(engine, oracle):
+    """Occur.FILTER-only tree (no scoring clause) — ADVICE regression:
+    And([], filters=[...]) must seed candidates from the first filter."""
+    q = And([], filters=[Filter("lang", "en")])
+    assert_rank_identical(engine, oracle, q)
+    q2 = And([], filters=[Filter("lang", ("en", "de")), Filter("lang", "en")])
+    assert engine.count(q2) == oracle.count(q2)
+
+
 def test_match_all(engine, oracle):
     r = assert_rank_identical(engine, oracle, MatchAll(), k=10)
     assert r.total_hits == oracle.N
