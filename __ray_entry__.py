@@ -53,6 +53,43 @@ WITH tok AS (
 """
 
 
+# Per-field BM25 over (title = first 8 body tokens, text) — mirrors the
+# multi-field index profile: per-field df/dl/avgdl, global N.
+_MF_BM25_CTE = """
+WITH docs2 AS (
+  SELECT doc_id, text,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS title
+  FROM documents
+), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ttok AS (SELECT doc_id, unnest(string_split(title, ' ')) AS term FROM docs2),
+btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttok GROUP BY doc_id, term),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btok GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ttok GROUP BY doc_id),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM btok GROUP BY doc_id),
+tstats AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM tdl),
+bstats AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM bdl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY term),
+bdf AS (SELECT term, count(*)::DOUBLE AS df FROM btf GROUP BY term),
+tscored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM ttf tf JOIN tdl dl ON tf.doc_id = dl.doc_id
+  JOIN tdf df ON tf.term = df.term CROSS JOIN tstats st
+),
+bscored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM btf tf JOIN bdl dl ON tf.doc_id = dl.doc_id
+  JOIN bdf df ON tf.term = df.term CROSS JOIN bstats st
+)
+"""
+
+
 def _round6(tbl: pa.Table, col: str) -> pa.Table:
     i = tbl.column_names.index(col)
     vals = np.round(tbl[col].to_numpy(zero_copy_only=False).astype(np.float64), 6)
@@ -211,6 +248,49 @@ def _ft_range_facet(sf_dir: str):
         "doc_count": pa.array([f["n_chars"][x]["doc_count"] for x in labels],
                               pa.int64()),
     })
+
+
+def _ft_querystring_topk(sf_dir: str):
+    """Q2 free-text query-string parse over the default field:
+    AND / OR / grouping / negation in one user string
+    (SearchBucket.java:217-298)."""
+    from icat_lucene_ray.query import parse_query
+
+    q = parse_query("data AND (join OR merge) -spark")
+    return _hits(_idx(sf_dir).search(q, k=10))
+
+
+def _ft_boost_topk(sf_dir: str):
+    """Lucene MUST+SHOULD: '+data join' requires data; join only adds
+    score where it co-occurs (Boost node)."""
+    from icat_lucene_ray.query import parse_query
+
+    q = parse_query("+data join")
+    return _hits(_idx(sf_dir).search(q, k=10))
+
+
+def _ft_multifield_topk(sf_dir: str):
+    """M2 multi-field index (title = first 8 body tokens): per-field
+    terms + per-field BM25 avgdl, queried with field:term syntax."""
+    from icat_lucene_ray.pipelines import get_cached_multifield_index
+    from icat_lucene_ray.query import parse_query
+
+    idx = get_cached_multifield_index(sf_dir)
+    q = parse_query("title:window OR text:merge",
+                    default_fields=idx.text_fields)
+    return _hits(idx.search(q, k=10))
+
+
+def _ft_multifield_default_or(sf_dir: str):
+    """A bare term on a multi-field index searches every default field
+    (per-field scores summed ≈ multi-field parse over the entity field
+    list, DocumentMapping.java:120-146)."""
+    from icat_lucene_ray.pipelines import get_cached_multifield_index
+    from icat_lucene_ray.query import parse_query
+
+    idx = get_cached_multifield_index(sf_dir)
+    q = parse_query("window", default_fields=idx.text_fields)
+    return _hits(idx.search(q, k=10))
 
 
 def _ft_docfreq_top20(sf_dir: str):
@@ -553,6 +633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_lang": _ft_facet_lang,
         "ft_facet_source": _ft_facet_source,
         "ft_range_facet": _ft_range_facet,
+        "ft_querystring_topk": _ft_querystring_topk,
+        "ft_boost_topk": _ft_boost_topk,
+        "ft_multifield_topk": _ft_multifield_topk,
+        "ft_multifield_default_or": _ft_multifield_default_or,
         "ft_docfreq_top20": _ft_docfreq_top20,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -648,6 +732,40 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'long' END AS bucket
               FROM documents)
             GROUP BY bucket""",
+        "ft_querystring_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT s1.doc_id, s1.s + s2.s AS s
+              FROM (SELECT doc_id, s FROM scored WHERE term = 'data') s1
+              JOIN (SELECT doc_id, sum(s) AS s FROM scored
+                    WHERE term IN ('join', 'merge') GROUP BY doc_id) s2
+                ON s1.doc_id = s2.doc_id
+              WHERE s1.doc_id NOT IN
+                (SELECT doc_id FROM scored WHERE term = 'spark'))
+            """ + topk,
+        "ft_boost_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT s1.doc_id, s1.s + coalesce(s2.s, 0) AS s
+              FROM (SELECT doc_id, s FROM scored WHERE term = 'data') s1
+              LEFT JOIN (SELECT doc_id, s FROM scored
+                         WHERE term = 'join') s2
+                ON s1.doc_id = s2.doc_id)
+            """ + topk,
+        "ft_multifield_topk": _MF_BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM (
+                SELECT doc_id, s FROM tscored WHERE term = 'window'
+                UNION ALL
+                SELECT doc_id, s FROM bscored WHERE term = 'merge'
+              ) GROUP BY doc_id)
+            """ + topk,
+        "ft_multifield_default_or": _MF_BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM (
+                SELECT doc_id, s FROM tscored WHERE term = 'window'
+                UNION ALL
+                SELECT doc_id, s FROM bscored WHERE term = 'window'
+              ) GROUP BY doc_id)
+            """ + topk,
         "ft_docfreq_top20": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term

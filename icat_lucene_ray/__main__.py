@@ -44,9 +44,11 @@ def cmd_build(args):
 
     _init_ray(args.num_cpus)
     cfg = EngineConfig(analyzer=args.analyzer, num_segments=args.segments)
+    tcols = [c for c in args.text_col.split(",") if c]
     m = build_index(
         args.input, args.out,
-        text_col=args.text_col,
+        text_col=tcols[0],
+        text_cols=tcols if len(tcols) > 1 else None,
         id_col=args.id_col,
         key_col=args.key_col,
         meta_cols=args.meta.split(",") if args.meta else [],
@@ -60,12 +62,15 @@ def cmd_build(args):
 
 
 def cmd_search(args):
-    from icat_lucene_ray.query import And, Index, Term
+    """Free-text query string → parsed AST (Q2): bare terms OR across
+    the index's text fields, plus field:term / "phrases" / wildcards /
+    AND / OR / NOT / +must / -not (SearchBucket.java:217-298)."""
+    from icat_lucene_ray.query import Index, parse_query
 
     _init_ray(args.num_cpus)
     idx = Index(args.index, use_actors=args.actors)
-    terms = args.query.split()
-    q = Term(terms[0]) if len(terms) == 1 else And([Term(t) for t in terms])
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
     r = idx.search(q, k=args.k, fields=args.fields.split(",") if args.fields else None)
     print(json.dumps({
         "total_hits": r.total_hits,
@@ -105,7 +110,9 @@ def main(argv=None):
     b = sub.add_parser("build", help="build an inverted index")
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
-    b.add_argument("--text-col", default="text")
+    b.add_argument("--text-col", default="text",
+                   help="single text column, or comma-separated columns "
+                        "for a multi-field index (M2)")
     b.add_argument("--id-col", default=None)
     b.add_argument("--key-col", default="url")
     b.add_argument("--meta", default="")

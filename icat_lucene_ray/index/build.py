@@ -83,37 +83,98 @@ from icat_lucene_ray.index.manifest import IndexManifest
 # Phase A: tokenize
 # ---------------------------------------------------------------------------
 
+def merge_field_tokens(van, batch: pa.Table, text_cols: list[str]) -> dict:
+    """M2 field→physical expansion: tokenize each text column, prefix its
+    terms with ``"{field}:"`` (per-field posting namespaces in ONE term
+    dictionary ≈ Lucene per-field terms, ``Field.java:51-72``), and merge
+    the per-doc lists doc-major. Emits a per-posting ``dls`` list (the
+    posting's FIELD length — BM25 normalizes per field) plus per-field
+    ``dl__{field}`` doc columns for stats/commits.
+
+    Vectorized: prefixing touches only the per-batch term dictionary; the
+    doc-major merge is one ``concat_ranges`` gather over the concatenated
+    flat arrays."""
+    from icat_lucene_ray.index.codec import concat_ranges
+
+    n = batch.num_rows
+    per = []
+    for col in text_cols:
+        offs, terms, tfs, dls = van.term_freq_batch(batch[col])
+        enc = terms.dictionary_encode()
+        pref = pa.array([f"{col}:{t}" for t in enc.dictionary.to_pylist()],
+                        pa.string())
+        per.append((offs, pref.take(enc.indices), tfs, dls))
+
+    lens = np.stack([np.diff(p[0]) for p in per], axis=1)       # (n, F)
+    bases = np.concatenate([[0], np.cumsum([len(p[1]) for p in per])])
+    starts = np.stack([p[0][:-1] + bases[i] for i, p in enumerate(per)],
+                      axis=1)                                    # (n, F)
+    flat_lens = lens.reshape(-1)
+    flat_starts = starts.reshape(-1)
+    nz = flat_lens > 0
+    total = int(flat_lens.sum())
+    gather = concat_ranges(flat_starts[nz], flat_lens[nz],
+                           np.empty(total, np.int64))
+    comb_terms = pa.concat_arrays(
+        [p[1].combine_chunks() if isinstance(p[1], pa.ChunkedArray) else p[1]
+         for p in per]).take(pa.array(gather))
+    comb_tfs = np.concatenate([np.asarray(p[2]) for p in per])[gather]
+    dl_flat = np.concatenate(
+        [np.repeat(np.asarray(p[3]), np.diff(p[0])) for p in per])[gather]
+    off32 = pa.array(np.concatenate(
+        [[0], np.cumsum(lens.sum(axis=1))]), pa.int32())
+    cols: dict[str, Any] = {
+        "doc_len": pa.array(
+            np.sum([np.asarray(p[3], dtype=np.int64) for p in per], axis=0)
+            .astype(np.int32) if n else np.zeros(0, np.int32)),
+        "terms": pa.ListArray.from_arrays(off32, comb_terms),
+        "tfs": pa.ListArray.from_arrays(off32, pa.array(comb_tfs)),
+        "dls": pa.ListArray.from_arrays(
+            off32, pa.array(dl_flat.astype(np.int32))),
+    }
+    for col, p in zip(text_cols, per):
+        cols[f"dl__{col}"] = pa.array(np.asarray(p[3], dtype=np.int32))
+    return cols
+
+
 class Tokenizer:
     """Actor-pool stage: analyzer + vectorized kernel built once per
     actor; the candidate→stems memo is the per-worker state (≈ the
     reference's per-process analyzer singletons,
     ``IcatSynonymAnalyzer.java:31-44``). Heavy splitting runs in Arrow's
-    re2 kernel; Python touches only unique candidates per batch."""
+    re2 kernel; Python touches only unique candidates per batch.
 
-    def __init__(self, analyzer: str, text_col: str, id_col: str | None,
-                 key_col: str, meta_cols: list[str]):
+    With >1 ``text_cols`` the batch goes through
+    :func:`merge_field_tokens` (field-prefixed terms, per-posting field
+    doc lengths)."""
+
+    def __init__(self, analyzer: str, text_col: str | None, id_col: str | None,
+                 key_col: str, meta_cols: list[str],
+                 text_cols: list[str] | None = None):
         from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
 
         self.van = VectorizedAnalyzer(get_analyzer(analyzer))
-        self.text_col = text_col
+        self.text_cols = list(text_cols) if text_cols else [text_col]
         self.id_col = id_col
         self.key_col = key_col
         self.meta_cols = meta_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        offsets, terms, tfs, doc_lens = self.van.term_freq_batch(
-            batch[self.text_col])
-
-        off32 = pa.array(offsets, type=pa.int32())
         cols: dict[str, Any] = {}
         if self.id_col is not None:
             cols["doc_id"] = batch[self.id_col].cast(pa.int64())
         # else: DENSE implicit ids — doc_id = file base + row, assigned
         # in phase B from per-file row counts (Lucene-ordinal-style;
         # narrow posting deltas). No id column is materialized.
-        cols["doc_len"] = pa.array(doc_lens)
-        cols["terms"] = pa.ListArray.from_arrays(off32, terms)
-        cols["tfs"] = pa.ListArray.from_arrays(off32, pa.array(tfs))
+        if len(self.text_cols) > 1:
+            cols.update(merge_field_tokens(self.van, batch, self.text_cols))
+        else:
+            offsets, terms, tfs, doc_lens = self.van.term_freq_batch(
+                batch[self.text_cols[0]])
+            off32 = pa.array(offsets, type=pa.int32())
+            cols["doc_len"] = pa.array(doc_lens)
+            cols["terms"] = pa.ListArray.from_arrays(off32, terms)
+            cols["tfs"] = pa.ListArray.from_arrays(off32, pa.array(tfs))
         for m in self.meta_cols:
             cols[m] = batch[m]
         return pa.table(cols)
@@ -137,6 +198,9 @@ class AnalyzedWriter:
         ("max_doc", pa.int64()),
         ("cand_terms", pa.list_(pa.string())),
         ("cand_dfs", pa.list_(pa.int64())),
+        # multi-field (M2): per-field Σdoc_len for per-field avgdl
+        ("field_names", pa.list_(pa.string())),
+        ("field_sum_dl", pa.list_(pa.int64())),
     ])
 
     def __init__(self, shard_dir: str, key_col: str | None = None,
@@ -181,6 +245,9 @@ class AnalyzedWriter:
             mn, mx = int(ids.min()), int(ids.max())
         else:
             mn = mx = -1  # dense mode: ids assigned in phase B
+        f_names = [c[4:] for c in batch.column_names if c.startswith("dl__")]
+        f_sums = [int(batch[f"dl__{f}"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64).sum()) for f in f_names]
         return pa.table({
             "path": [path],
             "n_docs": [batch.num_rows],
@@ -189,6 +256,8 @@ class AnalyzedWriter:
             "max_doc": [mx],
             "cand_terms": [cand_t],
             "cand_dfs": [cand_d],
+            "field_names": [f_names],
+            "field_sum_dl": [f_sums],
         }, schema=self.STATS_SCHEMA)
 
 
@@ -209,12 +278,15 @@ def _write_analyzed_batch(batch: pa.Table, *, shard_dir: str,
 def _fold_stats(rows: list[dict]) -> dict:
     """Fold AnalyzedWriter stats rows into one shard-level summary."""
     out = {"n_docs": 0, "sum_dl": 0, "min_doc": None, "max_doc": None,
-           "cand": {}, "files": []}
+           "cand": {}, "files": [], "field_sum": {}}
     for r in rows:
         if not r["n_docs"]:
             continue
         out["n_docs"] += int(r["n_docs"])
         out["sum_dl"] += int(r["sum_dl"])
+        for f, s in zip(r.get("field_names") or [],
+                        r.get("field_sum_dl") or []):
+            out["field_sum"][f] = out["field_sum"].get(f, 0) + int(s)
         out["files"].append([r["path"], int(r["n_docs"])])
         if int(r["min_doc"]) >= 0:
             mn, mx = int(r["min_doc"]), int(r["max_doc"])
@@ -274,9 +346,14 @@ class RunEncoder:
             })
         lengths = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(doc_ids, lengths)
-        dl_rep = np.repeat(doc_lens, lengths).astype(np.int64)
+        if "dls" in batch.column_names:
+            # multi-field: per-posting field length travels with the term
+            dl_rep = batch["dls"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False)
+            dl_rep = np.repeat(doc_lens, lengths).astype(np.int64)
         tf_flat = batch["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
 
         enc = flat_terms.dictionary_encode()
@@ -344,10 +421,15 @@ class SegmentWriter:
     query time."""
 
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int,
-                 name_prefix: str = "seg"):
+                 name_prefix: str = "seg",
+                 field_avgdl: dict[str, float] | None = None):
         self.out_dir = out_dir
         self.k1, self.b, self.avgdl, self.block = k1, b, avgdl, block
         self.name_prefix = name_prefix
+        # multi-field: block_max must use the TERM's field avgdl or the
+        # BMW bound is not an upper bound (term strings carry the field
+        # prefix, so the mapping is resolvable per term row)
+        self.field_avgdl = field_avgdl
 
     def __call__(self, group: pa.Table) -> pa.Table:
         skey = int(group["skey"][0].as_py())
@@ -403,14 +485,22 @@ class SegmentWriter:
             tf_s[s:e] = tf_s[s:e][o]
             dl_s[s:e] = dl_s[s:e][o]
 
+        dictionary = term_enc.dictionary
+        codes_g = run_codes[run_order][group_run_idx]
+        buckets_g = run_buckets[run_order][group_run_idx]
+        avgdl = self.avgdl
+        if self.field_avgdl:
+            # per-posting avgdl from the term's field prefix (dictionary
+            # is per-batch and small — Python touches uniques only)
+            dict_avg = np.array(
+                [self.field_avgdl.get(t.split(":", 1)[0], self.avgdl)
+                 for t in dictionary.to_pylist()], dtype=np.float64)
+            avgdl = np.repeat(dict_avg[codes_g], ends - starts)
         # one vectorized pass over all terms' blocks (per-term Python cost
         # is buffer slicing only)
         enc = encode_postings_multi(
             doc_s, tf_s, dl_s, starts, ends,
-            k1=self.k1, b=self.b, avgdl=self.avgdl, block=self.block)
-        dictionary = term_enc.dictionary
-        codes_g = run_codes[run_order][group_run_idx]
-        buckets_g = run_buckets[run_order][group_run_idx]
+            k1=self.k1, b=self.b, avgdl=avgdl, block=self.block)
         seg = pa.table({
             "term": dictionary.take(pa.array(codes_g)),
             "bucket": pa.array(buckets_g.astype(np.int32)),
@@ -445,7 +535,8 @@ def _encode_split_task(units: list[tuple[str, int, int, int]],
                        num_segments: int,
                        hot_terms: dict[str, int], min_doc: int, max_doc: int,
                        batch_rows: int,
-                       id_bases: dict[str, int] | None = None):
+                       id_bases: dict[str, int] | None = None,
+                       has_dls: bool = False):
     """Read a list of (path, rg_start, rg_end, row_off) analyzed
     row-group ranges, run the RunEncoder combiner, and return S
     per-segment pieces. With ``id_bases`` (dense-id mode) doc ids are
@@ -456,7 +547,7 @@ def _encode_split_task(units: list[tuple[str, int, int, int]],
                      min_doc=min_doc, max_doc=max_doc)
     S = num_segments
     parts: list[list[pa.Table]] = [[] for _ in range(S)]
-    cols = ["doc_len", "terms", "tfs"]
+    cols = ["doc_len", "terms", "tfs"] + (["dls"] if has_dls else [])
     if id_bases is None:
         cols = ["doc_id"] + cols
     for path, rg0, rg1, row_off in units:
@@ -504,9 +595,11 @@ class _SegmentWriterActor:
     """
 
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float,
-                 block: int, name_prefix: str = "seg"):
+                 block: int, name_prefix: str = "seg",
+                 field_avgdl: dict[str, float] | None = None):
         self.w = SegmentWriter(out_dir, k1, b, avgdl, block,
-                               name_prefix=name_prefix)
+                               name_prefix=name_prefix,
+                               field_avgdl=field_avgdl)
 
     def warmup(self, est_postings: int) -> bool:
         """Pre-fault the scratch pool while the encode stage still runs:
@@ -603,6 +696,7 @@ def build_index(
     out_dir: str,
     *,
     text_col: str = "text",
+    text_cols: list[str] | None = None,
     id_col: str | None = None,
     key_col: str = "url",
     meta_cols: list[str] | None = None,
@@ -617,6 +711,11 @@ def build_index(
     ``id_col``: int64 unique id column; if None, ids are hashed from
     ``key_col``. ``meta_cols`` are carried into the doc store for
     filters / sorting / faceting (≈ stored + doc-values fields).
+    ``text_cols``: >1 columns builds a MULTI-FIELD index (M2): posting
+    terms are ``"{field}:{stem}"``, BM25 normalizes by per-field avgdl,
+    and queries target fields via ``Term(text, field=...)`` / the query
+    parser's ``field:term`` syntax (≈ per-entity field lists,
+    ``DocumentMapping.java:120-146``).
     ``checkpoint_shards`` splits Phase A into independently-checkpointed
     input shards; ``resume=True`` skips shards whose lineage marker
     matches (≈ the reference's populate lock-range protocol,
@@ -624,6 +723,11 @@ def build_index(
     """
     analyzer = analyzer or config.analyzer
     meta_cols = list(meta_cols or [])
+    tcols = list(text_cols) if text_cols else [text_col]
+    multi = len(tcols) > 1
+    for f in tcols:
+        if ":" in f:
+            raise ValueError(f"text field name {f!r} must not contain ':'")
     if not id_col and key_col not in meta_cols:
         meta_cols.append(key_col)  # the document key is always a stored field
     S = num_segments or config.num_segments
@@ -641,7 +745,7 @@ def build_index(
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     pool = config.tokenize_concurrency or max(2, ncpu * 3 // 4)
 
-    read_cols = [text_col] + meta_cols
+    read_cols = tcols + meta_cols
     if id_col:
         read_cols.append(id_col)
     elif key_col not in read_cols:
@@ -684,8 +788,8 @@ def build_index(
             ds = ds.map_batches(
                 Tokenizer,
                 fn_constructor_kwargs=dict(
-                    analyzer=analyzer, text_col=text_col, id_col=id_col,
-                    key_col=key_col, meta_cols=meta_cols,
+                    analyzer=analyzer, text_col=None, id_col=id_col,
+                    key_col=key_col, meta_cols=meta_cols, text_cols=tcols,
                 ),
                 batch_format="pyarrow",
                 batch_size=config.tokenize_batch_size,
@@ -710,6 +814,20 @@ def build_index(
         num_docs = sum(s["n_docs"] for s in shard_stats)
         total_len = sum(s["sum_dl"] for s in shard_stats)
         avgdl = (total_len / num_docs) if num_docs else 1.0
+        # per-field stats (M2): avgdl_f = Σ field tokens / N over ALL
+        # docs (documented divergence from Lucene's per-field docCount —
+        # identical whenever every doc carries every field)
+        field_stats: dict[str, dict] = {}
+        if multi:
+            fsum: dict[str, int] = {}
+            for s in shard_stats:
+                for f, v in s.get("field_sum", {}).items():
+                    fsum[f] = fsum.get(f, 0) + int(v)
+            field_stats = {
+                f: {"total_tokens": v,
+                    "avgdl": (v / num_docs) if num_docs else 1.0}
+                for f, v in sorted(fsum.items())}
+        field_avgdl = {f: st["avgdl"] for f, st in field_stats.items()}
         id_files: list[list] = []
         id_bases: dict[str, int] = {}
         if id_col:
@@ -763,7 +881,7 @@ def build_index(
         enc_refs = [
             _encode_split_task.options(**opts).remote(
                 g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size,
-                id_bases if not id_col else None)
+                id_bases if not id_col else None, multi)
             for g in groups
         ]
         if S == 1:
@@ -771,7 +889,8 @@ def build_index(
         n_writers = min(S, max(2, ncpu // 4))
         writers = [
             _SegmentWriterActor.remote(
-                out_dir, config.k1, config.b, avgdl, config.codec_block)
+                out_dir, config.k1, config.b, avgdl, config.codec_block,
+                field_avgdl=field_avgdl or None)
             for _ in range(n_writers)
         ]
         write_refs = [
@@ -826,6 +945,8 @@ def build_index(
             key=lambda r: r["seg_id"],
         ),
         meta_cols=meta_cols,
+        text_fields=tcols,
+        field_stats=field_stats,
         termstats="segments",  # term dictionary lives in the segment files
         id_col="doc_id",
         id_assignment="explicit" if id_col else "dense",

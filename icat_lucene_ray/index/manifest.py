@@ -37,6 +37,11 @@ class IndexManifest:
     doc_table: str = "analyzed"
     termstats: str = "termstats"
     meta_cols: list[str] = field(default_factory=list)
+    #: indexed text fields (M2). len>1 → posting terms are field-prefixed
+    #: ("{field}:{stem}") and ``field_stats`` carries per-field
+    #: {"total_tokens", "avgdl"} for per-field BM25 normalization.
+    text_fields: list[str] = field(default_factory=list)
+    field_stats: dict[str, dict] = field(default_factory=dict)
     id_col: str = "doc_id"
     #: "explicit": doc_id is a physical column of the doc store.
     #: "dense": doc_id = base(file) + row — Lucene-ordinal-style dense

@@ -162,21 +162,31 @@ class IndexUpdater:
             return None
         return int(t["doc_id"][t.num_rows - 1].as_py())
 
+    def _text_fields(self) -> list[str]:
+        tf = list(getattr(self.m, "text_fields", None) or [])
+        return tf if tf else [self.text_col]
+
     def _analyze_creates(self) -> pa.Table:
         from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
+        from icat_lucene_ray.index.build import merge_field_tokens
 
         van = VectorizedAnalyzer(get_analyzer(self.m.analyzer))
-        texts = pa.array([d.get(self.text_col) or "" for d in self._creates])
-        offsets, terms, tfs, doc_lens = van.term_freq_batch(texts)
         ids = pa.array([self._doc_id_of(d, create=True)
                         for d in self._creates], pa.int64())
-        off32 = pa.array(offsets, type=pa.int32())
-        cols: dict[str, Any] = {
-            "doc_id": ids,
-            "doc_len": pa.array(doc_lens),
-            "terms": pa.ListArray.from_arrays(off32, terms),
-            "tfs": pa.ListArray.from_arrays(off32, pa.array(tfs)),
-        }
+        tcols = self._text_fields()
+        cols: dict[str, Any] = {"doc_id": ids}
+        if len(tcols) > 1:
+            batch = pa.table({
+                c: pa.array([d.get(c) or "" for d in self._creates],
+                            pa.string()) for c in tcols})
+            cols.update(merge_field_tokens(van, batch, tcols))
+        else:
+            texts = pa.array([d.get(tcols[0]) or "" for d in self._creates])
+            offsets, terms, tfs, doc_lens = van.term_freq_batch(texts)
+            off32 = pa.array(offsets, type=pa.int32())
+            cols["doc_len"] = pa.array(doc_lens)
+            cols["terms"] = pa.ListArray.from_arrays(off32, terms)
+            cols["tfs"] = pa.ListArray.from_arrays(off32, pa.array(tfs))
         for c in self.m.meta_cols:
             cols[c] = pa.array([d.get(c) for d in self._creates])
         return pa.table(cols)
@@ -200,16 +210,26 @@ class IndexUpdater:
         # one pruned (doc_id, doc_len) scan of the committed doc store
         removed_tokens = 0
         n_removed = 0
+        tcols = self._text_fields()
+        multi = len(tcols) > 1
+        removed_f = {f: 0 for f in tcols}
         if len(tomb):
             from icat_lucene_ray.query.engine import Index
 
             idx = Index(self.root)
-            t = idx._doc_store_table(columns=["doc_id", "doc_len"])
+            cols = ["doc_id", "doc_len"] + \
+                ([f"dl__{f}" for f in tcols] if multi else [])
+            t = idx._doc_store_table(columns=cols)
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             dls = t["doc_len"].to_numpy(zero_copy_only=False)
             hit = np.isin(ids, tomb)
             n_removed = int(hit.sum())
             removed_tokens = int(dls[hit].sum())
+            if multi:
+                for f in tcols:
+                    removed_f[f] = int(
+                        t[f"dl__{f}"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[hit].sum())
             os.makedirs(os.path.join(self.root, "deletes"), exist_ok=True)
             tpath = os.path.join(self.root, "deletes",
                                  f"gen_{gen:05d}.parquet")
@@ -222,16 +242,29 @@ class IndexUpdater:
 
         # -------- delta doc store + delta segments --------------------
         added_tokens = 0
+        added_f = {f: 0 for f in tcols}
+        new_ndocs = m.num_docs - n_removed + len(self._creates)
         if self._creates:
             an = self._analyze_creates()
             added_tokens = int(np.sum(
                 an["doc_len"].to_numpy(zero_copy_only=False)))
+            if multi:
+                for f in tcols:
+                    added_f[f] = int(
+                        an[f"dl__{f}"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64).sum())
             doc_dir = os.path.join(m.doc_table_dir(), f"delta_{gen:05d}")
             os.makedirs(doc_dir, exist_ok=True)
             fpath = os.path.join(doc_dir, f"an_{uuid.uuid4().hex[:12]}.parquet")
             pq.write_table(an, fpath, row_group_size=8192, compression="zstd")
             entry["doc_dir"] = os.path.relpath(doc_dir, self.root)
 
+            field_avgdl = None
+            if multi:
+                field_avgdl = {
+                    f: ((s["total_tokens"] + added_f[f] - removed_f[f])
+                        / new_ndocs if new_ndocs else 1.0)
+                    for f, s in m.field_stats.items()}
             hot_salt = {t: v["n_salt"] for t, v in m.hot_terms.items()}
             enc = RunEncoder(num_segments=m.num_segments, hot_terms=hot_salt,
                              min_doc=m.min_doc, max_doc=m.max_doc)
@@ -239,7 +272,8 @@ class IndexUpdater:
             writer = SegmentWriter(
                 self.root, self.cfg.k1, self.cfg.b,
                 self._new_avgdl(added_tokens, removed_tokens, n_removed),
-                self.cfg.codec_block, name_prefix=entry["seg_prefix"])
+                self.cfg.codec_block, name_prefix=entry["seg_prefix"],
+                field_avgdl=field_avgdl)
             skeys = runs["skey"].to_numpy(zero_copy_only=False)
             for s in np.unique(skeys):
                 grp = runs.filter(pa.array(skeys == s))
@@ -257,6 +291,12 @@ class IndexUpdater:
 
         # -------- stats + manifest (the atomic commit point) ----------
         m.num_docs = m.num_docs - n_removed + len(self._creates)
+        if multi:
+            for f, s in m.field_stats.items():
+                s["total_tokens"] = (s["total_tokens"] + added_f.get(f, 0)
+                                     - removed_f.get(f, 0))
+                s["avgdl"] = (s["total_tokens"] / m.num_docs) \
+                    if m.num_docs else 1.0
         if getattr(m, "id_assignment", "explicit") == "dense":
             m.max_doc = max(m.max_doc, self._next_fresh - 1)
         m.total_tokens = m.total_tokens - removed_tokens + added_tokens
@@ -281,7 +321,8 @@ class IndexUpdater:
 def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
                         seg_id: int, tomb: list[tuple[int, np.ndarray]],
                         k1: float, b: float,
-                        avgdl: float, block: int) -> dict | None:
+                        avgdl: float, block: int,
+                        field_avgdl: dict | None = None) -> dict | None:
     """Decode every (term,bucket) slice of one shard key across base +
     delta segment files, drop tombstoned docs, re-encode one clean
     segment (the per-segment merge actor of SURVEY.md §7.2 step 6).
@@ -324,10 +365,15 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
         starts.append(pos)
         ends.append(pos + len(d))
         pos += len(d)
+    avg = avgdl
+    if field_avgdl:
+        per_key = np.array(
+            [field_avgdl.get(k[0].split(":", 1)[0], avgdl) for k in keys])
+        avg = np.repeat(per_key, np.asarray(ends) - np.asarray(starts))
     enc = encode_postings_multi(
         np.concatenate(doc_parts), np.concatenate(tf_parts),
         np.concatenate(dl_parts), np.asarray(starts), np.asarray(ends),
-        k1=k1, b=b, avgdl=avgdl, block=block)
+        k1=k1, b=b, avgdl=avg, block=block)
     seg = pa.table({
         "term": pa.array([k[0] for k in keys], pa.string()),
         "bucket": pa.array([k[1] for k in keys], pa.int32()),
@@ -368,17 +414,30 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
         for s in d["segments"]:
             seg_files.setdefault(s["seg_id"], []).append(
                 (m.delta_segment_path(d["gen"], s["seg_id"]), d["gen"]))
-    live_tbl = idx._doc_store_table(columns=["doc_id", "doc_len"])
+    tcols = list(getattr(m, "text_fields", None) or [])
+    multi = len(tcols) > 1
+    live_cols = ["doc_id", "doc_len"] + \
+        ([f"dl__{f}" for f in tcols] if multi else [])
+    live_tbl = idx._doc_store_table(columns=live_cols)
     live_ids = np.sort(live_tbl["doc_id"].to_numpy(zero_copy_only=False))
     num_docs = len(live_ids)
     total_tokens = int(live_tbl["doc_len"].to_numpy(zero_copy_only=False).sum())
     avgdl = (total_tokens / num_docs) if num_docs else 1.0
+    field_stats: dict[str, dict] = {}
+    if multi:
+        for f in tcols:
+            tot = int(live_tbl[f"dl__{f}"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64).sum())
+            field_stats[f] = {
+                "total_tokens": tot,
+                "avgdl": (tot / num_docs) if num_docs else 1.0}
+    field_avgdl = {f: s["avgdl"] for f, s in field_stats.items()} or None
 
     refs = []
     for seg_id, paths in sorted(seg_files.items()):
         refs.append(_merge_segment_task.remote(
             paths, out_root, seg_id, idx._tomb, idx.cfg.k1, idx.cfg.b,
-            avgdl, idx.cfg.codec_block))
+            avgdl, idx.cfg.codec_block, field_avgdl))
     seg_stats = [r for r in ray.get(refs) if r is not None]
 
     # doc store: live rows only, one file per source file
@@ -428,6 +487,8 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
         hot_terms=hot_terms,
         segments=sorted(seg_stats, key=lambda r: r["seg_id"]),
         meta_cols=m.meta_cols,
+        text_fields=tcols,
+        field_stats=field_stats,
         termstats="segments",
         id_col=m.id_col,
         lineage={"merged_from": root, "generation": m.generation},

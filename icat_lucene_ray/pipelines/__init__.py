@@ -1,1 +1,3 @@
-from icat_lucene_ray.pipelines.flagship import flagship, get_cached_index  # noqa: F401
+from icat_lucene_ray.pipelines.flagship import (  # noqa: F401
+    flagship, get_cached_index, get_cached_multifield_index,
+)

@@ -31,20 +31,28 @@ class Query:
 
 @dataclass(frozen=True)
 class Term(Query):
+    """``field=None`` targets the index's default text field. On a
+    multi-field index the posting term is ``"{field}:{stem}"`` (M2
+    field→physical expansion ≈ per-field Lucene terms,
+    ``Field.java:51-72``)."""
     text: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Phrase(Query):
     terms: tuple[str, ...]
+    field: str | None = None
 
-    def __init__(self, terms):
+    def __init__(self, terms, field=None):
         object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
 class Wildcard(Query):
     pattern: str  # '*' any run, '?' one char; leading '*' allowed
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -93,6 +101,16 @@ class RangeFilter(Query):
     hi: object = None
     include_lo: bool = True
     include_hi: bool = True
+
+
+@dataclass(frozen=True)
+class Boost(Query):
+    """Lucene MUST + SHOULD semantics: documents must match ``required``;
+    ``optional``'s score is ADDED where it also matches but does not
+    constrain the result set (BooleanQuery SHOULD-beside-MUST,
+    ``SearchBucket.java:208-236``)."""
+    required: Query
+    optional: Query
 
 
 @dataclass(frozen=True)

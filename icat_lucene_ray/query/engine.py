@@ -39,7 +39,8 @@ from icat_lucene_ray.config import EngineConfig
 from icat_lucene_ray.index.docids import term_shard
 from icat_lucene_ray.index.manifest import IndexManifest
 from icat_lucene_ray.query.ast import (
-    And, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term, Wildcard,
+    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term,
+    Wildcard,
 )
 from icat_lucene_ray.query.segment import SegmentGroupReader
 
@@ -57,6 +58,15 @@ class SearchResult:
 
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+@dataclass(frozen=True)
+class _Stem(Query):
+    """Internal node: an already-analyzed (and field-prefixed) posting
+    term — used so Phrase/expansion never round-trips a stem through the
+    analyzer again (stemming is not guaranteed idempotent, and prefixed
+    terms would re-split)."""
+    stem: str
 
 
 def _union_sum(parts: list[tuple[np.ndarray, np.ndarray]]):
@@ -87,6 +97,14 @@ class Index:
         self.N = self.manifest.num_docs
         self.avgdl = self.manifest.avgdl or 1.0
         m = self.manifest
+        # M2 multi-field: posting terms are "{field}:{stem}" and BM25
+        # normalizes by the FIELD's avgdl (per-field stats from phase B)
+        self.text_fields = list(getattr(m, "text_fields", None) or [])
+        self._multi = len(self.text_fields) > 1
+        self.default_field = self.text_fields[0] if self.text_fields else None
+        self._field_avgdl = {
+            f: (s.get("avgdl") or 1.0)
+            for f, s in (getattr(m, "field_stats", None) or {}).items()}
         self._paths = {s["seg_id"]: m.segment_path(s["seg_id"]) for s in m.segments}
         self._readers = SegmentGroupReader(self._paths, self.cfg.codec_block)
 
@@ -235,6 +253,33 @@ class Index:
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
+    # ---------------- field resolution (M2) ----------------------------
+    def _field_prefix(self, field: str | None) -> str:
+        """Posting-term prefix for a query field ('' on single-field
+        indexes). Unknown fields raise — mirroring the reference
+        rejecting unmapped search fields (DocumentMapping.java:120-146)."""
+        if not self._multi:
+            return ""
+        f = field or self.default_field
+        if f not in self.text_fields:
+            raise ValueError(
+                f"unknown text field {f!r}; index has {self.text_fields}")
+        return f + ":"
+
+    def _term_stems(self, q) -> list[str]:
+        """Analyzed + field-prefixed posting terms of a Term/Phrase."""
+        pfx = self._field_prefix(q.field)
+        texts = q.terms if isinstance(q, Phrase) else (q.text,)
+        return [pfx + s for t in texts
+                for s in self.analyzer.analyze_query_term(t)]
+
+    def _avgdl_of(self, stem: str) -> float:
+        """Per-field avgdl (BM25 length normalization is per field on
+        multi-field indexes, like Lucene per-field norms)."""
+        if not self._multi:
+            return self.avgdl
+        return self._field_avgdl.get(stem.split(":", 1)[0], self.avgdl)
+
     def _slices(self, stem: str) -> list[tuple[int, int]]:
         """(seg_id, bucket) slices holding this term, in doc order."""
         S = self.manifest.num_segments
@@ -268,6 +313,7 @@ class Index:
             return _EMPTY
         idf = self.idf(df)
         k1, b = self.cfg.k1, self.cfg.b
+        avgdl = self._avgdl_of(stem)
         slices = self._slices(stem)
         parts = []
         if self._actors is not None:
@@ -277,7 +323,7 @@ class Index:
 
             futs = [
                 self._actors[self._actor_of[seg]].score_term.remote(
-                    seg, stem, bucket, idf, k1, b, self.avgdl, doc_range)
+                    seg, stem, bucket, idf, k1, b, avgdl, doc_range)
                 for seg, bucket in slices
                 if seg in self._actor_of
             ]
@@ -290,7 +336,7 @@ class Index:
         for gen, rdr in gen_readers:
             for seg, bucket in slices:
                 got = rdr.score_term(
-                    seg, stem, bucket, idf, k1, b, self.avgdl, doc_range)
+                    seg, stem, bucket, idf, k1, b, avgdl, doc_range)
                 if got is not None:
                     parts.append(self._mask_part(gen, got))
         parts = [p for p in parts if len(p[0])]
@@ -325,6 +371,7 @@ class Index:
             return _EMPTY
         idf = self.idf(df)
         k1, b = self.cfg.k1, self.cfg.b
+        avgdl = self._avgdl_of(stem)
         parts = []
         use_actors = self._actors is not None
         if use_actors:
@@ -349,10 +396,10 @@ class Index:
                     continue
                 if use_actors and gen == 0:
                     ids, sc = ray.get(actor.score_blocks.remote(
-                        seg, stem, bucket, idf, k1, b, self.avgdl, bsel))
+                        seg, stem, bucket, idf, k1, b, avgdl, bsel))
                 else:
                     ids, sc = grp.reader(seg).score_blocks(
-                        stem, bucket, idf, k1, b, self.avgdl, bsel)
+                        stem, bucket, idf, k1, b, avgdl, bsel)
                 if not len(ids):
                     continue
                 pos = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
@@ -428,15 +475,18 @@ class Index:
         return e
 
     # ---------------- wildcard expansion ------------------------------
-    def expand_wildcard(self, pattern: str) -> list[str]:
+    def expand_wildcard(self, pattern: str, field: str | None = None
+                        ) -> list[str]:
         """Dictionary scan (term dictionary = termstats table). Pattern is
         lowercased first (M11, SearchBucket.java:171-194) — except for
         case-sensitive `.exact`-style indexes (path_hierarchy), exactly
         as the reference skips `.exact` fields in lowercaseWildcardQueries
         (SearchBucket.java:180-185); matching bypasses the analyzer as in
-        Lucene wildcard queries."""
+        Lucene wildcard queries. On multi-field indexes the pattern is
+        matched within the target field's prefixed dictionary range."""
         if self.manifest.analyzer != "path_hierarchy":
             pattern = pattern.lower()
+        pattern = self._field_prefix(field) + pattern
         rx = re.compile(fnmatch.translate(pattern))
         prefix = pattern.split("*", 1)[0].split("?", 1)[0]
         ds = pads.dataset(self.manifest.termstats_dir())
@@ -465,18 +515,18 @@ class Index:
         """-> (docs sorted int64, scores float64 | None).
         ``scores is None`` marks a non-scoring (FILTER) result."""
         self._check_deadline(deadline)
+        if isinstance(q, _Stem):
+            return self._score_stem(q.stem, doc_range)
         if isinstance(q, Term):
-            stems = self.analyzer.analyze_query_term(q.text)
+            stems = self._term_stems(q)
             return self._eval_stems(stems, doc_range) if stems else _EMPTY
         if isinstance(q, Phrase):
             # phrase-lite: conjunction of the analyzed terms (north_rule)
-            stems: list[str] = []
-            for t in q.terms:
-                stems.extend(self.analyzer.analyze_query_term(t))
-            return self._eval(And([Term(s) for s in stems]), deadline, doc_range) \
-                if stems else _EMPTY
+            stems = self._term_stems(q)
+            return self._eval(And([_Stem(s) for s in stems]), deadline,
+                              doc_range) if stems else _EMPTY
         if isinstance(q, Wildcard):
-            stems = self.expand_wildcard(q.pattern)
+            stems = self.expand_wildcard(q.pattern, field=q.field)
             return self._eval_stems(stems, doc_range)
         if isinstance(q, MatchAll):
             docs = self.all_doc_ids()
@@ -495,6 +545,24 @@ class Index:
             parts = [self._eval(c, deadline, doc_range) for c in q.clauses]
             scored = [(d, s if s is not None else np.ones(len(d))) for d, s in parts]
             return _union_sum(scored)
+        if isinstance(q, Boost):
+            # MUST + SHOULD: required constrains, optional only scores.
+            # The optional side evaluates restricted to the required doc
+            # range (block-skip window) — it can never widen the result.
+            rd, rs = self._eval(q.required, deadline, doc_range)
+            if not len(rd):
+                return _EMPTY
+            out = (np.zeros(len(rd)) if rs is None else rs.astype(np.float64,
+                                                                  copy=True))
+            od, osc = self._eval(q.optional, deadline,
+                                 (int(rd[0]), int(rd[-1])))
+            if len(od):
+                if osc is None:
+                    osc = np.ones(len(od))
+                pos = np.minimum(np.searchsorted(rd, od), len(rd) - 1)
+                hit = rd[pos] == od
+                out[pos[hit]] += osc[hit]
+            return rd, out
         if isinstance(q, Not):
             pdocs, pscores = self._eval(q.positive, deadline, doc_range)
             ndocs, _ = self._eval(q.negative, deadline)
@@ -508,13 +576,16 @@ class Index:
 
     def _df_estimate(self, q: Query) -> int:
         """Cheap selectivity estimate for conjunction ordering."""
+        if isinstance(q, _Stem):
+            return self.term_df(q.stem)
         if isinstance(q, Term):
-            stems = self.analyzer.analyze_query_term(q.text)
+            stems = self._term_stems(q)
             return sum(self.term_df(s) for s in stems) if stems else 0
         if isinstance(q, Phrase):
-            dfs = [self.term_df(s) for t in q.terms
-                   for s in self.analyzer.analyze_query_term(t)]
+            dfs = [self.term_df(s) for s in self._term_stems(q)]
             return min(dfs) if dfs else 0
+        if isinstance(q, Boost):
+            return self._df_estimate(q.required)
         return self.N  # filters / subtrees: assume wide
 
     def _eval_and(self, q: And, deadline, doc_range):
@@ -531,8 +602,14 @@ class Index:
         for c in clauses:
             # skip-pointer path: once candidates exist, a single-stem
             # term clause decodes only the blocks covering them
-            stems1 = (self.analyzer.analyze_query_term(c.text)
-                      if isinstance(c, Term) and cand is not None else None)
+            if cand is None:
+                stems1 = None
+            elif isinstance(c, _Stem):
+                stems1 = [c.stem]
+            elif isinstance(c, Term):
+                stems1 = self._term_stems(c)
+            else:
+                stems1 = None
             if stems1 is not None and len(stems1) == 1:
                 docs, scores = self._score_stem_for_docs(stems1[0], cand)
             else:
@@ -647,10 +724,11 @@ class Index:
         # the base readers — both fall back to the general evaluator
         if self._tomb or len(self._gen_readers) > 1:
             return None
-        stems = self.analyzer.analyze_query_term(q.text)
+        stems = self._term_stems(q)
         if len(stems) != 1:
             return None
         stem = stems[0]
+        avgdl = self._avgdl_of(stem)
 
         def _empty() -> SearchResult:
             tbl = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -685,7 +763,7 @@ class Index:
 
                 def score_fn(blocks, *, actor=actor, seg=seg, bucket=bucket):
                     return ray.get(actor.score_blocks.remote(
-                        seg, stem, bucket, idf, k1, b, self.avgdl, blocks))
+                        seg, stem, bucket, idf, k1, b, avgdl, blocks))
             else:
                 rdr = self._readers.reader(seg)
                 meta = rdr.block_meta(stem, bucket) if rdr else None
@@ -694,7 +772,7 @@ class Index:
 
                 def score_fn(blocks, *, rdr=rdr, bucket=bucket):
                     return rdr.score_blocks(
-                        stem, bucket, idf, k1, b, self.avgdl, blocks)
+                        stem, bucket, idf, k1, b, avgdl, blocks)
             per_slice.append(score_fn)
             bmax = meta[1].astype(np.float64)
             bounds_all.append(idf * bmax)

@@ -21,13 +21,15 @@ import pyarrow as pa
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.index.docids import hash_ids_from_strings
 from icat_lucene_ray.query.ast import (
-    And, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term, Wildcard,
+    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term,
+    Wildcard,
 )
 
 
 class OracleIndex:
     def __init__(self, table: pa.Table, *, analyzer: str = "icat",
-                 text_col: str = "text", id_col: str | None = None,
+                 text_col: str = "text", text_cols: list[str] | None = None,
+                 id_col: str | None = None,
                  key_col: str = "url", k1: float = 1.2, b: float = 0.75):
         self.an = get_analyzer(analyzer)
         self.k1, self.b = k1, b
@@ -36,21 +38,44 @@ class OracleIndex:
         else:
             ids = hash_ids_from_strings(table[key_col])
         self.doc_ids = ids
+        tcols = list(text_cols) if text_cols else [text_col]
+        self.multi = len(tcols) > 1
+        self.default_field = tcols[0]
         self.meta = {c: table[c].to_pylist() for c in table.column_names
-                     if c != text_col}
+                     if c not in tcols}
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        #: per-field doc lengths (single-field mode: one entry)
+        self.field_dl: dict[str, dict[int, int]] = {f: {} for f in tcols}
         self.doc_len: dict[int, int] = {}
-        for did, text in zip(ids, table[text_col].to_pylist()):
-            c = Counter(self.an.tokens(text or ""))
-            self.doc_len[int(did)] = sum(c.values())
-            for t, tf in c.items():
-                self.postings[t][int(did)] = tf
+        for col in tcols:
+            pfx = f"{col}:" if self.multi else ""
+            dlmap = self.field_dl[col]
+            for did, text in zip(ids, table[col].to_pylist()):
+                c = Counter(self.an.tokens(text or ""))
+                dlmap[int(did)] = sum(c.values())
+                self.doc_len[int(did)] = (self.doc_len.get(int(did), 0)
+                                          + sum(c.values()))
+                for t, tf in c.items():
+                    self.postings[pfx + t][int(did)] = tf
         self.N = len(ids)
+        self.field_avgdl = {
+            f: (sum(m.values()) / self.N) if self.N else 1.0
+            for f, m in self.field_dl.items()}
         self.avgdl = (sum(self.doc_len.values()) / self.N) if self.N else 1.0
         self._row_of = {int(d): i for i, d in enumerate(ids)}
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def _field_of(self, stem: str) -> str:
+        return stem.split(":", 1)[0] if self.multi else self.default_field
+
+    def _stems(self, q) -> list[str]:
+        """Analyzed + field-prefixed stems of a Term/Phrase (matches
+        engine._term_stems)."""
+        pfx = f"{q.field or self.default_field}:" if self.multi else ""
+        texts = q.terms if hasattr(q, "terms") else (q.text,)
+        return [pfx + s for t in texts for s in self.an.analyze_query_term(t)]
 
     def _score_stem(self, stem: str) -> dict[int, float]:
         p = self.postings.get(stem)
@@ -58,27 +83,41 @@ class OracleIndex:
             return {}
         idf = self.idf(len(p))
         k1, b = self.k1, self.b
+        field = self._field_of(stem)
+        dlmap = self.field_dl[field]
+        avgdl = self.field_avgdl[field]
         out = {}
         for did, tf in p.items():
-            dl = self.doc_len[did]
+            dl = dlmap[did]
             out[did] = idf * (tf * (k1 + 1.0)
-                              / (tf + k1 * (1.0 - b + b * dl / self.avgdl)))
+                              / (tf + k1 * (1.0 - b + b * dl / avgdl)))
         return out
 
     def _eval(self, q: Query):
         """-> (dict doc->score | None-score set)"""
         if isinstance(q, Term):
-            stems = self.an.analyze_query_term(q.text)
+            stems = self._stems(q)
             out: dict[int, float] = {}
             for s in stems:
                 for d, sc in self._score_stem(s).items():
                     out[d] = out.get(d, 0.0) + sc
             return out, True
         if isinstance(q, Phrase):
-            stems = [s for t in q.terms for s in self.an.analyze_query_term(t)]
-            return self._eval(And([Term(s) for s in stems])) if stems else ({}, True)
+            stems = self._stems(q)
+            if not stems:
+                return {}, True
+            # conjunction of already-analyzed stems (phrase-lite)
+            base: dict[int, float] | None = None
+            for s in stems:
+                m = self._score_stem(s)
+                base = dict(m) if base is None else {
+                    d: base[d] + m[d] for d in base if d in m}
+            return base or {}, True
         if isinstance(q, Wildcard):
-            rx = re.compile(fnmatch.translate(q.pattern.lower()))
+            pat = q.pattern.lower()
+            if self.multi:
+                pat = f"{q.field or self.default_field}:{pat}"
+            rx = re.compile(fnmatch.translate(pat))
             out: dict[int, float] = {}
             for t in self.postings:
                 if rx.match(t):
@@ -115,6 +154,11 @@ class OracleIndex:
             pos, scored = self._eval(q.positive)
             neg, _ = self._eval(q.negative)
             return {d: s for d, s in pos.items() if d not in neg}, scored
+        if isinstance(q, Boost):
+            req, r_scored = self._eval(q.required)
+            opt, _ = self._eval(q.optional)
+            return {d: (s if r_scored else 0.0) + opt.get(d, 0.0)
+                    for d, s in req.items()}, True
         if isinstance(q, And):
             subs = [self._eval(c) for c in q.clauses]
             filt = [self._eval(f) for f in q.filters]

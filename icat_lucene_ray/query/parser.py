@@ -1,0 +1,225 @@
+"""Free-text query-string parser (Q2).
+
+Compiles user query strings into the engine AST, mirroring the
+reference's ``StandardQueryParser`` surface over per-entity default
+field lists (``SearchBucket.java:217-222,250-255,283-298``; field lists
+``DocumentMapping.java:120-146``):
+
+- bare terms search every default field (a multi-field index ORs the
+  per-field term queries, like Lucene's multi-field parse);
+- ``field:term``, ``field:"a phrase"`` and ``field:(sub query)`` scope
+  a clause to one field;
+- ``"quoted phrases"`` → :class:`Phrase` (phrase-lite per north_rule);
+- ``*`` / ``?`` in a term → :class:`Wildcard` (lowercased by the
+  engine, M11);
+- ``AND`` binds tighter than ``OR``; bare adjacency is ``OR`` (the
+  Lucene default operator); ``NOT x`` / ``-x`` are MUST_NOT and ``+x``
+  is MUST within their group.
+
+Boolean mapping (documented simplifications vs Lucene):
+
+- a group with MUST and SHOULD clauses compiles to
+  ``Boost(And(must), Or(should))`` — exact Lucene semantics (SHOULD
+  beside MUST scores but does not constrain);
+- a group with only MUST_NOT matches nothing but the exclusions'
+  complement: ``Not(MatchAll(), Or(nots))``;
+- operator keywords are case-sensitive uppercase (Lucene classic).
+"""
+
+from __future__ import annotations
+
+import re
+
+from icat_lucene_ray.query.ast import (
+    And, Boost, MatchAll, Not, Or, Phrase, Query, Term, Wildcard,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_SCANNER = re.compile(
+    r"""\s*(?:
+    (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<quoted>"[^"]*")
+  | (?P<kw_and>AND\b)
+  | (?P<kw_or>OR\b)
+  | (?P<kw_not>NOT\b)
+  | (?P<plus>\+(?=\S))
+  | (?P<minus>-(?=\S))
+  | (?P<field>[A-Za-z_][\w.]*:)
+  | (?P<term>[^\s()"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(s):
+        m = _SCANNER.match(s, pos)
+        if m is None:
+            if s[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot tokenize at {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is None:  # pure whitespace tail
+            break
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]],
+                 default_fields: list[str] | None):
+        self.toks = tokens
+        self.i = 0
+        self.fields = list(default_fields) if default_fields else [None]
+
+    # -- token helpers --------------------------------------------------
+    def _peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # -- grammar ---------------------------------------------------------
+    def parse(self) -> Query:
+        q = self._or_expr(self.fields)
+        if self.i != len(self.toks):
+            raise QueryParseError(
+                f"unexpected {self.toks[self.i][1]!r} at position {self.i}")
+        return q
+
+    def _or_expr(self, fields) -> Query:
+        """(occur, query) clause group — adjacency or OR separated."""
+        clauses: list[tuple[str, Query]] = [self._and_chain(fields)]
+        while True:
+            k = self._peek()
+            if k == "kw_or":
+                self._next()
+                clauses.append(self._and_chain(fields))
+            elif k in ("lparen", "quoted", "kw_not", "plus", "minus",
+                       "field", "term"):
+                clauses.append(self._and_chain(fields))
+            else:
+                break
+        return _build_group(clauses)
+
+    def _and_chain(self, fields) -> tuple[str, Query]:
+        """clause (AND clause)*; an explicit-AND chain is one composite
+        SHOULD clause of the enclosing OR group."""
+        first = self._clause(fields)
+        if self._peek() != "kw_and":
+            return first
+        members = [first]
+        while self._peek() == "kw_and":
+            self._next()
+            members.append(self._clause(fields))
+        # inside an AND chain: unprefixed = MUST, '-'/NOT = MUST_NOT
+        promoted = [("must" if oc == "should" else oc, q)
+                    for oc, q in members]
+        return ("should", _build_group(promoted))
+
+    def _clause(self, fields) -> tuple[str, Query]:
+        k = self._peek()
+        if k in ("kw_not", "minus"):
+            self._next()
+            _occ, q = self._clause(fields)
+            return ("must_not", q)
+        if k == "plus":
+            self._next()
+            _occ, q = self._clause(fields)
+            return ("must", q)
+        return ("should", self._primary(fields))
+
+    def _primary(self, fields) -> Query:
+        k = self._peek()
+        if k is None:
+            raise QueryParseError("unexpected end of query")
+        if k == "lparen":
+            self._next()
+            q = self._or_expr(fields)
+            if self._peek() != "rparen":
+                raise QueryParseError("missing ')'")
+            self._next()
+            return q
+        if k == "field":
+            _, tok = self._next()
+            field = tok[:-1]
+            nxt = self._peek()
+            if nxt == "lparen":  # field:(sub query) pushes field scope
+                self._next()
+                q = self._or_expr([field])
+                if self._peek() != "rparen":
+                    raise QueryParseError("missing ')'")
+                self._next()
+                return q
+            return self._atom([field])
+        if k in ("quoted", "term"):
+            return self._atom(fields)
+        raise QueryParseError(f"unexpected {self.toks[self.i][1]!r}")
+
+    def _atom(self, fields) -> Query:
+        k, tok = self._next()
+        if k == "quoted":
+            words = tok[1:-1].split()
+            per = [Phrase(words, field=f) if len(words) != 1
+                   else Term(words[0], field=f) for f in fields]
+        elif k == "term":
+            if "*" in tok or "?" in tok:
+                per = [Wildcard(tok, field=f) for f in fields]
+            else:
+                per = [Term(tok, field=f) for f in fields]
+        else:
+            raise QueryParseError(f"expected a term, got {tok!r}")
+        return per[0] if len(per) == 1 else Or(per)
+
+
+def _build_group(clauses: list[tuple[str, Query]]) -> Query:
+    must = [q for oc, q in clauses if oc == "must"]
+    nots = [q for oc, q in clauses if oc == "must_not"]
+    should = [q for oc, q in clauses if oc == "should"]
+    if must and should:
+        pos: Query = Boost(_all_of(must), _any_of(should))
+    elif must:
+        pos = _all_of(must)
+    elif should:
+        pos = _any_of(should)
+    else:  # pure negation: everything except the exclusions
+        pos = MatchAll()
+    if nots:
+        return Not(pos, _any_of(nots))
+    return pos
+
+
+def _all_of(qs: list[Query]) -> Query:
+    from icat_lucene_ray.query.ast import Filter, RangeFilter
+
+    if len(qs) == 1:
+        return qs[0]
+    scored = [q for q in qs if not isinstance(q, (Filter, RangeFilter))]
+    filters = [q for q in qs if isinstance(q, (Filter, RangeFilter))]
+    return And(scored, filters=filters)
+
+
+def _any_of(qs: list[Query]) -> Query:
+    return qs[0] if len(qs) == 1 else Or(qs)
+
+
+def parse_query(s: str, *, default_fields: list[str] | None = None) -> Query:
+    """Parse a user query string into the engine AST. ``default_fields``
+    is the index's searched-field list (None → the index default field);
+    empty / all-whitespace input compiles to MatchAll, as the reference
+    maps a missing query body to match-all (``SearchBucket.java:636-642``).
+    """
+    tokens = _tokenize(s or "")
+    if not tokens:
+        return MatchAll()
+    return _Parser(tokens, default_fields).parse()

@@ -1,0 +1,116 @@
+"""Query-string parser golden tests (Q2) — mirrors the reference's
+parse tests (``TestLucene.java:354-360``-style: input string → expected
+query tree) plus rank-identity of parsed queries vs the oracle."""
+
+import pytest
+
+from icat_lucene_ray.query import (
+    And, Boost, MatchAll, Not, Or, Phrase, Term, Wildcard, parse_query,
+)
+from icat_lucene_ray.query.parser import QueryParseError
+
+from tests.test_query import _terms_by_df, assert_rank_identical
+
+
+def test_single_term():
+    assert parse_query("data") == Term("data")
+
+
+def test_adjacency_is_or():
+    # Lucene default operator (StandardQueryParser) is OR
+    assert parse_query("data join") == Or([Term("data"), Term("join")])
+
+
+def test_explicit_and():
+    assert parse_query("data AND join") == And([Term("data"), Term("join")])
+
+
+def test_and_binds_tighter_than_or():
+    assert parse_query("a AND b OR c") == Or([And([Term("a"), Term("b")]),
+                                              Term("c")])
+    assert parse_query("a OR b AND c") == Or([Term("a"),
+                                              And([Term("b"), Term("c")])])
+
+
+def test_parens():
+    assert parse_query("a AND (b OR c)") == And(
+        [Term("a"), Or([Term("b"), Term("c")])])
+
+
+def test_must_plus_should_is_boost():
+    # '+data join': data required, join only boosts (Lucene MUST+SHOULD)
+    assert parse_query("+data join") == Boost(Term("data"), Term("join"))
+
+
+def test_negation_forms():
+    assert parse_query("data -spark") == Not(Term("data"), Term("spark"))
+    assert parse_query("data NOT spark") == Not(Term("data"), Term("spark"))
+    assert parse_query("NOT spark") == Not(MatchAll(), Term("spark"))
+    assert parse_query("a AND NOT b") == Not(Term("a"), Term("b"))
+
+
+def test_field_scoping():
+    assert parse_query("title:window") == Term("window", field="title")
+    assert parse_query("title:(a b)") == Or(
+        [Term("a", field="title"), Term("b", field="title")])
+    assert parse_query('title:"fast join"') == Phrase(
+        ["fast", "join"], field="title")
+
+
+def test_multi_default_fields():
+    got = parse_query("window", default_fields=["title", "text"])
+    assert got == Or([Term("window", "title"), Term("window", "text")])
+    # explicit field overrides the default list
+    assert parse_query("text:window", default_fields=["title", "text"]) \
+        == Term("window", "text")
+
+
+def test_phrase_and_wildcard():
+    assert parse_query('"fast join"') == Phrase(["fast", "join"])
+    assert parse_query('"solo"') == Term("solo")  # 1-word phrase = term
+    assert parse_query("jo*") == Wildcard("jo*")
+    assert parse_query("d?ta") == Wildcard("d?ta")
+
+
+def test_empty_is_match_all():
+    assert parse_query("") == MatchAll()
+    assert parse_query("   ") == MatchAll()
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse_query("(a OR b")
+    with pytest.raises(QueryParseError):
+        parse_query("a)")
+
+
+def test_hyphen_inside_term_is_not_negation():
+    q = parse_query("state-of-art")
+    assert q == Term("state-of-art")
+
+
+# ---------------- parsed strings vs oracle (rank identity) -----------------
+
+def test_parsed_queries_rank_identical(engine, oracle):
+    head, mid, rare = _terms_by_df(oracle)
+    for s in [
+        f"{mid[0]}",
+        f"{mid[0]} {mid[1]}",
+        f"{mid[0]} AND {mid[1]}",
+        f"{mid[0]} AND ({mid[1]} OR {rare[0]})",
+        f"+{mid[0]} {mid[1]}",
+        f"{head} -{mid[0]}",
+        f"{mid[0][:3]}*",
+        f'"{mid[0]} {mid[1]}"',
+    ]:
+        q = parse_query(s)
+        assert_rank_identical(engine, oracle, q, k=10)
+
+
+def test_boost_scores_add_only_on_required(engine, oracle):
+    _, mid, _ = _terms_by_df(oracle)
+    q = parse_query(f"+{mid[0]} {mid[1]}")
+    r = assert_rank_identical(engine, oracle, q, k=50)
+    base = engine.search(Term(mid[0]), k=50)
+    # result set == required set (the SHOULD clause widens nothing)
+    assert r.total_hits == base.total_hits
