@@ -250,6 +250,17 @@ def _ft_range_facet(sf_dir: str):
     })
 
 
+def _ft_phrase_positional(sf_dir: str):
+    """Q4 true positional phrase (positions indexed behind
+    EngineConfig(positions=True)): 'fast join' must be ADJACENT, unlike
+    ft_phrase_lite_topk's conjunction."""
+    from icat_lucene_ray.pipelines import get_cached_positional_index
+    from icat_lucene_ray.query import Phrase
+
+    idx = get_cached_positional_index(sf_dir)
+    return _hits(idx.search(Phrase(["fast", "join"]), k=10))
+
+
 def _ft_querystring_topk(sf_dir: str):
     """Q2 free-text query-string parse over the default field:
     AND / OR / grouping / negation in one user string
@@ -633,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_lang": _ft_facet_lang,
         "ft_facet_source": _ft_facet_source,
         "ft_range_facet": _ft_range_facet,
+        "ft_phrase_positional": _ft_phrase_positional,
         "ft_querystring_topk": _ft_querystring_topk,
         "ft_boost_topk": _ft_boost_topk,
         "ft_multifield_topk": _ft_multifield_topk,
@@ -732,6 +744,23 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'long' END AS bucket
               FROM documents)
             GROUP BY bucket""",
+        "ft_phrase_positional": _BM25_CTE + """
+            , ptok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     unnest(generate_series(1, len(string_split(text, ' '))))
+                       AS pos
+              FROM documents),
+            pmatch AS (
+              SELECT DISTINCT a.doc_id FROM ptok a
+              JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term = 'join'),
+            agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('fast', 'join')
+                AND doc_id IN (SELECT doc_id FROM pmatch)
+              GROUP BY doc_id)
+            """ + topk,
         "ft_querystring_topk": _BM25_CTE + """
             , agg AS (
               SELECT s1.doc_id, s1.s + s2.s AS s

@@ -103,6 +103,31 @@ class _BaseAnalyzer:
         analyzer, DocumentMapping.java:136)."""
         return self.tokens(term)
 
+    # -- positional stream (Q4, behind EngineConfig.positions) --------
+    def candidate_expansion(self, cand: str) -> tuple[tuple, tuple, int]:
+        """One pre-split candidate -> (stems, local raw-token positions,
+        raw token count). Stopped tokens still advance the position
+        (Lucene StopFilter position increments); every stem expanded
+        from one raw token shares its position (synonym-graph style)."""
+        stems: list[str] = []
+        lpos: list[int] = []
+        raws = _TOKEN_RE.findall(cand)
+        for j, raw in enumerate(raws):
+            for s in self._transform(raw):
+                stems.append(s)
+                lpos.append(j)
+        return tuple(stems), tuple(lpos), len(raws)
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        """Scalar reference for the positional batch kernel: position =
+        raw-token index over the full text (token runs never span a
+        candidate-split boundary, so this equals base + local)."""
+        out: list[tuple[str, int]] = []
+        for j, raw in enumerate(_TOKEN_RE.findall(text)):
+            for s in self._transform(raw):
+                out.append((s, j))
+        return out
+
 
 class IcatAnalyzer(_BaseAnalyzer):
     """StandardTokenizer → possessive strip → lowercase → scientific
@@ -147,6 +172,13 @@ class SimpleAnalyzer(_BaseAnalyzer):
 
     def tokens(self, text: str) -> list[str]:
         return self._SIMPLE_RE.findall(text.lower())
+
+    def candidate_expansion(self, cand: str) -> tuple[tuple, tuple, int]:
+        toks = self._SIMPLE_RE.findall(cand.lower())
+        return tuple(toks), tuple(range(len(toks))), len(toks)
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        return [(t, j) for j, t in enumerate(self.tokens(text))]
 
 
 class SeparatorAnalyzer(_BaseAnalyzer):

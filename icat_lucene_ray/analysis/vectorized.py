@@ -33,6 +33,7 @@ class VectorizedAnalyzer:
         self.split_pattern = getattr(analyzer, "candidate_split",
                                      CANDIDATE_SPLIT)
         self._memo: dict[str, tuple[str, ...]] = {}
+        self._memo_pos: dict[str, tuple] = {}
         self._memo_cap = memo_cap
 
     def term_freq_batch(self, texts: pa.ChunkedArray | pa.Array):
@@ -107,3 +108,100 @@ class VectorizedAnalyzer:
         stem_table = pa.array(list(stem_ids.keys()), pa.string())
         terms = stem_table.take(pa.array(out_stem))
         return offsets, terms, counts.astype(np.int32), doc_len
+
+    def term_freq_batch_pos(self, texts: pa.ChunkedArray | pa.Array):
+        """Positional variant (Q4): additionally returns ``pos_flat``
+        int32 — the raw-token position of every occurrence, grouped per
+        (doc, term) in exactly the order of the terms/tfs lists
+        (ascending inside a posting). Position semantics pinned to
+        ``analyzer.tokens_with_positions`` by a property test: stopped
+        tokens advance positions; a candidate's expansions share its raw
+        token's position."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        toks = pc.split_pattern_regex(
+            pc.coalesce(texts, ""), pattern=self.split_pattern)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        cand_off = toks.offsets.to_numpy(zero_copy_only=False)
+        cand_lens = np.diff(cand_off)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), cand_lens)
+
+        empty = (
+            np.zeros(n + 1, dtype=np.int64),
+            pa.array([], pa.string()),
+            np.empty(0, dtype=np.int32),
+            np.zeros(n, dtype=np.int32),
+            np.empty(0, dtype=np.int32),
+        )
+        if len(flat) == 0:
+            return empty
+
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = enc.dictionary.to_pylist()
+
+        memo = self._memo_pos
+        stem_ids: dict[str, int] = {}
+        exp_counts = np.empty(len(dictionary), dtype=np.int64)
+        n_raw = np.empty(len(dictionary), dtype=np.int64)
+        exp_values_list: list[int] = []
+        exp_lpos_list: list[int] = []
+        expand_fn = self.an.candidate_expansion
+        for ci, cand in enumerate(dictionary):
+            got = memo.get(cand)
+            if got is None:
+                got = expand_fn(cand)
+                if len(memo) < self._memo_cap:
+                    memo[cand] = got
+            stems, lpos, nr = got
+            exp_counts[ci] = len(stems)
+            n_raw[ci] = nr
+            for s, lp in zip(stems, lpos):
+                exp_values_list.append(stem_ids.setdefault(s, len(stem_ids)))
+                exp_lpos_list.append(lp)
+        exp_values = np.asarray(exp_values_list, dtype=np.int64)
+        exp_lpos = np.asarray(exp_lpos_list, dtype=np.int64)
+        exp_offsets = np.zeros(len(dictionary) + 1, dtype=np.int64)
+        np.cumsum(exp_counts, out=exp_offsets[1:])
+
+        # per-occurrence base position = exclusive cumsum of raw-token
+        # counts, reset at each doc's first candidate
+        nr_occ = n_raw[codes]
+        cs = np.zeros(len(codes) + 1, dtype=np.int64)
+        np.cumsum(nr_occ, out=cs[1:])
+        base = cs[:-1] - np.repeat(cs[cand_off[:-1]], cand_lens)
+
+        n_out = exp_counts[codes]
+        total = int(n_out.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(doc_idx, n_out)
+        ends = np.cumsum(n_out)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_out, n_out)
+        gsel = np.repeat(exp_offsets[codes], n_out) + within
+        stems_rep = exp_values[gsel]
+        pos_occ = np.repeat(base, n_out) + exp_lpos[gsel]
+
+        K = len(stem_ids)
+        key = doc_rep * K + stems_rep
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        pos_flat = pos_occ[order].astype(np.int32)
+        change = np.empty(len(key_s), dtype=bool)
+        change[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(key_s)))
+        out_doc = key_s[starts] // K
+        out_stem = key_s[starts] % K
+        doc_len = np.bincount(doc_rep, minlength=n).astype(np.int32)
+        terms_per_doc = np.bincount(out_doc, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(terms_per_doc, out=offsets[1:])
+
+        stem_table = pa.array(list(stem_ids.keys()), pa.string())
+        terms = stem_table.take(pa.array(out_stem))
+        return offsets, terms, counts.astype(np.int32), doc_len, pos_flat

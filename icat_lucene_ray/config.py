@@ -21,6 +21,11 @@ class EngineConfig:
     analyzer: str = "icat"  # "icat" | "icat_synonym" | "simple"
 
     # ---- index layout ----
+    #: index token positions (Q4): enables true positional Phrase
+    #: queries at ~+30-50% postings size (Lucene TextField indexes
+    #: positions by default; our default profile is phrase-lite per
+    #: north_rule, positions opt-in behind this flag)
+    positions: bool = False
     num_segments: int = 8          # S: term-shard count (#segment files)
     codec_block: int = 128         # postings per bit-packed block (block-max granularity)
     # terms with global df above this get doc-range-salted across

@@ -137,6 +137,23 @@ def merge_field_tokens(van, batch: pa.Table, text_cols: list[str]) -> dict:
     return cols
 
 
+def tokenize_with_positions(van, texts) -> dict:
+    """Q4 positional tokenize: per-doc terms/tfs plus a ``poss`` list —
+    the position of every occurrence, grouped per (doc, term) in the
+    terms-list order (what the positional posting codec expects)."""
+    offsets, terms, tfs, doc_lens, pos_flat = van.term_freq_batch_pos(texts)
+    off32 = pa.array(offsets, type=pa.int32())
+    pos_off = np.zeros(len(doc_lens) + 1, dtype=np.int64)
+    np.cumsum(doc_lens.astype(np.int64), out=pos_off[1:])
+    return {
+        "doc_len": pa.array(doc_lens),
+        "terms": pa.ListArray.from_arrays(off32, terms),
+        "tfs": pa.ListArray.from_arrays(off32, pa.array(tfs)),
+        "poss": pa.ListArray.from_arrays(
+            pa.array(pos_off, pa.int32()), pa.array(pos_flat)),
+    }
+
+
 class Tokenizer:
     """Actor-pool stage: analyzer + vectorized kernel built once per
     actor; the candidate→stems memo is the per-worker state (≈ the
@@ -150,7 +167,8 @@ class Tokenizer:
 
     def __init__(self, analyzer: str, text_col: str | None, id_col: str | None,
                  key_col: str, meta_cols: list[str],
-                 text_cols: list[str] | None = None):
+                 text_cols: list[str] | None = None,
+                 positions: bool = False):
         from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
 
         self.van = VectorizedAnalyzer(get_analyzer(analyzer))
@@ -158,6 +176,9 @@ class Tokenizer:
         self.id_col = id_col
         self.key_col = key_col
         self.meta_cols = meta_cols
+        self.positions = positions
+        if positions and len(self.text_cols) > 1:
+            raise ValueError("positions=True supports a single text field")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, Any] = {}
@@ -168,6 +189,9 @@ class Tokenizer:
         # narrow posting deltas). No id column is materialized.
         if len(self.text_cols) > 1:
             cols.update(merge_field_tokens(self.van, batch, self.text_cols))
+        elif self.positions:
+            cols.update(tokenize_with_positions(
+                self.van, batch[self.text_cols[0]]))
         else:
             offsets, terms, tfs, doc_lens = self.van.term_freq_batch(
                 batch[self.text_cols[0]])
@@ -335,15 +359,19 @@ class RunEncoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["terms"].combine_chunks()
         flat_terms = terms.flatten()
+        has_pos = "poss" in batch.column_names
         if len(flat_terms) == 0:
-            return pa.table({
+            cols = {
                 "skey": pa.array([], pa.int32()),
                 "term": pa.array([], pa.string()),
                 "bucket": pa.array([], pa.int32()),
                 "docs": pa.array([], pa.list_(pa.int64())),
                 "tf": pa.array([], pa.list_(pa.int32())),
                 "dl": pa.array([], pa.list_(pa.int32())),
-            })
+            }
+            if has_pos:
+                cols["pos"] = pa.array([], pa.list_(pa.int32()))
+            return pa.table(cols)
         lengths = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(doc_ids, lengths)
@@ -404,14 +432,36 @@ class RunEncoder:
             return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                             pa.array(vals.astype(typ)))
 
-        return pa.table({
+        cols = {
             "skey": pa.array(skey),
             "term": run_terms,
             "bucket": pa.array(run_buckets),
             "docs": _list(doc_s, np.int64),
             "tf": _list(tf_s, np.int32),
             "dl": _list(dl_s, np.int32),
-        })
+        }
+        if has_pos:
+            # per-posting position slices travel with the run, re-gathered
+            # into the lexsorted posting order in one concat_ranges pass
+            from icat_lucene_ray.index.codec import concat_ranges
+
+            pos_all = batch["poss"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tf64 = tf_flat
+            pstart = np.zeros(len(tf64) + 1, dtype=np.int64)
+            np.cumsum(tf64, out=pstart[1:])
+            total_occ = int(pstart[-1])
+            g = concat_ranges(pstart[:-1][order], tf64[order],
+                              np.empty(total_occ, np.int64))
+            pos_s = pos_all[g]
+            run_occ = np.add.reduceat(tf_s, starts) if len(starts) \
+                else np.zeros(0, np.int64)
+            pos_off = np.zeros(len(starts) + 1, dtype=np.int64)
+            np.cumsum(run_occ, out=pos_off[1:])
+            cols["pos"] = pa.ListArray.from_arrays(
+                pa.array(pos_off, pa.int32()),
+                pa.array(pos_s.astype(np.int32)))
+        return pa.table(cols)
 
 
 class SegmentWriter:
@@ -460,6 +510,16 @@ class SegmentWriter:
         g_ends = np.cumsum(g_lens)
         gather = concat_ranges(run_off[:-1][run_order], g_lens,
                                _scratch("gather", total, np.int64))
+        has_pos = "pos" in group.column_names
+        if has_pos:
+            # track the posting permutation so per-posting position
+            # slices can be re-gathered after the in-group doc sorts
+            porder = gather.copy()
+            pos_flat_all = group["pos"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tf_orig = tf_flat.astype(np.int64)
+            p_start0 = np.zeros(len(tf_orig) + 1, dtype=np.int64)
+            np.cumsum(tf_orig, out=p_start0[1:])
         doc_s = np.take(doc_flat, gather,
                         out=_scratch("doc_s", total, doc_flat.dtype))
         tf_s = np.take(tf_flat, gather,
@@ -484,6 +544,8 @@ class SegmentWriter:
             doc_s[s:e] = doc_s[s:e][o]
             tf_s[s:e] = tf_s[s:e][o]
             dl_s[s:e] = dl_s[s:e][o]
+            if has_pos:
+                porder[s:e] = porder[s:e][o]
 
         dictionary = term_enc.dictionary
         codes_g = run_codes[run_order][group_run_idx]
@@ -501,7 +563,7 @@ class SegmentWriter:
         enc = encode_postings_multi(
             doc_s, tf_s, dl_s, starts, ends,
             k1=self.k1, b=self.b, avgdl=avgdl, block=self.block)
-        seg = pa.table({
+        seg_cols = {
             "term": dictionary.take(pa.array(codes_g)),
             "bucket": pa.array(buckets_g.astype(np.int32)),
             "df": pa.array(enc["df"], pa.int64()),
@@ -511,7 +573,21 @@ class SegmentWriter:
             "dls": pa.array(enc["dls"], pa.binary()),
             "block_last": pa.array(enc["block_last"], pa.binary()),
             "block_max": pa.array(enc["block_max"], pa.binary()),
-        }).sort_by([("term", "ascending"), ("bucket", "ascending")])
+        }
+        if has_pos:
+            from icat_lucene_ray.index.codec import encode_u64_multi
+
+            tf_final = tf_orig[porder]
+            pf_off = np.zeros(len(tf_final) + 1, dtype=np.int64)
+            np.cumsum(tf_final, out=pf_off[1:])
+            pos_sorted = pos_flat_all[concat_ranges(
+                p_start0[:-1][porder], tf_final,
+                np.empty(int(pf_off[-1]), np.int64))]
+            seg_cols["poss"] = pa.array(
+                encode_u64_multi(pos_sorted, pf_off[starts], pf_off[ends],
+                                 self.block), pa.binary())
+        seg = pa.table(seg_cols).sort_by(
+            [("term", "ascending"), ("bucket", "ascending")])
 
         path = os.path.join(self.out_dir, "segments",
                             f"{self.name_prefix}_{skey:05d}.parquet")
@@ -536,7 +612,8 @@ def _encode_split_task(units: list[tuple[str, int, int, int]],
                        hot_terms: dict[str, int], min_doc: int, max_doc: int,
                        batch_rows: int,
                        id_bases: dict[str, int] | None = None,
-                       has_dls: bool = False):
+                       has_dls: bool = False,
+                       has_pos: bool = False):
     """Read a list of (path, rg_start, rg_end, row_off) analyzed
     row-group ranges, run the RunEncoder combiner, and return S
     per-segment pieces. With ``id_bases`` (dense-id mode) doc ids are
@@ -547,7 +624,8 @@ def _encode_split_task(units: list[tuple[str, int, int, int]],
                      min_doc=min_doc, max_doc=max_doc)
     S = num_segments
     parts: list[list[pa.Table]] = [[] for _ in range(S)]
-    cols = ["doc_len", "terms", "tfs"] + (["dls"] if has_dls else [])
+    cols = ["doc_len", "terms", "tfs"] + (["dls"] if has_dls else []) \
+        + (["poss"] if has_pos else [])
     if id_bases is None:
         cols = ["doc_id"] + cols
     for path, rg0, rg1, row_off in units:
@@ -728,6 +806,8 @@ def build_index(
     for f in tcols:
         if ":" in f:
             raise ValueError(f"text field name {f!r} must not contain ':'")
+    if config.positions and multi:
+        raise ValueError("positions=True supports a single text field")
     if not id_col and key_col not in meta_cols:
         meta_cols.append(key_col)  # the document key is always a stored field
     S = num_segments or config.num_segments
@@ -790,6 +870,7 @@ def build_index(
                 fn_constructor_kwargs=dict(
                     analyzer=analyzer, text_col=None, id_col=id_col,
                     key_col=key_col, meta_cols=meta_cols, text_cols=tcols,
+                    positions=config.positions,
                 ),
                 batch_format="pyarrow",
                 batch_size=config.tokenize_batch_size,
@@ -881,7 +962,7 @@ def build_index(
         enc_refs = [
             _encode_split_task.options(**opts).remote(
                 g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size,
-                id_bases if not id_col else None, multi)
+                id_bases if not id_col else None, multi, config.positions)
             for g in groups
         ]
         if S == 1:
@@ -955,4 +1036,14 @@ def build_index(
         metrics=metrics,
     )
     manifest.save()
+    if meta_cols:
+        # facet sidecar (ST2): doc-id-ordered dictionary codes so facet
+        # queries bincount candidates instead of scanning the doc store
+        from icat_lucene_ray.index.facets import write_sidecar
+
+        t0 = time.perf_counter()
+        write_sidecar(out_dir)
+        manifest.metrics["facet_sidecar_sec"] = round(
+            time.perf_counter() - t0, 3)
+        manifest.save()
     return manifest

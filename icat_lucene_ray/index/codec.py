@@ -409,6 +409,37 @@ def encode_postings_multi(
     return out
 
 
+def encode_u64_multi(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                     block: int = 128) -> list[bytes]:
+    """Encode MANY value slices at once — one vectorized packing pass
+    across the union of every slice's blocks; per-slice output bytes are
+    identical to :func:`encode_u64_blocks` of that slice. Used for the
+    positional streams (one slice per term). Precondition: every slice
+    is non-empty."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_terms = len(starts)
+    lens = ends - starts
+    nblocks_t = -(-lens // block)
+    blk_off = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nblocks_t, out=blk_off[1:])
+    total_blocks = int(blk_off[-1])
+    N = int(lens.sum())
+    gpos = concat_ranges(blk_off[:-1] * block, lens, np.empty(N, np.int64))
+    padded = np.zeros(total_blocks * block, dtype=np.uint64)
+    padded[gpos] = np.ascontiguousarray(vals, dtype=np.uint64)[
+        concat_ranges(starts, lens, np.empty(N, np.int64))]
+    widths, payload, _bl, offsets = _pack_all_blocks(
+        padded, total_blocks, block)
+    w_b = widths.tobytes()
+    out: list[bytes] = []
+    for i in range(n_terms):
+        b0, b1 = int(blk_off[i]), int(blk_off[i + 1])
+        out.append(np.uint32(lens[i]).tobytes() + w_b[b0:b1]
+                   + payload[int(offsets[b0]):int(offsets[b1])].tobytes())
+    return out
+
+
 def decode_postings(
     row: dict,
     block: int = 128,

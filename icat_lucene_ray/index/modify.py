@@ -180,6 +180,11 @@ class IndexUpdater:
                 c: pa.array([d.get(c) or "" for d in self._creates],
                             pa.string()) for c in tcols})
             cols.update(merge_field_tokens(van, batch, tcols))
+        elif self.cfg.positions:
+            from icat_lucene_ray.index.build import tokenize_with_positions
+
+            texts = pa.array([d.get(tcols[0]) or "" for d in self._creates])
+            cols.update(tokenize_with_positions(van, texts))
         else:
             texts = pa.array([d.get(tcols[0]) or "" for d in self._creates])
             offsets, terms, tfs, doc_lens = van.term_freq_batch(texts)
@@ -331,27 +336,42 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
     generation g masks only postings from sources with generation < g —
     that is what resolves an update (tombstone at g + re-add at g) to
     the new version without dropping it."""
-    rows: dict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    from icat_lucene_ray.index.codec import concat_ranges, encode_u64_multi
+
+    rows: dict[tuple[str, int], list[tuple]] = {}
+    any_pos = False
     for path, src_gen in seg_paths:
         mask_parts = [ids for g, ids in tomb if g > src_gen]
         mask = (np.unique(np.concatenate(mask_parts))
                 if mask_parts else np.empty(0, np.int64))
         t = pq.read_table(path)
+        has_pos = "poss" in t.column_names
+        any_pos = any_pos or has_pos
         for i in range(t.num_rows):
             key = (t["term"][i].as_py(), int(t["bucket"][i].as_py()))
             docs = np.cumsum(decode_u64_blocks(
                 t["docs"][i].as_py(), block).astype(np.int64))
             tfs = decode_u64_blocks(t["tfs"][i].as_py(), block).astype(np.int64)
             dls = decode_u64_blocks(t["dls"][i].as_py(), block).astype(np.int64)
+            poss = (decode_u64_blocks(t["poss"][i].as_py(), block)
+                    .astype(np.int64) if has_pos else None)
             if len(mask):
-                keep = ~np.isin(docs, mask)
+                keep = np.flatnonzero(~np.isin(docs, mask))
+                if poss is not None and len(keep) < len(docs):
+                    pstart = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=pstart[1:])
+                    tot = int(tfs[keep].sum())
+                    poss = poss[concat_ranges(pstart[:-1][keep], tfs[keep],
+                                              np.empty(tot, np.int64))] \
+                        if tot else np.empty(0, np.int64)
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             if len(docs):
-                rows.setdefault(key, []).append((docs, tfs, dls))
+                rows.setdefault(key, []).append((docs, tfs, dls, poss))
     if not rows:
         return None
     keys = sorted(rows)
-    doc_parts, tf_parts, dl_parts, starts, ends = [], [], [], [], []
+    doc_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+    starts, ends, pos_bounds = [], [], [0]
     pos = 0
     for key in keys:
         parts = rows[key]
@@ -362,6 +382,16 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
         doc_parts.append(d[order])
         tf_parts.append(tf[order])
         dl_parts.append(dl[order])
+        if any_pos:
+            pflat = np.concatenate(
+                [p[3] if p[3] is not None else np.empty(0, np.int64)
+                 for p in parts])
+            pstart = np.zeros(len(tf) + 1, dtype=np.int64)
+            np.cumsum(tf, out=pstart[1:])
+            tot = int(tf.sum())
+            pos_parts.append(pflat[concat_ranges(
+                pstart[:-1][order], tf[order], np.empty(tot, np.int64))])
+            pos_bounds.append(pos_bounds[-1] + tot)
         starts.append(pos)
         ends.append(pos + len(d))
         pos += len(d)
@@ -374,7 +404,7 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
         np.concatenate(doc_parts), np.concatenate(tf_parts),
         np.concatenate(dl_parts), np.asarray(starts), np.asarray(ends),
         k1=k1, b=b, avgdl=avg, block=block)
-    seg = pa.table({
+    seg_cols = {
         "term": pa.array([k[0] for k in keys], pa.string()),
         "bucket": pa.array([k[1] for k in keys], pa.int32()),
         "df": pa.array(enc["df"], pa.int64()),
@@ -384,7 +414,14 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
         "dls": pa.array(enc["dls"], pa.binary()),
         "block_last": pa.array(enc["block_last"], pa.binary()),
         "block_max": pa.array(enc["block_max"], pa.binary()),
-    }).sort_by([("term", "ascending"), ("bucket", "ascending")])
+    }
+    if any_pos:
+        bounds = np.asarray(pos_bounds, dtype=np.int64)
+        seg_cols["poss"] = pa.array(
+            encode_u64_multi(np.concatenate(pos_parts), bounds[:-1],
+                             bounds[1:], block), pa.binary())
+    seg = pa.table(seg_cols).sort_by(
+        [("term", "ascending"), ("bucket", "ascending")])
     path = os.path.join(out_dir, "segments", f"seg_{seg_id:05d}.parquet")
     tmp = path + ".tmp"
     pq.write_table(seg, tmp, row_group_size=256, compression="zstd")

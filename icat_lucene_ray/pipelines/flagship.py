@@ -57,6 +57,38 @@ def get_cached_index(sf_dir: str) -> Index:
     return idx
 
 
+#: positional profile (Q4): same simple analyzer, positions indexed so
+#: Phrase means true adjacency (SQL-mirrorable via zipped unnest + self
+#: join on pos+1)
+POS_CONFIG = EngineConfig(analyzer="simple", num_segments=8, positions=True)
+_POS_CACHE: dict[str, Index] = {}
+
+
+def get_cached_positional_index(sf_dir: str) -> Index:
+    """Build-once positional index over ``{sf_dir}/documents.parquet``."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.blake2b(
+        _lineage(_input_files(src), POS_CONFIG, "pos-v1").encode(),
+        digest_size=8,
+    ).hexdigest()
+    hit = _POS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = os.path.join(_CACHE_ROOT, f"pidx_{key}")
+    try:
+        m = IndexManifest.load(out)
+        fresh = m.lineage.get("input") == _lineage(
+            _input_files(src), POS_CONFIG, POS_CONFIG.analyzer)
+    except Exception:
+        fresh = False
+    if not fresh:
+        build_index(src, out, text_col="text", id_col="doc_id",
+                    meta_cols=DOC_META, config=POS_CONFIG)
+    idx = Index(out)
+    _POS_CACHE[key] = idx
+    return idx
+
+
 #: multi-field profile (M2): title = first 8 tokens of the body —
 #: SQL-mirrorable (string_split(text,' ')[1:8]) so the DuckDB oracle can
 #: score the same two fields independently

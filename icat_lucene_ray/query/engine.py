@@ -521,10 +521,16 @@ class Index:
             stems = self._term_stems(q)
             return self._eval_stems(stems, doc_range) if stems else _EMPTY
         if isinstance(q, Phrase):
-            # phrase-lite: conjunction of the analyzed terms (north_rule)
             stems = self._term_stems(q)
+            if not stems:
+                return _EMPTY
+            if self.cfg.positions and len(stems) > 1:
+                return self._eval_phrase_positional(stems, deadline,
+                                                    doc_range)
+            # phrase-lite: conjunction of the analyzed terms (north_rule
+            # default profile; positional profile is behind cfg.positions)
             return self._eval(And([_Stem(s) for s in stems]), deadline,
-                              doc_range) if stems else _EMPTY
+                              doc_range)
         if isinstance(q, Wildcard):
             stems = self.expand_wildcard(q.pattern, field=q.field)
             return self._eval_stems(stems, doc_range)
@@ -573,6 +579,95 @@ class Index:
         if isinstance(q, And):
             return self._eval_and(q, deadline, doc_range)
         raise TypeError(f"unknown query node {type(q).__name__}")
+
+    # ---------------- positional phrases (Q4) --------------------------
+    def _eval_phrase_positional(self, stems: list[str], deadline, doc_range):
+        """True phrase matching (reference ``TestLucene.java:147-171``
+        semantics): the candidate set is the terms' conjunction (same
+        block-skipped path as phrase-lite), then the positional streams
+        of the candidates verify adjacency — stem i must occur at
+        position p+i for one common p. Scores stay the BM25 sum of the
+        member terms over the ADJACENT matches (documented divergence
+        from Lucene's phrase-frequency scoring; SQL-oracle-expressible).
+        """
+        docs, scores = self._eval(And([_Stem(s) for s in stems]), deadline,
+                                  doc_range)
+        if not len(docs):
+            return _EMPTY
+        if scores is None:
+            scores = np.ones(len(docs))
+        keep = self._phrase_adjacency_mask(stems, docs)
+        return docs[keep], scores[keep]
+
+    def _term_positions(self, stem: str, cand: np.ndarray):
+        """(doc_rep, positions) of every occurrence of ``stem`` within
+        the sorted candidate doc set — decodes only the positional
+        streams of slices that intersect, applies tombstone masks."""
+        from icat_lucene_ray.index.codec import concat_ranges
+
+        parts_d: list[np.ndarray] = []
+        parts_p: list[np.ndarray] = []
+        for gen, grp in self._gen_readers:
+            for seg, bucket in self._slices(stem):
+                r = grp.reader(seg)
+                if r is None:
+                    continue
+                got = r.postings(stem, bucket)
+                if got is None:
+                    continue
+                d, tf, _dl = got
+                idx = np.minimum(np.searchsorted(cand, d), len(cand) - 1)
+                hit = cand[idx] == d
+                keep = self._live_mask(gen, d)
+                if keep is not None:
+                    hit &= keep
+                if not hit.any():
+                    continue
+                pos = r.positions(stem, bucket)
+                if pos is None:
+                    raise ValueError(
+                        "index has no positional stream (build with "
+                        "EngineConfig(positions=True))")
+                tf64 = tf.astype(np.int64)
+                pstart = np.zeros(len(tf64) + 1, dtype=np.int64)
+                np.cumsum(tf64, out=pstart[1:])
+                sel = np.flatnonzero(hit)
+                total = int(tf64[sel].sum())
+                g = concat_ranges(pstart[:-1][sel], tf64[sel],
+                                  np.empty(total, np.int64))
+                parts_d.append(np.repeat(d[sel], tf64[sel]))
+                parts_p.append(pos[g])
+        if not parts_d:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(parts_d), np.concatenate(parts_p)
+
+    def _phrase_adjacency_mask(self, stems: list[str], cand: np.ndarray
+                               ) -> np.ndarray:
+        """Boolean mask over ``cand``: a doc survives iff some position p
+        has stem i at p+i for every i (vectorized set intersection over
+        (doc-rank, start-position) keys)."""
+        occ = []
+        max_pos = 0
+        for stem in stems:
+            d, p = self._term_positions(stem, cand)
+            if not len(d):
+                return np.zeros(len(cand), dtype=bool)
+            occ.append((d, p))
+            max_pos = max(max_pos, int(p.max()))
+        M = max_pos + len(stems) + 2
+        valid: np.ndarray | None = None
+        for i, (d, p) in enumerate(occ):
+            rank = np.searchsorted(cand, d)
+            shifted = p - i
+            ok = shifted >= 0
+            keys = np.unique(rank[ok] * M + shifted[ok])
+            valid = keys if valid is None else \
+                valid[np.isin(valid, keys, assume_unique=True)]
+            if not len(valid):
+                return np.zeros(len(cand), dtype=bool)
+        mask = np.zeros(len(cand), dtype=bool)
+        mask[np.unique(valid // M)] = True
+        return mask
 
     def _df_estimate(self, q: Query) -> int:
         """Cheap selectivity estimate for conjunction ordering."""
@@ -910,8 +1005,15 @@ class Index:
         max_labels: int = 10,
     ) -> dict:
         """String facet counts (A1) / sparse all-dims (A2) / numeric range
-        facets (A3), merged across doc-table fragments (A4). Output shape
-        ≈ FacetedDimension.buildResponse (A5)."""
+        facets (A3), merged across sources (A4). Output shape ≈
+        FacetedDimension.buildResponse (A5).
+
+        Base (gen-0) docs count through the CACHED facet sidecar (ST2 ≈
+        the reference's per-shard SortedSetDocValues reader state,
+        ``Lucene.java:182-198``): dictionary codes in doc-id order, so a
+        query costs O(|candidates|) bincount — no doc-store scan. Delta
+        commits are counted from their (small) delta doc stores first,
+        which also shadows stale base rows of updated docs."""
         docs, _ = self._eval(q)
         if dims is None and ranges is None:
             dims = [f for f in self.manifest.meta_cols
@@ -923,32 +1025,65 @@ class Index:
         counters: dict[str, dict] = {d: {} for d in (dims or [])}
         range_counts: dict[str, list[int]] = {
             f: [0] * len(rs) for f, rs in (ranges or {}).items()}
-        for gen, batch in self._doc_batches(scan_cols):
-            bids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(docs, bids)
-            pos[pos >= len(docs)] = max(0, len(docs) - 1)
-            m = len(docs) > 0
-            member = (docs[pos] == bids) if m else np.zeros(len(bids), bool)
-            keep = self._live_mask(gen, bids)
-            if keep is not None:
-                member &= keep
-            if not member.any():
-                continue
+
+        # ---- delta generations: scan their (small) doc stores --------
+        delta_matched: list[np.ndarray] = []
+        for gen, src in self._doc_sources[1:]:
+            for batch in src.to_batches(
+                    columns=list(dict.fromkeys(["doc_id"] + scan_cols))):
+                bids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                if not len(docs):
+                    break
+                pos = np.minimum(np.searchsorted(docs, bids), len(docs) - 1)
+                member = docs[pos] == bids
+                keep = self._live_mask(gen, bids)
+                if keep is not None:
+                    member &= keep
+                if not member.any():
+                    continue
+                delta_matched.append(bids[member])
+                for d in dims or []:
+                    vc = pc.value_counts(batch[d].filter(pa.array(member)))
+                    c = counters[d]
+                    for s in vc:
+                        key = s["values"].as_py()
+                        c[key] = c.get(key, 0) + s["counts"].as_py()
+                for f, rs in (ranges or {}).items():
+                    arr = batch[f]
+                    if pa.types.is_timestamp(arr.type):
+                        arr = arr.cast(pa.int64())
+                    vals = arr.to_numpy(zero_copy_only=False)[member]
+                    for i, (_label, lo, hi) in enumerate(rs):
+                        range_counts[f][i] += int(
+                            np.count_nonzero((vals >= lo) & (vals < hi)))
+
+        # ---- base: cached sidecar lookup ------------------------------
+        base_docs = docs
+        if delta_matched:
+            shadow = np.concatenate(delta_matched)
+            base_docs = docs[~np.isin(docs, shadow)]
+        if len(base_docs):
+            st = self._facet_state_obj()
+            ids = st.ids()
+            pos = np.minimum(np.searchsorted(ids, base_docs),
+                             max(0, len(ids) - 1))
+            member = ids[pos] == base_docs if len(ids) else \
+                np.zeros(len(base_docs), bool)
+            sel = pos[member]
             for d in dims or []:
-                vals = batch[d].filter(pa.array(member))
-                vc = pc.value_counts(vals)
+                codes, labels = st.string_dim(d)
+                cs = codes[sel]
+                cs = cs[cs >= 0]  # nulls excluded
+                bc = np.bincount(cs, minlength=len(labels))
                 c = counters[d]
-                for s in vc:
-                    key = s["values"].as_py()
-                    c[key] = c.get(key, 0) + s["counts"].as_py()
+                for li in np.flatnonzero(bc):
+                    c[labels[li]] = c.get(labels[li], 0) + int(bc[li])
             for f, rs in (ranges or {}).items():
-                arr = batch[f]
-                if pa.types.is_timestamp(arr.type):
-                    arr = arr.cast(pa.int64())
-                vals = arr.to_numpy(zero_copy_only=False)[member]
+                vals = st.numeric_dim(f)[sel]
                 for i, (_label, lo, hi) in enumerate(rs):
                     range_counts[f][i] += int(
                         np.count_nonzero((vals >= lo) & (vals < hi)))
+
         for d in dims or []:
             top = sorted(counters[d].items(), key=lambda kv: (-kv[1], kv[0]))
             out[d] = {k: v for k, v in top[:max_labels]}
@@ -958,6 +1093,13 @@ class Index:
                 for i, (label, lo, hi) in enumerate(rs)
             }
         return out
+
+    def _facet_state_obj(self):
+        if getattr(self, "_facet_state", None) is None:
+            from icat_lucene_ray.index.facets import FacetState
+
+            self._facet_state = FacetState(self)
+        return self._facet_state
 
 
 # ---------------------------------------------------------------------------

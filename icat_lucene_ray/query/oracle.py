@@ -29,10 +29,14 @@ from icat_lucene_ray.query.ast import (
 class OracleIndex:
     def __init__(self, table: pa.Table, *, analyzer: str = "icat",
                  text_col: str = "text", text_cols: list[str] | None = None,
-                 id_col: str | None = None,
+                 id_col: str | None = None, positions: bool = False,
                  key_col: str = "url", k1: float = 1.2, b: float = 0.75):
         self.an = get_analyzer(analyzer)
         self.k1, self.b = k1, b
+        self.positions = positions
+        #: stem -> doc -> sorted positions (built only when positions)
+        self.pos_map: dict[str, dict[int, list[int]]] = defaultdict(
+            lambda: defaultdict(list))
         if id_col:
             ids = table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
@@ -57,6 +61,9 @@ class OracleIndex:
                                           + sum(c.values()))
                 for t, tf in c.items():
                     self.postings[pfx + t][int(did)] = tf
+                if positions:
+                    for t, p in self.an.tokens_with_positions(text or ""):
+                        self.pos_map[pfx + t][int(did)].append(p)
         self.N = len(ids)
         self.field_avgdl = {
             f: (sum(m.values()) / self.N) if self.N else 1.0
@@ -112,7 +119,16 @@ class OracleIndex:
                 m = self._score_stem(s)
                 base = dict(m) if base is None else {
                     d: base[d] + m[d] for d in base if d in m}
-            return base or {}, True
+            base = base or {}
+            if self.positions and len(stems) > 1:
+                # true phrase: stem i at position p+i for a common p
+                base = {
+                    d: s for d, s in base.items()
+                    if any(all(p + i in set(self.pos_map[stems[i]].get(d, ()))
+                               for i in range(1, len(stems)))
+                           for p in self.pos_map[stems[0]].get(d, ()))
+                }
+            return base, True
         if isinstance(q, Wildcard):
             pat = q.pattern.lower()
             if self.multi:

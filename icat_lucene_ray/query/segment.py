@@ -49,8 +49,8 @@ class SegmentReader:
     def _cell(self, col: str, row: int):
         """Payload cell access via per-row-group reads: only the row
         group holding ``row`` is read (and cached), so a cold lookup
-        costs ~1 row group of the docs/tfs/dls columns, not the whole
-        segment."""
+        costs ~1 row group of the docs/tfs/dls[/poss] columns, not the
+        whole segment."""
         if self._payload is None:
             self._payload = pq.ParquetFile(self.path)
             md = self._payload.metadata
@@ -58,13 +58,16 @@ class SegmentReader:
             for i in range(md.num_row_groups):
                 bounds[i + 1] = bounds[i] + md.row_group(i).num_rows
             self._rg_bounds = bounds
+            self._payload_cols = ["docs", "tfs", "dls"]
+            if "poss" in self._payload.schema_arrow.names:
+                self._payload_cols.append("poss")
         rg = int(np.searchsorted(self._rg_bounds, row, side="right") - 1)
         t = self._rg_cache.get(rg)
         if t is None:
-            t = self._payload.read_row_group(rg, columns=["docs", "tfs", "dls"])
+            t = self._payload.read_row_group(rg, columns=self._payload_cols)
             self._rg_cache[rg] = t
         return {c: t[c][row - int(self._rg_bounds[rg])].as_py()
-                for c in ("docs", "tfs", "dls")}
+                for c in self._payload_cols}
 
     # ------------------------------------------------------------------
     def df(self, term: str, bucket: int = 0) -> int:
@@ -93,6 +96,18 @@ class SegmentReader:
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
         return out
+
+    def positions(self, term: str, bucket: int = 0) -> np.ndarray | None:
+        """Flat occurrence positions of one term slice (Q4), grouped per
+        posting in doc order — slice by the tf prefix sums from
+        :meth:`postings`. None if the index has no positional stream."""
+        row = self._rows.get((term, bucket))
+        if row is None:
+            return None
+        cell = self._cell("poss", row)
+        if "poss" not in cell:
+            return None
+        return decode_u64_blocks(cell["poss"], self.block).astype(np.int64)
 
     def block_meta(self, term: str, bucket: int = 0):
         """-> (block_last u64[], block_max f32[]) skip/WAND metadata."""

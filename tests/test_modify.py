@@ -231,3 +231,24 @@ def test_facets_and_sort_respect_tombstones(small_index):
     # field-sorted search never returns tombstoned ids
     r = idx.search(MatchAll(), k=50, sort=[("lang", False)])
     assert not set(r.table["doc_id"].to_pylist()) & set(victims)
+
+
+def test_facets_shadow_updated_docs(small_index, tmp_path):
+    """ST2 sidecar path: a doc UPDATED in a delta keeps its doc_id but
+    must facet with the NEW metadata (the stale base sidecar row is
+    shadowed by the delta doc store)."""
+    import shutil
+
+    root = str(tmp_path / "idx_shadow")
+    shutil.copytree(small_index, root)
+    idx0 = Index(root)
+    t = idx0._doc_store_table(columns=["url", "lang"])
+    url0 = t["url"][0].as_py()
+    f0 = idx0.facets(MatchAll(), dims=["lang"])["lang"]
+    up = IndexUpdater(root)
+    up.update({"url": url0, "text": "updated body", "lang": "zz"})
+    up.commit()
+    idx = Index(root)
+    f1 = idx.facets(MatchAll(), dims=["lang"])["lang"]
+    assert f1.get("zz") == 1
+    assert sum(f1.values()) == sum(f0.values()) == idx.N

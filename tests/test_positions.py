@@ -1,0 +1,179 @@
+"""Positional postings + true Phrase queries (Q4, behind
+EngineConfig(positions=True)) — reference semantics
+``TestLucene.java:147-171`` (adjacent-term phrases), scores = BM25 sum
+of the member terms over adjacency matches (documented divergence from
+Lucene phrase-frequency scoring)."""
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from icat_lucene_ray.query import Phrase, Term
+
+from tests.test_query import assert_rank_identical
+
+
+def test_positional_kernel_matches_scalar():
+    """Batch positional kernel ≡ scalar tokens_with_positions for every
+    analyzer chain (incl. stop-word gaps and synonym same-position)."""
+    from icat_lucene_ray.analysis import get_analyzer
+    from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "data JOIN data  merge   fast join",
+        "", "   ",
+        "TokenStream's analyzing 3.14,x values He and the He",
+        "a b a b a b",
+    ]
+    for name in ("simple", "icat", "icat_synonym"):
+        an = get_analyzer(name)
+        van = VectorizedAnalyzer(an)
+        offs, terms, tfs, _dls, pos = van.term_freq_batch_pos(pa.array(texts))
+        pcs = 0
+        for i, txt in enumerate(texts):
+            got = {}
+            for t, c in zip(terms.to_pylist()[offs[i]:offs[i + 1]],
+                            tfs[offs[i]:offs[i + 1]]):
+                got[t] = sorted(pos[pcs:pcs + c].tolist())
+                pcs += c
+            exp = defaultdict(list)
+            for s, j in an.tokens_with_positions(txt):
+                exp[s].append(j)
+            assert got == {k: sorted(v) for k, v in exp.items()}, (name, i)
+
+
+@pytest.fixture(scope="session")
+def pos_index(ray_session, pages_dir, tmp_path_factory):
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    cfg = EngineConfig(positions=True, num_segments=4,
+                       salt_df_threshold=200, target_slice_postings=200)
+    return build_index(pages_dir, out, meta_cols=["lang"], config=cfg)
+
+
+@pytest.fixture(scope="session")
+def pos_engine(pos_index):
+    from icat_lucene_ray.query import Index
+
+    return Index(pos_index.root)
+
+
+@pytest.fixture(scope="session")
+def pos_oracle(pages_table, pos_engine):
+    from icat_lucene_ray.query import OracleIndex
+
+    t = pos_engine._doc_store_table(columns=["url"])
+    m = dict(zip(t["url"].to_pylist(), t["doc_id"].to_pylist()))
+    ids = pa.array([m[u] for u in pages_table["url"].to_pylist()], pa.int64())
+    tbl = pages_table.append_column("doc_id", ids)
+    return OracleIndex(tbl, analyzer="icat", id_col="doc_id", positions=True)
+
+
+def _adjacent_pair(oracle):
+    """A term pair that occurs adjacently in SOME docs while its terms
+    co-occur in strictly more docs (so positional ⊂ phrase-lite)."""
+    from collections import Counter
+
+    nxt: dict = {}
+    for stem, dmap in oracle.pos_map.items():
+        for did, plist in dmap.items():
+            for p in plist:
+                nxt[(did, p)] = stem
+    c = Counter()
+    for (did, p), s1 in nxt.items():
+        s2 = nxt.get((did, p + 1))
+        if s2 is not None:
+            c[(s1, s2)] += 1
+    for (s1, s2), n in c.most_common():
+        adj_docs = {
+            did for did, plist in oracle.pos_map[s1].items()
+            if any(p + 1 in oracle.pos_map[s2].get(did, ()) for p in plist)}
+        co = len(set(oracle.postings[s1]) & set(oracle.postings[s2]))
+        if co > len(adj_docs):
+            return s1, s2
+    (s1, s2), _n = c.most_common(1)[0]
+    return s1, s2
+
+
+def test_phrase_positional_rank_identity(pos_engine, pos_oracle):
+    s1, s2 = _adjacent_pair(pos_oracle)
+    assert_rank_identical(pos_engine, pos_oracle, Phrase([s1, s2]), k=20)
+
+
+def test_phrase_positional_subset_of_lite(pos_engine, pos_oracle):
+    s1, s2 = _adjacent_pair(pos_oracle)
+    from icat_lucene_ray.query.ast import And
+
+    n_phrase = pos_engine.count(Phrase([s1, s2]))
+    n_lite = pos_engine.count(And([Term(s1), Term(s2)]))
+    assert 0 < n_phrase < n_lite  # pair chosen to make both strict
+
+
+def test_phrase_three_terms(pos_engine, pos_oracle):
+    # extend an adjacent pair with whatever follows it in some doc
+    s1, s2 = _adjacent_pair(pos_oracle)
+    nxt = None
+    for did, plist in pos_oracle.pos_map[s1].items():
+        for p in plist:
+            if p + 1 in pos_oracle.pos_map[s2].get(did, []):
+                for s3, dmap in pos_oracle.pos_map.items():
+                    if p + 2 in dmap.get(did, []):
+                        nxt = s3
+                        break
+            if nxt:
+                break
+        if nxt:
+            break
+    if nxt is None:
+        pytest.skip("corpus has no 3-term adjacency")
+    assert_rank_identical(pos_engine, pos_oracle, Phrase([s1, s2, nxt]), k=20)
+
+
+def test_positional_commit_then_phrase(pos_index, tmp_path_factory,
+                                       ray_session):
+    """Delta commits carry positional streams: a created doc is phrase-
+    findable; an update supersedes the old positions."""
+    import shutil
+
+    from icat_lucene_ray.index.modify import IndexUpdater
+    from icat_lucene_ray.query import Index
+
+    root = str(tmp_path_factory.mktemp("posmod") / "idx")
+    shutil.copytree(pos_index.root, root)
+    up = IndexUpdater(root)
+    up.create({"url": "u-pos-1", "text": "alpha bravoz charlie", "lang": "en"})
+    up.commit()
+    idx = Index(root)
+    assert idx.count(Phrase(["alpha", "bravoz"])) == 1
+    assert idx.count(Phrase(["bravoz", "alpha"])) == 0  # order matters
+    up2 = IndexUpdater(root)
+    up2.update({"url": "u-pos-1", "text": "charlie alpha bravoz", "lang": "en"})
+    up2.commit()
+    idx2 = Index(root)
+    assert idx2.count(Phrase(["charlie", "alpha"])) == 1
+    assert idx2.count(Phrase(["alpha", "bravoz"])) == 1
+
+
+def test_positional_force_merge(pos_index, tmp_path_factory, ray_session):
+    """force_merge preserves positional streams (phrase results
+    identical before/after)."""
+    import shutil
+
+    from icat_lucene_ray.index.modify import IndexUpdater, force_merge
+    from icat_lucene_ray.query import Index
+
+    root = str(tmp_path_factory.mktemp("posmrg") / "idx")
+    shutil.copytree(pos_index.root, root)
+    up = IndexUpdater(root)
+    up.create({"url": "u-pm-1", "text": "delta echoz foxtrot", "lang": "en"})
+    up.commit()
+    merged = str(tmp_path_factory.mktemp("posmrg") / "merged")
+    force_merge(root, merged)
+    idx = Index(merged)
+    assert idx.count(Phrase(["delta", "echoz"])) == 1
+    assert idx.count(Phrase(["echoz", "delta"])) == 0
