@@ -131,6 +131,7 @@ class Index:
                 for r, _d, fs in os.walk(os.path.join(doc_root, top))
                 for f in fs if f.endswith(".parquet")
             ) if os.path.isdir(doc_root) else []
+        self._base_files = list(base_files)
         self._doc_sources: list[tuple[int, pads.Dataset]] = [
             (0, pads.dataset(base_files))]
         self._base_frags = (list(self._doc_sources[0][1].get_fragments())
@@ -778,21 +779,29 @@ class Index:
         fields: list[str] | None = None,
         search_after: dict | None = None,
         timeout: float | None = None,
+        exact_total: bool = True,
     ) -> SearchResult:
         """Top-k search. Relevance order (score desc, doc_id asc) by
         default; ``sort`` gives field-sorted top-k with doc_id tiebreak
         (K1/K2); ``search_after`` is the cursor from a previous result
-        (K4, SearchBucket.java:892-949)."""
+        (K4, SearchBucket.java:892-949).
+
+        ``exact_total=False`` allows MaxScore pruning for disjunctions:
+        identical top-k, but ``total_hits`` becomes a LOWER BOUND (≈
+        Lucene's TotalHits.Relation.GREATER_THAN_OR_EQUAL under WAND)."""
         deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
-        if sort is None:
-            pruned = self._search_term_pruned(q, k, search_after, fields)
+        if sort:
+            return self._search_field_sorted(
+                q, k, sort, fields, search_after, deadline)
+        pruned = self._search_term_pruned(q, k, search_after, fields)
+        if pruned is not None:
+            return pruned
+        if not exact_total:
+            pruned = self._search_or_pruned(q, k, search_after, fields)
             if pruned is not None:
                 return pruned
         docs, scores = self._eval(q, deadline)
         total = len(docs)
-        if sort:
-            return self._search_field_sorted(
-                docs, scores, k, sort, fields, search_after, total)
         if scores is None:
             scores = np.ones(len(docs))
         top_docs, top_scores = self._topk_scored(docs, scores, k, search_after)
@@ -918,6 +927,119 @@ class Index:
             cursor = {"score": float(top_s[-1]), "doc_id": int(top_d[-1])}
         return SearchResult(tbl, df, cursor)
 
+    # ---------------- MaxScore pruning for disjunctions (BMW-for-OR) ---
+    def _or_stems(self, q: Query) -> list[str] | None:
+        """Flat stem list if ``q`` is a pure disjunction of term-like
+        clauses (Term / _Stem / nested Or); else None."""
+        if isinstance(q, _Stem):
+            return [q.stem]
+        if isinstance(q, Term):
+            return self._term_stems(q)
+        if isinstance(q, Or):
+            out: list[str] = []
+            for c in q.clauses:
+                sub = self._or_stems(c)
+                if sub is None:
+                    return None
+                out += sub
+            return out
+        return None
+
+    def _term_ubound(self, stem: str) -> float:
+        """max tf_norm over the term's blocks (block_max metadata) —
+        the term's max score is idf × this."""
+        got = getattr(self, "_ubound_cache", None)
+        if got is None:
+            got = self._ubound_cache = {}
+        u = got.get(stem)
+        if u is None:
+            u = 0.0
+            for seg, bucket in self._slices(stem):
+                if self._actors is not None:
+                    import ray
+
+                    ai = self._actor_of.get(seg)
+                    meta = None if ai is None else ray.get(
+                        self._actors[ai].block_meta.remote(seg, stem, bucket))
+                else:
+                    r = self._readers.reader(seg)
+                    meta = r.block_meta(stem, bucket) if r else None
+                if meta is not None and len(meta[1]):
+                    u = max(u, float(meta[1].max()))
+            got[stem] = u
+        return u
+
+    def _search_or_pruned(self, q: Query, k: int, after: dict | None,
+                          fields: list[str] | None) -> SearchResult | None:
+        """MaxScore / term-at-a-time WAND for disjunctions: terms are
+        processed in descending max-score order; once the sum of the
+        remaining terms' bounds cannot beat the current k-th score,
+        the remaining (non-essential) terms decode ONLY the posting
+        blocks covering existing candidates — exact top-k, but
+        ``total_hits`` is a lower bound (docs only in pruned terms are
+        never discovered). Reference-side Lucene applies WAND to all
+        scored booleans; this is the OR extension of the single-term
+        block-max path above."""
+        if self._tomb or len(self._gen_readers) > 1:
+            return None
+        stems = self._or_stems(q)
+        if stems is None:
+            return None
+        stems = list(dict.fromkeys(stems))
+        if len(stems) < 2:
+            return None
+        infos = []
+        for stem in stems:
+            df = self.term_df(stem)
+            if df == 0:
+                continue
+            infos.append((self.idf(df) * self._term_ubound(stem), stem))
+        empty_tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64())})
+        if not infos:
+            if fields:
+                empty_tbl = self._attach_fields(empty_tbl, fields)
+            return SearchResult(empty_tbl, 0, None)
+        infos.sort(key=lambda x: -x[0])
+        bounds = np.array([u for u, _ in infos])
+        suffix = np.cumsum(bounds[::-1])[::-1]
+        EPS = 1.0 + 2.4e-7  # f32 block_max widening (see single-term path)
+
+        def _theta(docs, scores):
+            s = scores
+            if after is not None:
+                s_a, d_a = float(after["score"]), int(after["doc_id"])
+                m = (s < s_a) | ((s == s_a) & (docs > d_a))
+                s = s[m]
+            if len(s) < k:
+                return -np.inf
+            return float(np.partition(s, len(s) - k)[len(s) - k])
+
+        cand_d, cand_s = _EMPTY
+        theta = -np.inf
+        rest = []
+        for i, (_u, stem) in enumerate(infos):
+            if len(cand_d) >= k and suffix[i] * EPS < theta:
+                rest = infos[i:]
+                break
+            d, s = self._score_stem(stem)
+            cand_d, cand_s = _union_sum([(cand_d, cand_s), (d, s)])
+            theta = _theta(cand_d, cand_s)
+        for _u, stem in rest:
+            d2, s2 = self._score_stem_for_docs(stem, cand_d)
+            if len(d2):
+                pos = np.searchsorted(cand_d, d2)
+                cand_s[pos] += s2
+        top_d, top_s = self._topk_scored(cand_d, cand_s, k, after)
+        tbl = pa.table({"doc_id": pa.array(top_d, pa.int64()),
+                        "score": pa.array(top_s, pa.float64())})
+        if fields:
+            tbl = self._attach_fields(tbl, fields)
+        cursor = None
+        if len(top_d):
+            cursor = {"score": float(top_s[-1]), "doc_id": int(top_d[-1])}
+        return SearchResult(tbl, len(cand_d), cursor)
+
     def _attach_fields(self, tbl: pa.Table, fields: list[str]) -> pa.Table:
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         if len(ids) == 0:
@@ -934,36 +1056,75 @@ class Index:
             out[f] = fetched[f].take(pa.array(pos))
         return pa.table(out)
 
-    def _search_field_sorted(self, docs, scores, k, sort, fields,
-                             after, total) -> SearchResult:
-        """K2 field-sorted top-k: fetch sort keys for candidates from the
-        doc store, lexsort with doc_id-asc tiebreak. (Single-node note:
-        candidates are materialized; the cluster path keeps per-partition
-        top-k heaps and k-way merges — K3.)"""
+    def _search_field_sorted(self, q, k, sort, fields, after,
+                             deadline) -> SearchResult:
+        """K2/K3 field-sorted top-k, distributed: one Ray task per base
+        doc-store fragment group computes its LOCAL top-k over (sort
+        keys, doc_id); the driver k-way-merges ≤ k rows per task plus an
+        inline pass over the (small) delta stores — mirroring Lucene's
+        per-shard collect + ``TopFieldDocs.merge`` (``Lucene.java:1506``).
+        Nothing materializes the full candidate key set: a MatchAll sort
+        over 10^12 docs moves k rows per fragment, not N."""
+        import ray
+
         sort_cols = [f for f, _ in sort]
-        fetched = self._fetch_doc_rows(docs, sort_cols)
-        ids = fetched["doc_id"].to_numpy(zero_copy_only=False)
-        keys = []
-        for name, _desc in sort:
-            arr = fetched[name]
-            if pa.types.is_timestamp(arr.type):
-                arr = arr.cast(pa.int64())
-            keys.append(arr.to_numpy(zero_copy_only=False))
-        if after is not None:
-            m = self._after_mask(keys, ids, sort, after)
-            ids = ids[m]
-            keys = [a[m] for a in keys]
-        lex = [ids]
-        for (name, desc), arr in zip(reversed(sort), reversed(keys)):
-            if desc:
-                if arr.dtype.kind in "iufM":
-                    lex.append(-arr.astype(np.float64) if arr.dtype.kind == "f" else -arr.astype(np.int64))
-                else:  # strings: rank-invert
-                    uniq, inv = np.unique(arr, return_inverse=True)
-                    lex.append(-inv)
-            else:
-                lex.append(arr)
-        order = np.lexsort(tuple(lex))[:k]
+        if isinstance(q, MatchAll):
+            cand = None  # match-all: no candidate set to ship
+            total = len(self.all_doc_ids()) if (self._tomb or
+                                                len(self._doc_sources) > 1) \
+                else self.N
+        else:
+            docs, _ = self._eval(q, deadline)
+            cand, total = docs, len(docs)
+            if total == 0:
+                tbl = self._attach_fields(
+                    pa.table({"doc_id": pa.array([], pa.int64())}),
+                    list(dict.fromkeys(sort_cols + (fields or []))))
+                return SearchResult(tbl, 0, None)
+        tomb = self._tombstones_after(0)
+        parts: list[tuple[np.ndarray, list[np.ndarray]]] = []
+
+        use_tasks = ray.is_initialized() and len(self._base_files) > 1
+        if use_tasks:
+            cand_ref = ray.put(cand)
+            tomb_ref = ray.put(tomb if len(tomb) else None)
+            files = self._base_files_with_bases()
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            ngroups = min(len(files), ncpu * 2)
+            groups = [files[i::ngroups] for i in range(ngroups)]
+            futs = [_fragment_field_topk.remote(
+                g, sort, k, cand_ref, after, tomb_ref) for g in groups]
+            for got in ray.get(futs):
+                if got is not None:
+                    parts.append(got)
+        else:
+            for path, base in self._base_files_with_bases():
+                got = _fragment_topk_local([(path, base)], sort, k,
+                                           cand, after,
+                                           tomb if len(tomb) else None)
+                if got is not None:
+                    parts.append(got)
+        # delta generations: small, scanned inline
+        for gen, src in self._doc_sources[1:]:
+            t = src.to_table(
+                columns=list(dict.fromkeys(["doc_id"] + sort_cols)))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            if keep is not None:
+                t = t.filter(pa.array(keep))
+            got = _table_field_topk(t, sort, k, cand, after)
+            if got is not None:
+                parts.append(got)
+
+        if not parts:
+            tbl = self._attach_fields(
+                pa.table({"doc_id": pa.array([], pa.int64())}),
+                list(dict.fromkeys(sort_cols + (fields or []))))
+            return SearchResult(tbl, total, None)
+        ids = np.concatenate([p[0] for p in parts])
+        keys = [np.concatenate([p[1][i] for p in parts])
+                for i in range(len(sort))]
+        order = _field_sort_order(keys, ids, sort)[:k]
         top_ids = ids[order]
         tbl = pa.table({"doc_id": pa.array(top_ids, pa.int64())})
         out_fields = list(dict.fromkeys(sort_cols + (fields or [])))
@@ -978,19 +1139,13 @@ class Index:
             cursor = {"values": vals, "doc_id": int(top_ids[-1])}
         return SearchResult(tbl, total, cursor)
 
-    @staticmethod
-    def _after_mask(keys, ids, sort, after):
-        """Rows strictly after the cursor in (sort keys..., doc_id asc)."""
-        m = np.zeros(len(ids), dtype=bool)
-        eq = np.ones(len(ids), dtype=bool)
-        for (name, desc), arr, cv in zip(sort, keys, after["values"]):
-            if arr.dtype.kind == "M":
-                cv = np.datetime64(cv, "us") if not isinstance(cv, (int, np.integer)) else cv
-            gt = (arr < cv) if desc else (arr > cv)
-            m |= eq & gt
-            eq &= arr == cv
-        m |= eq & (ids > int(after["doc_id"]))
-        return m
+    def _base_files_with_bases(self) -> list[tuple[str, int | None]]:
+        """Base doc-store files; dense-id mode pairs each with its id
+        base (doc_id = base + row), explicit mode pairs with None."""
+        if self._implicit:
+            return [(f, int(self._bases[i]))
+                    for i, f in enumerate(self._base_files)]
+        return [(f, None) for f in self._base_files]
 
     # ---------------- counting / facets --------------------------------
     def count(self, q: Query) -> int:
@@ -1100,6 +1255,128 @@ class Index:
 
             self._facet_state = FacetState(self)
         return self._facet_state
+
+
+# ---------------------------------------------------------------------------
+# Distributed field-sorted top-k (K2/K3)
+# ---------------------------------------------------------------------------
+
+def _sort_after_mask(keys, ids, sort, after):
+    """Rows strictly after the cursor in (sort keys..., doc_id asc)."""
+    m = np.zeros(len(ids), dtype=bool)
+    eq = np.ones(len(ids), dtype=bool)
+    for (_name, desc), arr, cv in zip(sort, keys, after["values"]):
+        if arr.dtype.kind == "M":
+            cv = np.datetime64(cv, "us") \
+                if not isinstance(cv, (int, np.integer)) else cv
+        gt = (arr < cv) if desc else (arr > cv)
+        m |= eq & gt
+        eq &= arr == cv
+    m |= eq & (ids > int(after["doc_id"]))
+    return m
+
+
+def _field_sort_order(keys, ids, sort) -> np.ndarray:
+    """lexsort order over (sort keys..., doc_id asc); descending numeric
+    keys negate, descending strings rank-invert (rank order is
+    collation-consistent within the array being sorted)."""
+    lex = [ids]
+    for (_name, desc), arr in zip(reversed(sort), reversed(keys)):
+        if desc:
+            if arr.dtype.kind in "iufM":
+                lex.append(-arr.astype(np.float64)
+                           if arr.dtype.kind == "f" else -arr.astype(np.int64))
+            else:
+                _uniq, inv = np.unique(arr, return_inverse=True)
+                lex.append(-inv)
+        else:
+            lex.append(arr)
+    return np.lexsort(tuple(lex))
+
+
+def _table_field_topk(t: pa.Table, sort, k, cand, after):
+    """Local top-k of one doc-store table slice -> (ids, [key arrays])
+    with ≤ k rows, or None when nothing survives the filters."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return None
+    sel = None
+    if cand is not None:
+        pos = np.minimum(np.searchsorted(cand, ids), max(0, len(cand) - 1))
+        sel = (cand[pos] == ids) if len(cand) else np.zeros(len(ids), bool)
+        if not sel.any():
+            return None
+        ids = ids[sel]
+    keys = []
+    for name, _desc in sort:
+        arr = t[name]
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        a = arr.to_numpy(zero_copy_only=False)
+        keys.append(a[sel] if sel is not None else a)
+    if after is not None:
+        m = _sort_after_mask(keys, ids, sort, after)
+        if not m.any():
+            return None
+        ids = ids[m]
+        keys = [a[m] for a in keys]
+    order = _field_sort_order(keys, ids, sort)[:k]
+    return ids[order], [a[order] for a in keys]
+
+
+def _fragment_topk_local(files, sort, k, cand, after, tomb):
+    """Top-k over a group of base doc-store files (one task's share).
+    ``files``: [(path, dense_id_base | None)]. Returns merged ≤k rows."""
+    import pyarrow.parquet as pq_
+
+    sort_cols = [f for f, _ in sort]
+    parts = []
+    for path, base in files:
+        cols = sort_cols if base is not None else \
+            list(dict.fromkeys(["doc_id"] + sort_cols))
+        t = pq_.read_table(path, columns=cols)
+        if base is not None:
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(base, base + t.num_rows), pa.int64()))
+        if tomb is not None and len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, tomb)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        got = _table_field_topk(t, sort, k, cand, after)
+        if got is not None:
+            parts.append(got)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    ids = np.concatenate([p[0] for p in parts])
+    keys = [np.concatenate([p[1][i] for p in parts]) for i in range(len(sort))]
+    order = _field_sort_order(keys, ids, sort)[:k]
+    return ids[order], [a[order] for a in keys]
+
+
+def _make_fragment_task():
+    import ray
+
+    @ray.remote
+    def _task(files, sort, k, cand, after, tomb):
+        return _fragment_topk_local(files, sort, k, cand, after, tomb)
+
+    return _task
+
+
+class _LazyFragTask:
+    _fn = None
+
+    @classmethod
+    def remote(cls, *a):
+        if cls._fn is None:
+            cls._fn = _make_fragment_task()
+        return cls._fn.remote(*a)
+
+
+_fragment_field_topk = _LazyFragTask
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,16 @@ import pyarrow.parquet as pq
 from icat_lucene_ray.index.codec import decode_u64_blocks, tf_norm
 
 
+#: decode-volume counters (values decoded), for tests/bench evidence
+#: that pruning actually skips work. Reset with ``reset_decode_stats``.
+DECODE_STATS = {"postings": 0, "blocks": 0}
+
+
+def reset_decode_stats() -> None:
+    DECODE_STATS["postings"] = 0
+    DECODE_STATS["blocks"] = 0
+
+
 class SegmentReader:
     """Reader over one immutable segment parquet file."""
 
@@ -86,6 +96,7 @@ class SegmentReader:
         row = self._rows.get(key)
         if row is None:
             return None
+        DECODE_STATS["postings"] += int(self._df.get(key, 0))
         cell = self._cell("docs", row)
         docs = decode_u64_blocks(cell["docs"], self.block)
         doc_ids = np.cumsum(docs.astype(np.int64))
@@ -152,6 +163,7 @@ class SegmentReader:
         starts = idxs * block
         ends = np.minimum(starts + block, n)
         lens = ends - starts
+        DECODE_STATS["blocks"] += int(lens.sum())
         pos = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
         d = deltas[pos].astype(np.int64)
         # per-block cumsum with restart at the previous block's last id

@@ -105,3 +105,79 @@ def test_pruned_actor_mode_matches_inline(bmw_index):
         b = idx_ac.search(Term(t), k=10)
         assert a.table.equals(b.table), t
         assert a.total_hits == b.total_hits
+
+
+def _top_terms(idx, n=6):
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(idx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    return ts["term"].tolist()
+
+
+def test_or_pruned_matches_full(bmw_index):
+    """MaxScore OR (exact_total=False): identical top-k docs + scores
+    to the exact evaluator across head/mid/tail term mixes."""
+    from icat_lucene_ray.query import Or
+
+    idx = Index(bmw_index)
+    terms = _top_terms(idx)
+    mixes = [
+        terms[:2], terms[:4],
+        [terms[0], terms[len(terms) // 2], terms[-1]],
+        terms[len(terms) // 2:len(terms) // 2 + 3],
+    ]
+    for mix in mixes:
+        q = Or([Term(t) for t in mix])
+        exact = idx.search(q, k=10)
+        fast = idx.search(q, k=10, exact_total=False)
+        assert fast.table["doc_id"].to_pylist() \
+            == exact.table["doc_id"].to_pylist(), mix
+        # fp association order differs between full union-sum and the
+        # pruned accumulate path — values identical to 1e-12 relative
+        assert np.allclose(fast.table["score"].to_numpy(),
+                           exact.table["score"].to_numpy(), rtol=1e-12)
+        assert fast.total_hits <= exact.total_hits  # lower bound
+
+
+def test_or_pruned_decodes_less(bmw_index):
+    """The pruned OR must decode strictly fewer posting values than the
+    full evaluator when the head term dominates."""
+    from icat_lucene_ray.query import Or
+    from icat_lucene_ray.query.segment import (
+        DECODE_STATS, reset_decode_stats,
+    )
+
+    # classic WAND win shape: selective mid-df terms set a high theta,
+    # the huge low-idf head list is then only PROBED at candidates
+    idx0 = Index(bmw_index)
+    terms = _top_terms(idx0)
+    mids = terms[len(terms) // 3:len(terms) // 3 + 2]
+    q = Or([Term(t) for t in mids + [terms[0]]])
+
+    idx_full = Index(bmw_index)
+    reset_decode_stats()
+    idx_full.search(q, k=10)
+    full_cost = DECODE_STATS["postings"] + DECODE_STATS["blocks"]
+
+    idx_fast = Index(bmw_index)
+    reset_decode_stats()
+    idx_fast.search(q, k=10, exact_total=False)
+    fast_cost = DECODE_STATS["postings"] + DECODE_STATS["blocks"]
+    assert 0 < fast_cost < full_cost
+
+
+def test_or_pruned_pagination(bmw_index):
+    from icat_lucene_ray.query import Or
+
+    idx = Index(bmw_index)
+    terms = _top_terms(idx)
+    q = Or([Term(t) for t in terms[:3]])
+    after = None
+    got = []
+    for _ in range(3):
+        r = idx.search(q, k=10, exact_total=False, search_after=after)
+        got += r.table["doc_id"].to_pylist()
+        after = r.search_after
+    exact = idx.search(q, k=30)
+    assert got == exact.table["doc_id"].to_pylist()

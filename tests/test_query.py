@@ -195,3 +195,22 @@ def test_timeout_guard(engine):
 
     with pytest.raises(SearchTimeout):
         engine.search(MatchAll(), k=5, timeout=-1.0)
+
+
+def test_field_sorted_never_materializes_candidates(engine, monkeypatch):
+    """K3 regression: the sort path must fetch at most k rows from the
+    doc store on the driver (per-fragment top-k + k-way merge), never
+    the full candidate key set."""
+    from icat_lucene_ray.query.engine import Index as _I
+
+    seen = []
+    orig = _I._fetch_doc_rows
+
+    def spy(self, ids, columns):
+        seen.append(len(ids))
+        return orig(self, ids, columns)
+
+    monkeypatch.setattr(_I, "_fetch_doc_rows", spy)
+    r = engine.search(MatchAll(), k=7, sort=[("warc_ts", True)])
+    assert len(r.table) == 7
+    assert seen and max(seen) <= 7
