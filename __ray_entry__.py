@@ -304,6 +304,32 @@ def _ft_multifield_default_or(sf_dir: str):
     return _hits(idx.search(q, k=10))
 
 
+def _ft_scored_join(sf_dir: str):
+    """J1 scored semi-join (JoinUtil ScoreMode.Avg,
+    SearchBucket.java:459-471): avg BM25 of 'data' hits per source,
+    every doc of that source scored with the aggregate."""
+    from icat_lucene_ray.ops.relations import scored_semi_join
+    from icat_lucene_ray.query import Term
+
+    idx = _idx(sf_dir)
+    t = scored_semi_join(idx, Term("data"), "source", idx, k=10)
+    return _round6(t, "score")
+
+
+def _ft_join_fetch(sf_dir: str):
+    """J3 per-hit joined-doc fetch (Lucene.java:869-901): top-3 hits,
+    each inlining ≤100 docs from the PATH index matching its source."""
+    from icat_lucene_ray.ops.relations import join_fetch
+    from icat_lucene_ray.query import Term
+
+    idx = _idx(sf_dir)
+    pidx = _path_index(sf_dir, "path")
+    r = idx.search(Term("data"), k=3, fields=["source"])
+    t = join_fetch(r.table, "source", pidx, max_joined=100)
+    return t.sort_by([("doc_id", "ascending"),
+                      ("joined_doc_id", "ascending")])
+
+
 def _ft_docfreq_top20(sf_dir: str):
     """Validates the distributed term-stats output directly (the segment
     term dictionaries; salted terms sum across slices)."""
@@ -645,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_source": _ft_facet_source,
         "ft_range_facet": _ft_range_facet,
         "ft_phrase_positional": _ft_phrase_positional,
+        "ft_scored_join": _ft_scored_join,
+        "ft_join_fetch": _ft_join_fetch,
         "ft_querystring_topk": _ft_querystring_topk,
         "ft_boost_topk": _ft_boost_topk,
         "ft_multifield_topk": _ft_multifield_topk,
@@ -744,6 +772,27 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'long' END AS bucket
               FROM documents)
             GROUP BY bucket""",
+        "ft_scored_join": _BM25_CTE + """
+            , per_key AS (
+              SELECT d.source AS key, avg(s.s) AS a
+              FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+              WHERE s.term = 'data' GROUP BY d.source),
+            agg AS (
+              SELECT d.doc_id, p.a AS s
+              FROM documents d JOIN per_key p ON d.source = p.key)
+            """ + topk,
+        "ft_join_fetch": _BM25_CTE + """
+            , hits AS (
+              SELECT s.doc_id, d.source FROM scored s
+              JOIN documents d ON s.doc_id = d.doc_id
+              WHERE s.term = 'data' ORDER BY s.s DESC, s.doc_id LIMIT 3),
+            joined AS (
+              SELECT h.doc_id, d2.doc_id AS joined_doc_id,
+                     row_number() OVER (PARTITION BY h.doc_id
+                                        ORDER BY d2.doc_id) AS rn
+              FROM hits h JOIN documents d2 ON d2.source = h.source)
+            SELECT doc_id, joined_doc_id FROM joined WHERE rn <= 100
+            ORDER BY doc_id, joined_doc_id""",
         "ft_phrase_positional": _BM25_CTE + """
             , ptok AS (
               SELECT doc_id,

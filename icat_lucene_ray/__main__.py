@@ -94,6 +94,16 @@ def cmd_modify(args):
                       "avgdl": round(m.avgdl, 2)}))
 
 
+def cmd_clear(args):
+    """S6 clear verb (Lucene.java:547-566): drop every document, keep
+    the index writable."""
+    from icat_lucene_ray.index.modify import clear_index
+
+    _init_ray(args.num_cpus)
+    m = clear_index(args.index)
+    print(json.dumps({"num_docs": m.num_docs, "generation": m.generation}))
+
+
 def cmd_merge(args):
     from icat_lucene_ray.index.modify import force_merge
 
@@ -137,6 +147,11 @@ def main(argv=None):
     mo.add_argument("--ops", required=True, help="JSON op-array file, or - for stdin")
     mo.add_argument("--num-cpus", type=int, default=None)
     mo.set_defaults(fn=cmd_modify)
+
+    cl = sub.add_parser("clear", help="delete all documents (index stays writable)")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--num-cpus", type=int, default=None)
+    cl.set_defaults(fn=cmd_clear)
 
     mg = sub.add_parser("merge", help="fold deltas+tombstones into a clean index")
     mg.add_argument("--index", required=True)

@@ -533,3 +533,46 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
     )
     out.save()
     return out
+
+
+def clear_index(root: str) -> IndexManifest:
+    """S6 ``clear`` (``Lucene.java:547-566``: deleteAll + commit): drop
+    every document but keep the index open for new writes — segments,
+    deltas, tombstones and doc store are removed; an empty doc-store
+    file preserves the schema so readers and the updater keep working;
+    the manifest resets to an empty generation (config/analyzer kept).
+    """
+    import shutil
+
+    from icat_lucene_ray.query.engine import Index
+
+    idx = Index(root)
+    m = idx.manifest
+    # full doc-store schema (before wiping; dense mode keeps doc_id
+    # implicit, so the empty file's schema matches the old files')
+    schema = idx._doc_sources[0][1].schema
+    for sub in ("segments", "analyzed", "deletes", "facets"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    an_dir = os.path.join(root, "analyzed", "shard_00000")
+    os.makedirs(an_dir, exist_ok=True)
+    empty_path = os.path.join(an_dir, "an_empty.parquet")
+    pq.write_table(schema.empty_table(), empty_path)
+    os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+
+    m.num_docs = 0
+    m.total_tokens = 0
+    m.avgdl = 1.0
+    m.min_doc = 0
+    m.max_doc = -1  # next dense create gets id 0
+    m.hot_terms = {}
+    m.segments = []
+    m.deltas = []
+    m.generation += 1
+    m.id_files = ([[os.path.relpath(empty_path, root), 0]]
+                  if getattr(m, "id_assignment", "explicit") == "dense"
+                  else [])
+    for s in getattr(m, "field_stats", {}).values():
+        s["total_tokens"] = 0
+        s["avgdl"] = 1.0
+    m.save()
+    return m

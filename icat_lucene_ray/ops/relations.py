@@ -88,3 +88,87 @@ def cascade_delete(
         return batch.filter(mask)
 
     return children.map_batches(keep_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Query-time joins against indexes (J1 scored / J3 per-hit fetch)
+# ---------------------------------------------------------------------------
+
+def scored_semi_join(from_idx, from_q, key_field: str, to_idx,
+                     to_key_field: str | None = None, *, k: int = 10,
+                     mode: str = "avg") -> "pa.Table":
+    """Scored join ≈ ``JoinUtil.createJoinQuery`` with ScoreMode
+    Avg/Max/Total (``SearchBucket.java:459-471``): evaluate ``from_q``
+    on the FROM index, aggregate hit scores per join-key value, then
+    score every TO-index doc carrying that key with the aggregate.
+    Returns top-k (doc_id, score), score desc / doc_id asc.
+
+    Scale note: like the reference (which pages through every from-side
+    hit, ``Lucene.java:1852``), the from-side hit keys are fully
+    enumerated; the key→score table that crosses to the TO side is one
+    row per DISTINCT key (small)."""
+    import pyarrow.dataset as pads
+
+    to_key_field = to_key_field or key_field
+    docs, scores = from_idx._eval(from_q)
+    if scores is None:
+        scores = np.ones(len(docs))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not len(docs):
+        return empty
+    t = from_idx._fetch_doc_rows(docs, [key_field])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    s = scores[np.searchsorted(docs, ids)]
+    keys = np.asarray(t[key_field].to_pylist())
+    uniq, inv = np.unique(keys, return_inverse=True)
+    if mode == "avg":
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, s)
+        agg = sums / np.bincount(inv, minlength=len(uniq))
+    elif mode == "max":
+        agg = np.full(len(uniq), -np.inf)
+        np.maximum.at(agg, inv, s)
+    elif mode == "total":
+        agg = np.zeros(len(uniq))
+        np.add.at(agg, inv, s)
+    else:
+        raise ValueError(f"unknown score mode {mode!r}")
+
+    tt = to_idx._doc_store_table(
+        columns=["doc_id", to_key_field],
+        filter=pads.field(to_key_field).isin(uniq.tolist()),
+        filter_cols=(to_key_field,))
+    if not tt.num_rows:
+        return empty
+    to_ids = tt["doc_id"].to_numpy(zero_copy_only=False)
+    to_keys = np.asarray(tt[to_key_field].to_pylist())
+    to_scores = agg[np.searchsorted(uniq, to_keys)]
+    order = np.lexsort((to_ids, -to_scores))[:k]
+    return pa.table({
+        "doc_id": pa.array(to_ids[order], pa.int64()),
+        "score": pa.array(to_scores[order], pa.float64()),
+    })
+
+
+def join_fetch(hits: "pa.Table", key_field: str, to_idx, *,
+               max_joined: int = 100) -> "pa.Table":
+    """J3 per-hit joined-doc fetch (``Lucene.java:869-901``): for each
+    search hit, run a term query for its key value against ANOTHER index
+    and inline up to ``max_joined`` matching doc ids (the reference's
+    hardcoded 100-doc cap). Returns (doc_id, joined_doc_id) rows in hit
+    order / joined-id order."""
+    from icat_lucene_ray.query.ast import Term as _Term
+
+    out_from: list[int] = []
+    out_to: list[int] = []
+    for did, key in zip(hits["doc_id"].to_pylist(),
+                        hits[key_field].to_pylist()):
+        docs, _ = to_idx._eval(_Term(str(key)))
+        for j in docs[:max_joined]:
+            out_from.append(int(did))
+            out_to.append(int(j))
+    return pa.table({
+        "doc_id": pa.array(out_from, pa.int64()),
+        "joined_doc_id": pa.array(out_to, pa.int64()),
+    })

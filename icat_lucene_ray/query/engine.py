@@ -780,6 +780,7 @@ class Index:
         search_after: dict | None = None,
         timeout: float | None = None,
         exact_total: bool = True,
+        populate_scores: bool = False,
     ) -> SearchResult:
         """Top-k search. Relevance order (score desc, doc_id asc) by
         default; ``sort`` gives field-sorted top-k with doc_id tiebreak
@@ -792,7 +793,8 @@ class Index:
         deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
         if sort:
             return self._search_field_sorted(
-                q, k, sort, fields, search_after, deadline)
+                q, k, sort, fields, search_after, deadline,
+                populate_scores=populate_scores)
         pruned = self._search_term_pruned(q, k, search_after, fields)
         if pruned is not None:
             return pruned
@@ -1057,7 +1059,7 @@ class Index:
         return pa.table(out)
 
     def _search_field_sorted(self, q, k, sort, fields, after,
-                             deadline) -> SearchResult:
+                             deadline, populate_scores=False) -> SearchResult:
         """K2/K3 field-sorted top-k, distributed: one Ray task per base
         doc-store fragment group computes its LOCAL top-k over (sort
         keys, doc_id); the driver k-way-merges ≤ k rows per task plus an
@@ -1127,6 +1129,20 @@ class Index:
         order = _field_sort_order(keys, ids, sort)[:k]
         top_ids = ids[order]
         tbl = pa.table({"doc_id": pa.array(top_ids, pa.int64())})
+        if populate_scores:
+            # K6 populateScores (Lucene.java:1498-1500): relevance scores
+            # for field-sorted hits, computed for the k result docs only
+            sc = np.ones(len(top_ids))
+            if len(top_ids) and not isinstance(q, MatchAll):
+                d, s = self._eval(q, deadline,
+                                  (int(top_ids.min()), int(top_ids.max())))
+                if s is not None:
+                    pos = np.minimum(np.searchsorted(d, top_ids),
+                                     max(0, len(d) - 1))
+                    hit = d[pos] == top_ids if len(d) else \
+                        np.zeros(len(top_ids), bool)
+                    sc = np.where(hit, s[pos] if len(d) else 0.0, 0.0)
+            tbl = tbl.append_column("score", pa.array(sc, pa.float64()))
         out_fields = list(dict.fromkeys(sort_cols + (fields or [])))
         tbl = self._attach_fields(tbl, out_fields)
         cursor = None

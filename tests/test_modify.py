@@ -252,3 +252,55 @@ def test_facets_shadow_updated_docs(small_index, tmp_path):
     f1 = idx.facets(MatchAll(), dims=["lang"])["lang"]
     assert f1.get("zz") == 1
     assert sum(f1.values()) == sum(f0.values()) == idx.N
+
+
+def test_clear_then_reuse(small_index, tmp_path):
+    """S6 clear (Lucene.java:547-566): everything gone, index stays
+    writable — a later create/commit works and is searchable."""
+    import shutil
+
+    from icat_lucene_ray.index.modify import clear_index
+
+    root = str(tmp_path / "idx_clear")
+    shutil.copytree(small_index, root)
+    m = clear_index(root)
+    assert m.num_docs == 0
+    idx = Index(root)
+    assert idx.count(MatchAll()) == 0
+    assert idx.search(Term("the"), k=5).total_hits == 0
+    up = IndexUpdater(root)
+    up.create({"url": "https://c.test/1", "text": "reborn phoenix doc",
+               "lang": "en"})
+    up.commit()
+    idx2 = Index(root)
+    assert idx2.count(MatchAll()) == 1
+    r = idx2.search(Term("phoenix"), k=5, fields=["url"])
+    assert r.total_hits == 1
+    assert r.table["url"][0].as_py() == "https://c.test/1"
+
+
+def test_populate_scores_on_field_sort(small_index):
+    """K6 populateScores (Lucene.java:1498-1500): field-sorted hits get
+    real relevance scores for the scoring query."""
+    import numpy as np
+
+    idx = Index(small_index)
+    import pyarrow.dataset as pads
+
+    ts = pads.dataset(idx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    probe = ts["term"].iloc[0]
+    r = idx.search(Term(probe), k=5, sort=[("doc_len", True)],
+                   populate_scores=True)
+    assert "score" in r.table.column_names
+    scores = dict(zip(r.table["doc_id"].to_pylist(),
+                      r.table["score"].to_pylist()))
+    rel = idx.search(Term(probe), k=idx.N)
+    truth = dict(zip(rel.table["doc_id"].to_pylist(),
+                     rel.table["score"].to_pylist()))
+    for d, s in scores.items():
+        assert np.isclose(s, truth[d], rtol=1e-12), d
+    # MatchAll sort keeps constant scores
+    r2 = idx.search(MatchAll(), k=3, sort=[("doc_len", False)],
+                    populate_scores=True)
+    assert r2.table["score"].to_pylist() == [1.0, 1.0, 1.0]
