@@ -224,6 +224,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
     extras["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 2)
 
+    # ---- q_facet: cached-sidecar facet counting (ST2) ------------------
+    # first call loads the sidecar (timed separately); steady-state facet
+    # cost is O(|candidates|) bincount, NOT a doc-store scan
+    t0 = time.perf_counter()
+    idx.facets(Term(head[0]), dims=["lang"])
+    extras["facet_first_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.facets(Term(mid[i % len(mid)]), dims=["lang"])
+    queries["q_facet"] = round(time.perf_counter() - t0, 3)
+    extras["facet_p50_ms"] = round(queries["q_facet"] / 20 * 1e3, 2)
+
     # ---- q_minhash: near-dup over documents --------------------------
     from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
 
@@ -231,7 +243,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     res = minhash_lsh_dedup(docs, threshold=0.8)
     queries["q_minhash"] = round(time.perf_counter() - t0, 3)
-    extras["minhash_kept"] = len(res["keep"])
+    extras["minhash_dropped"] = len(res["drop"])
 
     # ---- q_ann: cosine top-k over embeddings -------------------------
     from icat_lucene_ray.ops.similarity import brute_force_topk

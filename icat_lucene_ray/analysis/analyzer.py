@@ -136,16 +136,23 @@ class IcatAnalyzer(_BaseAnalyzer):
 
 class IcatSynonymAnalyzer(_BaseAnalyzer):
     """IcatAnalyzer + post-stem synonym expansion
-    (IcatSynonymAnalyzer.java:48-56, expand=true)."""
+    (IcatSynonymAnalyzer.java:48-56, expand=true). Multi-token rules
+    ("new york, ny") match CONSECUTIVE stems in the stream and add the
+    class's other members' stems (SynonymGraphFilter insertion with
+    bag-of-stems semantics; see analysis/synonyms.py)."""
 
     version = "icat_synonym-1"
     name = "icat_synonym"
 
     def __init__(self, synonym_lines: Iterable[str] | None = None) -> None:
         super().__init__()
-        base = IcatAnalyzer()
+        from icat_lucene_ray.analysis.synonyms import parse_solr_synonyms_full
+
+        self._base = IcatAnalyzer()  # pre-synonym chain (rule analysis +
+        #                              the stream the multi pass scans)
         lines = list(synonym_lines) if synonym_lines is not None else default_synonym_lines()
-        self._synonyms = parse_solr_synonyms(lines, base.tokens)
+        self._synonyms, self.multi_synonyms = parse_solr_synonyms_full(
+            lines, self._base.tokens)
 
     def _transform(self, raw: str) -> tuple[str, ...]:
         base = super()._transform(raw)
@@ -154,6 +161,37 @@ class IcatSynonymAnalyzer(_BaseAnalyzer):
         stem = base[0]
         expansion = self._synonyms.get(stem)
         return expansion if expansion is not None else base
+
+    def tokens_base(self, text: str) -> list[str]:
+        """Per-candidate chain WITHOUT the multi-token stream pass — the
+        vectorized kernel memoizes this per candidate and applies the
+        stream pass itself (applying it per candidate would double-count
+        any within-candidate match)."""
+        return _BaseAnalyzer.tokens(self, text)
+
+    def tokens_presyn(self, text: str) -> list[str]:
+        """PRE-synonym stream (the stream synonym matching scans — like
+        SynonymGraphFilter, inserted tokens are never re-matched)."""
+        return self._base.tokens(text)
+
+    def tokens(self, text: str) -> list[str]:
+        out = super().tokens(text)
+        if self.multi_synonyms:
+            out = out + self._multi_matches(self._base.tokens(text))
+        return out
+
+    def _multi_matches(self, stream: list[str]) -> list[str]:
+        """Extra stems for every multi-token rule sequence matched
+        against consecutive PRE-SYNONYM stream stems (bag insertion;
+        originals stay; expansion output is never re-matched)."""
+        extra: list[str] = []
+        n = len(stream)
+        for seq, add in self.multi_synonyms:
+            L = len(seq)
+            for i in range(n - L + 1):
+                if tuple(stream[i:i + L]) == seq:
+                    extra.extend(add)
+        return extra
 
 
 class SimpleAnalyzer(_BaseAnalyzer):

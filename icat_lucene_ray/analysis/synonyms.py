@@ -14,9 +14,14 @@ That data is public knowledge (the periodic table); we regenerate it
 programmatically in :func:`default_synonym_lines` rather than copying
 the file.
 
-Limitations vs Lucene's SynonymGraphFilter: only single-token rule
-entries are supported (multi-token entries are skipped); this matches
-every rule the reference actually ships.
+Multi-token rule entries ("new york, ny") are supported with
+bag-of-stems semantics (SynonymGraphFilter inserts the class's other
+members as position-overlaid tokens; since our postings are positional
+only behind a flag, insertion means extra term occurrences): matching a
+multi-token sequence in the stream adds the class's other members'
+stems; a single-token member adds the multi-token members' stems.
+``parse_solr_synonyms`` returns both the single-token map and the
+multi-token rules.
 """
 
 from __future__ import annotations
@@ -72,37 +77,68 @@ def default_synonym_lines() -> list[str]:
 def parse_solr_synonyms(
     lines: Iterable[str], analyze_entry: Callable[[str], list[str]]
 ) -> dict[str, tuple[str, ...]]:
-    """Parse Solr-format synonym rules into ``token -> expansion tuple``.
+    """Single-token ``token -> expansion tuple`` map (back-compat view
+    of :func:`parse_solr_synonyms_full`)."""
+    return parse_solr_synonyms_full(lines, analyze_entry)[0]
+
+
+def parse_solr_synonyms_full(
+    lines: Iterable[str], analyze_entry: Callable[[str], list[str]]
+) -> tuple[dict[str, tuple[str, ...]],
+           list[tuple[tuple[str, ...], tuple[str, ...]]]]:
+    """Parse Solr-format synonym rules.
 
     ``analyze_entry`` runs the base analysis chain over each rule entry
     (mirrors SolrSynonymParser feeding entries through IcatAnalyzer).
     Supports ``a, b, c`` equivalence classes (expand) and ``a, b => c``
-    mappings. Multi-token analyzed entries are skipped.
+    mappings, including MULTI-TOKEN entries.
+
+    Returns ``(single_map, multi_rules)``:
+
+    - ``single_map``: stem -> expansion tuple applied per token (the
+      expansion includes flattened stems of any multi-token class
+      members — bag-of-stems insertion);
+    - ``multi_rules``: [(stem sequence to match in the stream, extra
+      stems to ADD on a match)] — the matched original stems stay.
     """
 
-    def one_token(entry: str) -> str | None:
-        toks = analyze_entry(entry.strip())
-        return toks[0] if len(toks) == 1 else None
+    def entry_stems(entry: str) -> tuple[str, ...]:
+        return tuple(analyze_entry(entry.strip()))
 
-    out: dict[str, set[str]] = {}
+    # class id -> list of member stem tuples (len 1 = single token)
+    classes: list[tuple[list[tuple[str, ...]], list[tuple[str, ...]]]] = []
     for raw in lines:
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
         if "=>" in line:
             lhs, rhs = line.split("=>", 1)
-            targets = [t for t in (one_token(e) for e in rhs.split(",")) if t]
-            for e in lhs.split(","):
-                src = one_token(e)
-                if src:
-                    out.setdefault(src, set()).update(targets)
+            srcs = [s for s in (entry_stems(e) for e in lhs.split(",")) if s]
+            tgts = [t for t in (entry_stems(e) for e in rhs.split(",")) if t]
+            classes.append((srcs, tgts))
         else:
-            cls = [t for t in (one_token(e) for e in line.split(",")) if t]
-            for src in cls:
-                out.setdefault(src, set()).update(cls)
-    # deterministic ordering: self first, then sorted others
+            mem = [m for m in (entry_stems(e) for e in line.split(",")) if m]
+            classes.append((mem, mem))  # expand=true: each maps to class
+
+    single: dict[str, set[str]] = {}
+    multi: dict[tuple[str, ...], set[str]] = {}
+    for srcs, tgts in classes:
+        for src in srcs:
+            add: set[str] = set()
+            for t in tgts:
+                if t != src:
+                    add.update(t)  # multi-token targets flatten (bag)
+            if len(src) == 1:
+                s = src[0]
+                if srcs is tgts:  # equivalence class keeps self
+                    add.add(s)
+                single.setdefault(s, set()).update(add)
+            else:
+                multi.setdefault(src, set()).update(add - set(src))
     final: dict[str, tuple[str, ...]] = {}
-    for src, targets in out.items():
+    for src, targets in single.items():
         rest = sorted(t for t in targets if t != src)
         final[src] = (src, *rest) if src in targets else tuple(rest)
-    return final
+    multi_rules = sorted(
+        (seq, tuple(sorted(extra))) for seq, extra in multi.items() if extra)
+    return final, multi_rules

@@ -34,6 +34,7 @@ class VectorizedAnalyzer:
                                      CANDIDATE_SPLIT)
         self._memo: dict[str, tuple[str, ...]] = {}
         self._memo_pos: dict[str, tuple] = {}
+        self._memo_presyn: dict[str, tuple] = {}
         self._memo_cap = memo_cap
 
     def term_freq_batch(self, texts: pa.ChunkedArray | pa.Array):
@@ -69,7 +70,9 @@ class VectorizedAnalyzer:
         stem_ids: dict[str, int] = {}
         exp_counts = np.empty(len(dictionary), dtype=np.int64)
         exp_values_list: list[int] = []
-        tokens_fn = self.an.tokens
+        # per-candidate base chain: analyzers with a multi-token stream
+        # pass expose tokens_base so the pass runs once over the stream
+        tokens_fn = getattr(self.an, "tokens_base", self.an.tokens)
         for ci, cand in enumerate(dictionary):
             stems = memo.get(cand)
             if stems is None:
@@ -95,6 +98,35 @@ class VectorizedAnalyzer:
         within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_out, n_out)
         stems_rep = exp_values[np.repeat(exp_offsets[codes], n_out) + within]
 
+        # multi-token synonym rules (SynonymGraphFilter insertion): match
+        # consecutive stems of the PRE-SYNONYM stream (inserted tokens
+        # never re-match, like Lucene), ADD the rule's extra stems to the
+        # matching docs — vectorized per rule (rule sets are tiny)
+        multi = getattr(self.an, "multi_synonyms", None)
+        if multi:
+            b_docs, b_stems = self._presyn_stream(codes, dictionary, doc_idx)
+            extra_docs: list[np.ndarray] = []
+            extra_stems: list[np.ndarray] = []
+            N = len(b_stems)
+            for seq, add in multi:
+                L = len(seq)
+                if N < L:
+                    continue
+                m = b_stems[: N - L + 1] == seq[0]
+                for j in range(1, L):
+                    m &= b_stems[j: N - L + 1 + j] == seq[j]
+                m &= b_docs[: N - L + 1] == b_docs[L - 1:]
+                hits = np.flatnonzero(m)
+                if len(hits):
+                    add_ids = np.array(
+                        [stem_ids.setdefault(s, len(stem_ids)) for s in add],
+                        dtype=np.int64)
+                    extra_docs.append(np.repeat(b_docs[hits], len(add_ids)))
+                    extra_stems.append(np.tile(add_ids, len(hits)))
+            if extra_docs:
+                doc_rep = np.concatenate([doc_rep] + extra_docs)
+                stems_rep = np.concatenate([stems_rep] + extra_stems)
+
         K = len(stem_ids)
         key = doc_rep * K + stems_rep
         uniq, counts = np.unique(key, return_counts=True)
@@ -108,6 +140,36 @@ class VectorizedAnalyzer:
         stem_table = pa.array(list(stem_ids.keys()), pa.string())
         terms = stem_table.take(pa.array(out_stem))
         return offsets, terms, counts.astype(np.int32), doc_len
+
+    def _presyn_stream(self, codes: np.ndarray, dictionary: list[str],
+                       doc_idx: np.ndarray):
+        """(doc ids, pre-synonym stems as an object array) in stream
+        order — the stream the multi-token synonym pass scans. Memoized
+        per unique candidate like the main chain."""
+        memo = self._memo_presyn
+        presyn_fn = self.an.tokens_presyn
+        counts = np.empty(len(dictionary), dtype=np.int64)
+        vals: list[str] = []
+        for ci, cand in enumerate(dictionary):
+            got = memo.get(cand)
+            if got is None:
+                got = tuple(presyn_fn(cand))
+                if len(memo) < self._memo_cap:
+                    memo[cand] = got
+            counts[ci] = len(got)
+            vals.extend(got)
+        val_arr = np.array(vals, dtype=object) if vals else \
+            np.empty(0, dtype=object)
+        offs = np.zeros(len(dictionary) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        n_out = counts[codes]
+        total = int(n_out.sum())
+        docs = np.repeat(doc_idx, n_out)
+        ends = np.cumsum(n_out)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_out,
+                                                              n_out)
+        stems = val_arr[np.repeat(offs[codes], n_out) + within]
+        return docs, stems
 
     def term_freq_batch_pos(self, texts: pa.ChunkedArray | pa.Array):
         """Positional variant (Q4): additionally returns ``pos_flat``

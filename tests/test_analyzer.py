@@ -100,3 +100,47 @@ def test_memo_determinism():
     a = IcatAnalyzer()
     t = "Dancing dancers danced dances"
     assert a.tokens(t) == a.tokens(t) == ["danc", "dancer", "danc", "danc"]
+
+
+def test_multitoken_synonym_rules():
+    """SynonymGraphFilter multi-word entries (IcatSynonymAnalyzer.java:
+    48-56): 'solid state, ssd' — matching the phrase adds 'ssd'; the
+    single token adds the phrase's stems (bag insertion, originals
+    stay)."""
+    from collections import Counter
+
+    from icat_lucene_ray.analysis.analyzer import IcatSynonymAnalyzer
+
+    an = IcatSynonymAnalyzer(["solid state, ssd", "lead, pb"])
+    c = Counter(an.tokens("a solid state drive"))
+    # phrase matched: originals stay, 'ssd' added
+    assert c["ssd"] == 1 and c["solid"] == 1 and c["state"] == 1
+    c2 = Counter(an.tokens("the ssd was fast"))
+    assert c2["ssd"] == 1 and c2["solid"] == 1 and c2["state"] == 1
+    # single-token class still works alongside
+    assert set(an.tokens("lead")) == {"lead", "pb"}
+    # no match across different texts / non-adjacent stems
+    c3 = Counter(an.tokens("solid rock state"))
+    assert "ssd" not in c3
+
+
+def test_multitoken_synonyms_vectorized_matches_scalar():
+    import pyarrow as pa
+
+    from icat_lucene_ray.analysis.analyzer import IcatSynonymAnalyzer
+    from icat_lucene_ray.analysis.vectorized import VectorizedAnalyzer
+
+    an = IcatSynonymAnalyzer(["solid state, ssd", "new york => nyc"])
+    van = VectorizedAnalyzer(an)
+    texts = [
+        "a solid state drive in new york",
+        "solid state solid state",   # two matches
+        "ssd only", "new york new york city", "", "state solid",
+    ]
+    offs, terms, tfs, dls = van.term_freq_batch(pa.array(texts))
+    for i, t in enumerate(texts):
+        got = dict(zip(terms.to_pylist()[offs[i]:offs[i + 1]],
+                       tfs[offs[i]:offs[i + 1]].tolist()))
+        want = dict(an.term_freqs(t))
+        assert got == want, (i, got, want)
+        assert int(dls[i]) == sum(want.values())
