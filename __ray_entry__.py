@@ -418,15 +418,32 @@ def _ann_cosine_topk(sf_dir: str):
     return _round6(t, "cosine")
 
 
+_IVF_IDX_CACHE: dict[str, str] = {}
+
+
 def _ann_ivf_topk(sf_dir: str):
-    from icat_lucene_ray.ops.similarity import ivf_topk
+    """IVF through the PERSISTED cluster-partitioned index (built once
+    per sf_dir; queries read only their nprobe cluster partitions —
+    the production scale path, not per-query recompute)."""
+    import hashlib
+    import shutil
+
+    from icat_lucene_ray.ops.similarity import build_ivf_index, ivf_index_topk
 
     ds = _emb_ds(sf_dir)
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = _IVF_IDX_CACHE.get(sf_dir)
+    if out is None:
+        out = f"/tmp/icat_lucene_ray_cache/ivf_{key}"
+        if not os.path.exists(os.path.join(out, "ivf.json")):
+            shutil.rmtree(out, ignore_errors=True)
+            build_ivf_index(ds, out, n_clusters=16)
+        _IVF_IDX_CACHE[sf_dir] = out
     q_tbl = ds.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)),
                            batch_format="pyarrow").take_batch(
         1, batch_format="pyarrow")
     q = np.asarray(q_tbl["embedding"][0].as_py(), dtype=np.float64)
-    t = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=4)
+    t = ivf_index_topk(out, q, k=10, nprobe=4)
     t = t.select(["vec_id", "cosine"])
     return _round6(t, "cosine")
 

@@ -36,6 +36,12 @@ class EngineConfig:
     target_slice_postings: int = 250_000   # max postings per hot-term slice
 
     # ---- build ----
+    #: phase-C exchange fan-in: a segment writer consumes at most this
+    #: many piece objects; with more encode tasks an intermediate
+    #: combine level merges pieces first (two-level exchange — keeps the
+    #: per-writer ref count and the T×S piece matrix bounded at 10^12
+    #: docs). Order-preserving, so segment bytes are identical.
+    exchange_fanin: int = 64
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | None = None  # None -> let Ray size the task pool
     analyzed_rows_per_file: int = 65536

@@ -658,6 +658,17 @@ def _encode_split_task(units: list[tuple[str, int, int, int]],
 
 
 @ray.remote
+def _combine_pieces(*pieces):
+    """Two-level-exchange intermediate: merge one segment's pieces from
+    one group of encode tasks (order-preserving concat, so downstream
+    segment bytes are identical to the single-level exchange)."""
+    ps = [p for p in pieces if p is not None and p.num_rows]
+    if not ps:
+        return None
+    return pa.concat_tables(ps).combine_chunks()
+
+
+@ray.remote
 class _SegmentWriterActor:
     """Writer-pool actor: each actor writes several segments in sequence.
 
@@ -967,6 +978,23 @@ def build_index(
         ]
         if S == 1:
             enc_refs = [[r] for r in enc_refs]
+        # two-level exchange: bound the per-writer piece fan-in (at
+        # extreme T, writers would otherwise hold T object refs each)
+        fanin = max(2, config.exchange_fanin)
+        if len(enc_refs) > fanin:
+            combined: list[list] = []
+            for s in range(S):
+                col = [r[s] for r in enc_refs]
+                combined.append([
+                    _combine_pieces.remote(*col[i:i + fanin])
+                    for i in range(0, len(col), fanin)
+                ])
+            piece_refs = [list(row) for row in zip(*combined)] \
+                if combined else []
+            metrics["phase_c_combine_tasks"] = sum(
+                len(c) for c in combined)
+        else:
+            piece_refs = enc_refs
         n_writers = min(S, max(2, ncpu // 4))
         writers = [
             _SegmentWriterActor.remote(
@@ -975,7 +1003,7 @@ def build_index(
             for _ in range(n_writers)
         ]
         write_refs = [
-            writers[s % n_writers].write.remote(*[r[s] for r in enc_refs])
+            writers[s % n_writers].write.remote(*[r[s] for r in piece_refs])
             for s in range(S)
         ]
         seg_stats = [r for r in ray.get(write_refs) if r is not None]

