@@ -520,6 +520,56 @@ def _keep_latest_event(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _agg_window_sum(sf_dir: str):
+    """Tumbling daily window sum per user (windowed aggregate — the
+    brief's custom-operator class; one hash aggregate, pre-combined
+    per block)."""
+    import ray.data
+
+    from icat_lucene_ray.ops.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, key_col="user_id", ts_col="ts",
+                              val_col="value").to_pandas()
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    i = t.column_names.index("window_start")
+    t = t.set_column(i, "window_start",
+                     t["window_start"].cast(pa.timestamp("us")))
+    return _round6(t, "total_value")
+
+
+def _asof_last_order(sf_dir: str):
+    """Backward as-of join: each event matched to the user's most
+    recent order at-or-before the event time (right side pre-aggregated
+    to unique (custkey, orderdate) so ties are deterministic)."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from icat_lucene_ray.ops.windows import asof_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="o_totalprice"))
+        .map_batches(lambda b: b.rename_columns(
+            ["user_id", "o_orderdate", "o_totalprice"]),
+            batch_format="pyarrow"))
+    out = asof_join(events, orders, key_col="user_id", left_ts="ts",
+                    right_ts="o_orderdate",
+                    right_vals={"o_totalprice": "last_order_total"},
+                    left_cols=["event_id"]).to_pandas()
+    out = out[["event_id", "last_order_total"]].sort_values("event_id") \
+        .reset_index(drop=True)
+    out["last_order_total"] = out["last_order_total"].astype(float).round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _mm_image_features(sf_dir: str):
     """Multimodal plumbing: attach deterministic fake image blobs to the
     documents table, run the ImageDecoder actor-pool stage (small batch
@@ -706,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "agg_rollup_sum": _agg_rollup_sum,
+        "agg_window_sum": _agg_window_sum,
+        "asof_last_order": _asof_last_order,
         "keep_latest_event": _keep_latest_event,
         "rel_denorm_update": _rel_denorm_update,
         "rel_cascade_delete": _rel_cascade_delete,
@@ -916,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup_sum": """
             SELECT user_id, round(sum(value), 6) AS total_value FROM events
             GROUP BY user_id ORDER BY user_id""",
+        "agg_window_sum": """
+            SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS window_start,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+            ORDER BY user_id, window_start""",
+        "asof_last_order": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_totalprice) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id,
+                   round(r.o_totalprice, 6) AS last_order_total
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+            ORDER BY e.event_id""",
         "keep_latest_event": """
             SELECT user_id, max(ts) AS ts FROM events
             GROUP BY user_id ORDER BY user_id""",
