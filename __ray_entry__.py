@@ -597,6 +597,38 @@ def _mm_image_features(sf_dir: str):
                      "feat0": pa.array(out["feat0"], pa.float64())})
 
 
+def _mm_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing (flat-map: one row per sampled
+    frame): deterministic fake containers attached to a doc subset,
+    FrameSampler actor pool with a small batch size (video payloads are
+    the corpus's largest rows)."""
+    import ray.data
+    from icat_lucene_ray.ops.multimodal import FrameSampler, make_fake_video
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0)  # 1/8 of docs
+        b = b.filter(keep)
+        blobs = [make_fake_video(int(d), n_frames=24)
+                 for d in b["doc_id"].to_pylist()]
+        return b.append_column("video", pa.array(blobs, pa.binary()))
+
+    out = (ds.map_batches(attach, batch_format="pyarrow")
+             .map_batches(FrameSampler, fn_constructor_kwargs=dict(stride=10),
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=2)
+             .to_pandas().sort_values(["doc_id", "frame_idx"])
+             .reset_index(drop=True))
+    out["feat0"] = [round(float(f[0]), 6) for f in out["frame_feat"]]
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+        "feat0": pa.array(out["feat0"], pa.float64()),
+    })
+
+
 def _rel_denorm_update(sf_dir: str):
     """J2 updateByRelation (Lucene.java:1846-1939): broadcast the changed
     parent rows, rewrite mapped fields into every child row."""
@@ -765,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_path_prefix": _ft_path_prefix,
         "ft_path_filename": _ft_path_filename,
         "mm_image_features": _mm_image_features,
+        "mm_video_frames": _mm_video_frames,
     }
 
 

@@ -168,7 +168,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- q_build: synthetic pages corpus -----------------------------
     idx_dir = f"/tmp/ilr_bench/idx_pages_{num_cpus}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = EngineConfig(num_segments=max(16, num_cpus),
+    # FIXED segment count at every parallelism level: a cluster sizes S
+    # for the data, not per-run CPUs — and the scaling comparison must
+    # measure identical work (round-1 bench used max(16, num_cpus),
+    # which made the 8- and 32-CPU runs build different indexes)
+    cfg = EngineConfig(num_segments=32,
                        tokenize_batch_size=2048,
                        analyzed_rows_per_file=16384)
     t0 = time.perf_counter()

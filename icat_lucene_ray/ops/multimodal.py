@@ -86,20 +86,56 @@ def _wrap_real():
     return f
 
 
-class FrameSampler:
-    """Video frame-sampling plumbing: treats the blob as a sequence of
-    fake-image frames; samples every ``stride``-th frame. Real ffmpeg
-    decode is stubbed the same way."""
+def make_fake_video(doc_id: int, n_frames: int = 24, width: int = 8,
+                    height: int = 6, channels: int = 3) -> bytes:
+    """Deterministic fake video container: ``<I frame_count`` header +
+    that many fake-image frames back to back."""
+    frames = b"".join(
+        make_fake_image(doc_id * 1000 + f, width, height, channels)
+        for f in range(n_frames))
+    return struct.pack("<I", n_frames) + frames
 
-    def __init__(self, blob_col: str = "video", stride: int = 10):
-        self.blob_col, self.stride = blob_col, stride
+
+def _decode_video_real(blob: bytes):
+    raise NotImplementedError(
+        "real video decode needs ffmpeg — not available in this "
+        "container; the fake-container decoder exercises the pipeline"
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing (flat-map shape): one INPUT row per
+    video, one OUTPUT row per sampled frame (every ``stride``-th), each
+    carrying the frame's feature vector — the layout a frame-level
+    training pipeline consumes. Real ffmpeg decode is stubbed; the fake
+    container (``make_fake_video``) exercises schema/batching. Use a
+    SMALL batch_size: videos are the largest payloads in the corpus."""
+
+    def __init__(self, blob_col: str = "video", id_col: str = "doc_id",
+                 stride: int = 10, use_fake: bool = True):
+        self.blob_col, self.id_col, self.stride = blob_col, id_col, stride
+        if not use_fake:
+            _decode_video_real(b"")  # raises: real decode unavailable
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts = []
-        for blob in batch[self.blob_col].to_pylist():
-            # fake container: frame count in first 4 bytes
+        out_id, out_frame, out_feat = [], [], []
+        for did, blob in zip(batch[self.id_col].to_pylist(),
+                             batch[self.blob_col].to_pylist()):
             n_frames = struct.unpack_from("<I", blob, 0)[0]
-            counts.append(len(range(0, n_frames, self.stride)))
-        out = batch.drop_columns([self.blob_col])
-        return out.append_column("sampled_frames",
-                                 pa.array(counts, pa.int32()))
+            off = 4
+            frame_offsets = []
+            for _f in range(n_frames):
+                frame_offsets.append(off)
+                _m, w, h, c = _HDR.unpack_from(blob, off)
+                off += _HDR.size + w * h * c
+            for f in range(0, n_frames, self.stride):
+                px, _meta = decode_fake_image(blob[frame_offsets[f]:])
+                out_id.append(did)
+                out_frame.append(f)
+                out_feat.append(
+                    [float(px[:, :, ch].mean()) for ch in range(px.shape[2])])
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_frame, pa.int32()),
+            "frame_feat": pa.array(out_feat, pa.list_(pa.float64())),
+        })

@@ -602,42 +602,48 @@ class Index:
 
     def _term_positions(self, stem: str, cand: np.ndarray):
         """(doc_rep, positions) of every occurrence of ``stem`` within
-        the sorted candidate doc set — decodes only the positional
-        streams of slices that intersect, applies tombstone masks."""
-        from icat_lucene_ray.index.codec import concat_ranges
-
+        the sorted candidate doc set. With an actor pool, the decode +
+        candidate intersection runs ON the segment actors — only the
+        matching occurrence arrays cross the object store; tombstone
+        masks apply per source generation either way."""
         parts_d: list[np.ndarray] = []
         parts_p: list[np.ndarray] = []
-        for gen, grp in self._gen_readers:
+        use_actors = self._actors is not None
+        if use_actors:
+            import ray
+
+            cand_ref = ray.put(cand)
+            futs = []
+            for seg, bucket in self._slices(stem):
+                ai = self._actor_of.get(seg)
+                if ai is not None:
+                    futs.append(self._actors[ai].term_positions_for.remote(
+                        seg, stem, bucket, cand_ref))
+            for got in ray.get(futs):
+                if got is not None:
+                    d, p = got
+                    keep = self._live_mask(0, d)
+                    if keep is not None:
+                        d, p = d[keep], p[keep]
+                    if len(d):
+                        parts_d.append(d)
+                        parts_p.append(p)
+        for gen, grp in (self._gen_readers[1:] if use_actors
+                         else self._gen_readers):
             for seg, bucket in self._slices(stem):
                 r = grp.reader(seg)
                 if r is None:
                     continue
-                got = r.postings(stem, bucket)
+                got = r.term_positions_for(stem, bucket, cand)
                 if got is None:
                     continue
-                d, tf, _dl = got
-                idx = np.minimum(np.searchsorted(cand, d), len(cand) - 1)
-                hit = cand[idx] == d
+                d, p = got
                 keep = self._live_mask(gen, d)
                 if keep is not None:
-                    hit &= keep
-                if not hit.any():
-                    continue
-                pos = r.positions(stem, bucket)
-                if pos is None:
-                    raise ValueError(
-                        "index has no positional stream (build with "
-                        "EngineConfig(positions=True))")
-                tf64 = tf.astype(np.int64)
-                pstart = np.zeros(len(tf64) + 1, dtype=np.int64)
-                np.cumsum(tf64, out=pstart[1:])
-                sel = np.flatnonzero(hit)
-                total = int(tf64[sel].sum())
-                g = concat_ranges(pstart[:-1][sel], tf64[sel],
-                                  np.empty(total, np.int64))
-                parts_d.append(np.repeat(d[sel], tf64[sel]))
-                parts_p.append(pos[g])
+                    d, p = d[keep], p[keep]
+                if len(d):
+                    parts_d.append(d)
+                    parts_p.append(p)
         if not parts_d:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(parts_d), np.concatenate(parts_p)
@@ -1421,6 +1427,11 @@ def _make_segment_actor():
         def block_meta(self, seg_id, term, bucket=0):
             r = self.group.reader(seg_id)
             return None if r is None else r.block_meta(term, bucket)
+
+        def term_positions_for(self, seg_id, term, bucket, cand):
+            r = self.group.reader(seg_id)
+            return None if r is None else \
+                r.term_positions_for(term, bucket, cand)
 
         def score_blocks(self, seg_id, term, bucket, idf, k1, b, avgdl,
                          sel_blocks):

@@ -120,6 +120,41 @@ class SegmentReader:
             return None
         return decode_u64_blocks(cell["poss"], self.block).astype(np.int64)
 
+    def term_positions_for(self, term: str, bucket: int,
+                           cand: np.ndarray | None):
+        """(doc_rep, positions) per occurrence of the term slice,
+        restricted to the sorted candidate doc ids (None = all docs).
+        Runs segment-local so only matching occurrences leave the
+        reader (the actor-pool phrase path)."""
+        got = self.postings(term, bucket)
+        if got is None:
+            return None
+        d, tf, _dl = got
+        pos = self.positions(term, bucket)
+        if pos is None:
+            raise ValueError(
+                "index has no positional stream (build with "
+                "EngineConfig(positions=True))")
+        tf64 = tf.astype(np.int64)
+        if cand is not None:
+            idx = np.minimum(np.searchsorted(cand, d),
+                             max(0, len(cand) - 1))
+            hit = (cand[idx] == d) if len(cand) else \
+                np.zeros(len(d), dtype=bool)
+            if not hit.any():
+                return None
+            sel = np.flatnonzero(hit)
+        else:
+            sel = np.arange(len(d))
+        pstart = np.zeros(len(tf64) + 1, dtype=np.int64)
+        np.cumsum(tf64, out=pstart[1:])
+        total = int(tf64[sel].sum())
+        from icat_lucene_ray.index.codec import concat_ranges
+
+        g = concat_ranges(pstart[:-1][sel], tf64[sel],
+                          np.empty(total, np.int64))
+        return np.repeat(d[sel], tf64[sel]), pos[g]
+
     def block_meta(self, term: str, bucket: int = 0):
         """-> (block_last u64[], block_max f32[]) skip/WAND metadata."""
         row = self._rows.get((term, bucket))

@@ -280,3 +280,30 @@ def test_ivf_persisted_index(emb_ds, tmp_path):
     exact = set(brute_force_topk(emb_ds, q, k=10)["vec_id"].to_pylist())
     assert len(exact & set(got["vec_id"].to_pylist())) >= 5
     _ = ivf_topk  # recompute path covered by test_ivf_topk_recall
+
+
+def test_video_frame_sampler(ray_session):
+    """Flat-map video plumbing: one output row per sampled frame,
+    deterministic features, blobs dropped before downstream."""
+    import ray.data
+
+    from icat_lucene_ray.ops.multimodal import FrameSampler, make_fake_video
+
+    rows = [{"doc_id": i, "video": make_fake_video(i, n_frames=24)}
+            for i in range(6)]
+    ds = ray.data.from_items(rows)
+    out = (ds.map_batches(FrameSampler, fn_constructor_kwargs=dict(stride=10),
+                          batch_format="pyarrow", batch_size=2, concurrency=2)
+           .to_pandas().sort_values(["doc_id", "frame_idx"]))
+    # 24 frames, stride 10 -> frames 0, 10, 20 per video
+    assert len(out) == 6 * 3
+    assert sorted(set(out["frame_idx"])) == [0, 10, 20]
+    assert "video" not in out.columns
+    # deterministic: same doc+frame -> same feature
+    a = out[(out.doc_id == 1) & (out.frame_idx == 10)]["frame_feat"].iloc[0]
+    again = (ray.data.from_items(rows[1:2])
+             .map_batches(FrameSampler, fn_constructor_kwargs=dict(stride=10),
+                          batch_format="pyarrow", concurrency=1)
+             .to_pandas())
+    b = again[again.frame_idx == 10]["frame_feat"].iloc[0]
+    assert list(a) == list(b)

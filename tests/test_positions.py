@@ -177,3 +177,18 @@ def test_positional_force_merge(pos_index, tmp_path_factory, ray_session):
     idx = Index(merged)
     assert idx.count(Phrase(["delta", "echoz"])) == 1
     assert idx.count(Phrase(["echoz", "delta"])) == 0
+
+
+def test_phrase_positional_actor_mode(pos_index, pos_oracle):
+    """Actor-pool serving of positional phrases: decode + candidate
+    intersection run on the SegmentActors; results identical to
+    inline."""
+    from icat_lucene_ray.query import Index
+
+    s1, s2 = _adjacent_pair(pos_oracle)
+    idx_in = Index(pos_index.root)
+    idx_ac = Index(pos_index.root, use_actors=True, num_actors=2)
+    a = idx_in.search(Phrase([s1, s2]), k=20)
+    b = idx_ac.search(Phrase([s1, s2]), k=20)
+    assert a.table.equals(b.table)
+    assert a.total_hits == b.total_hits
