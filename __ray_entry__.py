@@ -629,6 +629,36 @@ def _mm_video_frames(sf_dir: str):
     })
 
 
+def _mm_audio_features(sf_dir: str):
+    """Audio plumbing: fake waveforms through the AudioFeaturizer actor
+    pool (metadata + per-window RMS features; torchaudio/ffmpeg decode
+    stubbed, Ray-side plumbing real)."""
+    import ray.data
+    from icat_lucene_ray.ops.multimodal import AudioFeaturizer, make_fake_audio
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b["doc_id"], 3), 0)  # 1/4 of docs
+        b = b.filter(keep)
+        blobs = [make_fake_audio(int(d)) for d in b["doc_id"].to_pylist()]
+        return b.append_column("audio", pa.array(blobs, pa.binary()))
+
+    out = (ds.map_batches(attach, batch_format="pyarrow")
+             .map_batches(AudioFeaturizer, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "duration_s": pa.array(
+            [round(m["duration_s"], 6) for m in out["audio_meta"]],
+            pa.float64()),
+        "rms0": pa.array([round(float(f[0]), 6) for f in out["audio_feat"]],
+                         pa.float64()),
+    })
+
+
 def _rel_denorm_update(sf_dir: str):
     """J2 updateByRelation (Lucene.java:1846-1939): broadcast the changed
     parent rows, rewrite mapped fields into every child row."""
@@ -798,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_path_filename": _ft_path_filename,
         "mm_image_features": _mm_image_features,
         "mm_video_frames": _mm_video_frames,
+        "mm_audio_features": _mm_audio_features,
     }
 
 

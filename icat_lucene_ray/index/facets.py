@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SIDECAR = "facets/sidecar.parquet"
+SIDECAR_DIR = "facets"
+SIDECAR = "facets/sidecar.parquet"  # legacy single-file layout (read-only)
 
 
 def sidecar_path(root: str) -> str:
@@ -34,29 +35,58 @@ def sidecar_path(root: str) -> str:
 
 
 def write_sidecar(root: str) -> str | None:
-    """Build the facet sidecar for the base (gen-0) doc store. Returns
-    the path, or None when the index has no metadata columns."""
-    from icat_lucene_ray.query.engine import Index
+    """Build the facet sidecar for the base (gen-0) doc store: one Ray
+    task per doc-store file writes an id-ordered (doc_id + meta cols)
+    part — the DRIVER never materializes the corpus metadata (at 10^12
+    docs that would be a driver OOM); the serving node loads the parts
+    once into its cached facet state. Returns the sidecar dir, or None
+    when the index has no metadata columns."""
+    import ray
 
-    idx = Index(root)
-    m = idx.manifest
+    from icat_lucene_ray.index.manifest import IndexManifest
+
+    m = IndexManifest.load(root)
     if not m.meta_cols:
         return None
-    t = idx._doc_store_table(columns=["doc_id"] + list(m.meta_cols))
-    order = pa.compute.sort_indices(t, sort_keys=[("doc_id", "ascending")])
-    t = t.take(order)
-    cols: dict = {"doc_id": t["doc_id"]}
-    for c in m.meta_cols:
-        arr = t[c].combine_chunks()
-        if pa.types.is_string(arr.type):
-            arr = arr.dictionary_encode()
-        cols[c] = arr
-    path = sidecar_path(root)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(pa.table(cols), tmp, compression="zstd")
-    os.replace(tmp, path)
-    return path
+    out_dir = os.path.join(root, SIDECAR_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    dense = getattr(m, "id_assignment", "explicit") == "dense"
+    if dense:
+        files = []
+        base = 0
+        for rel, n in m.id_files:
+            files.append((os.path.join(root, rel), base))
+            base += n
+    else:
+        doc_root = m.doc_table_dir()
+        files = [(os.path.join(r, f), None)
+                 for top in sorted(os.listdir(doc_root))
+                 if not top.startswith("delta_")
+                 for r, _d, fs in os.walk(os.path.join(doc_root, top))
+                 for f in sorted(fs) if f.endswith(".parquet")]
+
+    @ray.remote
+    def _part(path: str, id_base, cols: list[str], out_path: str):
+        import numpy as np  # noqa: F811
+
+        read_cols = cols if id_base is not None else ["doc_id"] + cols
+        t = pq.read_table(path, columns=read_cols)
+        if id_base is not None:
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(id_base, id_base + t.num_rows), pa.int64()))
+        tmp = out_path + ".tmp"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, out_path)
+        return out_path
+
+    cols = list(m.meta_cols)
+    refs = [
+        _part.remote(path, base, cols,
+                     os.path.join(out_dir, f"part_{i:05d}.parquet"))
+        for i, (path, base) in enumerate(files)
+    ]
+    ray.get(refs)
+    return out_dir
 
 
 class FacetState:
@@ -72,16 +102,22 @@ class FacetState:
     def _load(self):
         if self._tbl is not None:
             return
-        path = sidecar_path(self._idx.manifest.root)
-        if os.path.exists(path):
-            self._tbl = pq.read_table(path)
+        root = self._idx.manifest.root
+        sc_dir = os.path.join(root, SIDECAR_DIR)
+        parts = sorted(
+            os.path.join(sc_dir, f) for f in os.listdir(sc_dir)
+            if f.endswith(".parquet")) if os.path.isdir(sc_dir) else []
+        if parts:
+            t = pa.concat_tables([pq.read_table(p) for p in parts])
         else:
             # older index / merged output: build the state in memory once
             m = self._idx.manifest
             t = self._idx._base_table(["doc_id"] + list(m.meta_cols))
-            order = pa.compute.sort_indices(
-                t, sort_keys=[("doc_id", "ascending")])
-            self._tbl = t.take(order)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > 1 and np.any(ids[1:] < ids[:-1]):
+            t = t.take(pa.compute.sort_indices(
+                t, sort_keys=[("doc_id", "ascending")]))
+        self._tbl = t
         self._ids = self._tbl["doc_id"].to_numpy(zero_copy_only=False)
 
     def ids(self) -> np.ndarray:

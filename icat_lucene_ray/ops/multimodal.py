@@ -139,3 +139,63 @@ class FrameSampler:
             "frame_idx": pa.array(out_frame, pa.int32()),
             "frame_feat": pa.array(out_feat, pa.list_(pa.float64())),
         })
+
+
+# ---------------------------------------------------------------------------
+# audio plumbing
+# ---------------------------------------------------------------------------
+
+_AHDR = struct.Struct("<4sII")  # magic, sample_rate, n_samples
+_AMAGIC = b"FAUD"
+
+
+def make_fake_audio(doc_id: int, n_samples: int = 4800,
+                    sample_rate: int = 16000) -> bytes:
+    """Deterministic fake waveform: header + int16 samples derived from
+    a keyed hash (stands in for a real PCM/opus payload)."""
+    seed = hashlib.blake2b(str(doc_id).encode(), digest_size=8).digest()
+    reps = -(-n_samples * 2 // 8)
+    body = (seed * reps)[: n_samples * 2]
+    return _AHDR.pack(_AMAGIC, sample_rate, n_samples) + body
+
+
+def _decode_audio_real(blob: bytes):
+    raise NotImplementedError(
+        "real audio decode needs torchaudio/ffmpeg — not available in "
+        "this container; the fake-format decoder exercises the pipeline"
+    )
+
+
+class AudioFeaturizer:
+    """Actor-pool audio stage: decodes the (fake) waveform, emits
+    metadata (sample rate, duration) + a per-window RMS-energy feature
+    vector — the schema/batching shape of a real MFCC/embedding stage.
+    Use a small batch_size: audio rows are large."""
+
+    def __init__(self, blob_col: str = "audio", n_windows: int = 8,
+                 use_fake: bool = True):
+        self.blob_col, self.n_windows = blob_col, n_windows
+        if not use_fake:
+            _decode_audio_real(b"")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats = [], []
+        for blob in batch[self.blob_col].to_pylist():
+            magic, sr, n = _AHDR.unpack_from(blob, 0)
+            if magic != _AMAGIC:
+                raise ValueError("not a fake audio blob")
+            x = np.frombuffer(blob, np.int16, count=n, offset=_AHDR.size) \
+                .astype(np.float64) / 32768.0
+            w = max(1, n // self.n_windows)
+            rms = [float(np.sqrt(np.mean(x[i * w:(i + 1) * w] ** 2)))
+                   for i in range(self.n_windows) if len(x[i * w:(i + 1) * w])]
+            metas.append({"sample_rate": sr, "n_samples": n,
+                          "duration_s": n / sr})
+            feats.append(rms)
+        out = batch.drop_columns([self.blob_col])
+        out = out.append_column("audio_meta", pa.array(
+            metas, pa.struct([("sample_rate", pa.int32()),
+                              ("n_samples", pa.int32()),
+                              ("duration_s", pa.float64())])))
+        return out.append_column("audio_feat",
+                                 pa.array(feats, pa.list_(pa.float64())))

@@ -307,3 +307,24 @@ def test_video_frame_sampler(ray_session):
              .to_pandas())
     b = again[again.frame_idx == 10]["frame_feat"].iloc[0]
     assert list(a) == list(b)
+
+
+def test_audio_featurizer(ray_session):
+    import ray.data
+
+    from icat_lucene_ray.ops.multimodal import AudioFeaturizer, make_fake_audio
+
+    rows = [{"doc_id": i, "audio": make_fake_audio(i)} for i in range(5)]
+    out = (ray.data.from_items(rows)
+           .map_batches(AudioFeaturizer, batch_format="pyarrow",
+                        batch_size=2, concurrency=2)
+           .to_pandas().sort_values("doc_id"))
+    assert len(out) == 5 and "audio" not in out.columns
+    assert all(len(f) == 8 for f in out["audio_feat"])
+    assert all(m["duration_s"] == 0.3 for m in out["audio_meta"])
+    # deterministic per doc
+    a = out[out.doc_id == 2]["audio_feat"].iloc[0]
+    b = AudioFeaturizer()(pa.table({
+        "audio": pa.array([make_fake_audio(2)], pa.binary())}))[
+        "audio_feat"][0].as_py()
+    assert list(a) == b
