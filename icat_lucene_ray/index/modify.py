@@ -67,6 +67,9 @@ class IndexUpdater:
         self.cfg = EngineConfig.from_dict(self.m.config)
         self.text_col = text_col
         self._creates: list[dict] = []
+        #: pre-analyzed one-row doc-store tables (increment_statistics —
+        #: the postings are copied, not re-derived from raw text)
+        self._preanalyzed: list[pa.Table] = []
         self._deletes: list[int] = []
         self._idx = None
         self._next_fresh = int(self.m.max_doc) + 1
@@ -112,6 +115,43 @@ class IndexUpdater:
                 self.delete(op["delete"])
             else:
                 raise ValueError(f"unknown op {sorted(op)}")
+
+    def increment_statistics(self, key: dict, deltas: dict) -> bool:
+        """M8 ``aggregateFileSize`` / ``incrementFileStatistic`` +
+        ``pruneDocument`` (``Lucene.java:660-721,1734-1750``): add the
+        deltas to the named numeric stored fields of ONE document —
+        every other field (including the analyzed postings) is carried
+        over unchanged, so the text is never re-analyzed. No-op (returns
+        False) when no document matches, like the reference. Visible at
+        :meth:`commit`."""
+        import pyarrow.dataset as _pads
+
+        from icat_lucene_ray.query.engine import Index
+
+        did = self._doc_id_of(key)
+        if did is None:
+            return False
+        if self._idx is None:
+            self._idx = Index(self.root)
+        cols = [f.name for f in self._idx._doc_sources[0][1].schema]
+        if "doc_id" not in cols:
+            cols = ["doc_id"] + cols
+        t = self._idx._doc_store_table(
+            columns=cols, filter=_pads.field("doc_id") == did)
+        if t.num_rows == 0:
+            return False
+        t = t.slice(t.num_rows - 1, 1)
+        arrays = {}
+        for c in t.column_names:
+            if c in deltas:
+                old = t[c][0].as_py() or 0
+                arrays[c] = pa.array([old + deltas[c]],
+                                     t.schema.field(c).type)
+            else:
+                arrays[c] = t[c]
+        self._deletes.append(int(did))
+        self._preanalyzed.append(pa.table(arrays))
+        return True
 
     def delete_by_query(self, q) -> int:
         """D2: evaluate a query against the CURRENT committed state and
@@ -199,14 +239,16 @@ class IndexUpdater:
     def commit(self) -> IndexManifest:
         """Make buffered ops durable and visible (new manifest
         generation). No-op if nothing is buffered."""
-        if not self._creates and not self._deletes:
+        if not self._creates and not self._preanalyzed \
+                and not self._deletes:
             return self.m
         m = self.m
         gen = m.generation + 1
         entry: dict[str, Any] = {"gen": gen, "doc_dir": None,
                                  "seg_prefix": f"delta_{gen:05d}",
                                  "segments": [], "tombstones": None,
-                                 "n_created": len(self._creates),
+                                 "n_created": (len(self._creates)
+                                               + len(self._preanalyzed)),
                                  "n_deleted": 0}
 
         # -------- tombstones (dedup, keep order-independent) ----------
@@ -248,9 +290,14 @@ class IndexUpdater:
         # -------- delta doc store + delta segments --------------------
         added_tokens = 0
         added_f = {f: 0 for f in tcols}
-        new_ndocs = m.num_docs - n_removed + len(self._creates)
-        if self._creates:
-            an = self._analyze_creates()
+        n_new = len(self._creates) + len(self._preanalyzed)
+        new_ndocs = m.num_docs - n_removed + n_new
+        if self._creates or self._preanalyzed:
+            parts = ([self._analyze_creates()] if self._creates else [])
+            for r in self._preanalyzed:
+                parts.append(r.select(parts[0].column_names)
+                             if parts else r)
+            an = pa.concat_tables(parts)
             added_tokens = int(np.sum(
                 an["doc_len"].to_numpy(zero_copy_only=False)))
             if multi:
@@ -276,7 +323,8 @@ class IndexUpdater:
             runs = enc(an)
             writer = SegmentWriter(
                 self.root, self.cfg.k1, self.cfg.b,
-                self._new_avgdl(added_tokens, removed_tokens, n_removed),
+                (m.total_tokens - removed_tokens + added_tokens)
+                / new_ndocs if new_ndocs else 1.0,
                 self.cfg.codec_block, name_prefix=entry["seg_prefix"],
                 field_avgdl=field_avgdl)
             skeys = runs["skey"].to_numpy(zero_copy_only=False)
@@ -295,7 +343,7 @@ class IndexUpdater:
                         m.hot_terms[tname]["df"] += len(t_docs[i])
 
         # -------- stats + manifest (the atomic commit point) ----------
-        m.num_docs = m.num_docs - n_removed + len(self._creates)
+        m.num_docs = m.num_docs - n_removed + n_new
         if multi:
             for f, s in m.field_stats.items():
                 s["total_tokens"] = (s["total_tokens"] + added_f.get(f, 0)
@@ -309,7 +357,7 @@ class IndexUpdater:
         m.generation = gen
         m.deltas.append(entry)
         m.save()
-        self._creates, self._deletes = [], []
+        self._creates, self._preanalyzed, self._deletes = [], [], []
         return m
 
     def _new_avgdl(self, added: int, removed: int, n_removed: int) -> float:

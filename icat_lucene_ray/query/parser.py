@@ -39,6 +39,19 @@ class QueryParseError(ValueError):
     pass
 
 
+def escape_path(query: str) -> str:
+    """M10 ``SearchBucket.escapePath`` (``SearchBucket.java:200-204``):
+    escape every unescaped ``/`` so path-like terms survive query
+    parsing (Lucene's classic parser treats ``/.../`` as a regex; ours
+    strips the escapes back out in :func:`_unescape_term`, so escaped
+    input always parses to the literal path term)."""
+    return re.sub(r"\\?/", r"\\/", query)
+
+
+def _unescape_term(term: str) -> str:
+    return term.replace("\\/", "/")
+
+
 _SCANNER = re.compile(
     r"""\s*(?:
     (?P<lparen>\()
@@ -173,6 +186,7 @@ class _Parser:
             per = [Phrase(words, field=f) if len(words) != 1
                    else Term(words[0], field=f) for f in fields]
         elif k == "term":
+            tok = _unescape_term(tok)
             if "*" in tok or "?" in tok:
                 per = [Wildcard(tok, field=f) for f in fields]
             else:

@@ -304,3 +304,55 @@ def test_populate_scores_on_field_sort(small_index):
     r2 = idx.search(MatchAll(), k=3, sort=[("doc_len", False)],
                     populate_scores=True)
     assert r2.table["score"].to_pylist() == [1.0, 1.0, 1.0]
+
+
+def test_increment_statistics(ray_session, tmp_path):
+    """M8 aggregateFileSize/pruneDocument (Lucene.java:660-721,
+    1734-1750): numeric stored fields increment in place; postings are
+    carried over (doc still matches its text) without re-analysis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "text": pa.array(["dataset holder alpha", "other text beta"]),
+        "fileSize": pa.array([100, 50], pa.int64()),
+        "fileCount": pa.array([2, 1], pa.int64()),
+    }), str(src / "d.parquet"))
+    root = str(tmp_path / "idx")
+    build_index(str(src), root, meta_cols=["fileSize", "fileCount"],
+                config=CFG)
+    up = IndexUpdater(root)
+    assert up.increment_statistics({"url": "u1"},
+                                   {"fileSize": 42, "fileCount": 3})
+    assert not up.increment_statistics({"url": "nope"}, {"fileSize": 1})
+    up.commit()
+    idx = Index(root)
+    r = idx.search(Term("alpha"), k=5, fields=["fileSize", "fileCount"])
+    assert r.total_hits == 1  # postings survived the prune+re-add
+    assert r.table["fileSize"][0].as_py() == 142
+    assert r.table["fileCount"][0].as_py() == 5
+    assert idx.N == 2  # in-place update, not a new doc
+    # second increment on the DELTA row compounds correctly
+    up2 = IndexUpdater(root)
+    assert up2.increment_statistics({"url": "u1"}, {"fileSize": -2})
+    up2.commit()
+    idx2 = Index(root)
+    r2 = idx2.search(Term("alpha"), k=5, fields=["fileSize"])
+    assert r2.table["fileSize"][0].as_py() == 140
+    assert idx2.N == 2
+
+
+def test_escape_path_parses_literal():
+    """M10 escapePath (SearchBucket.java:200-204): escaped slashes
+    survive parsing as one literal term."""
+    from icat_lucene_ray.query import Term, parse_query
+    from icat_lucene_ray.query.parser import escape_path
+
+    assert escape_path("/a/b c") == "\\/a\\/b c"
+    assert escape_path("\\/x/y") == "\\/x\\/y"  # idempotent on escaped
+    q = parse_query(escape_path("/dir1/sub"))
+    assert q == parse_query("/dir1/sub".replace("/", "\\/"))
+    assert q == Term("/dir1/sub")
