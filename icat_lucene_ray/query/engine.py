@@ -776,6 +776,16 @@ class Index:
         expr = pads.field("doc_id").isin(pa.array(doc_ids))
         return self._doc_store_table(columns, filter=expr)
 
+    def search_text(self, query_string: str, **kw) -> SearchResult:
+        """Parse a free-text query string over the index's default field
+        list and search (Q2 — the reference's one-call user surface,
+        ``SearchBucket.java:217-298``)."""
+        from icat_lucene_ray.query.parser import parse_query
+
+        q = parse_query(query_string,
+                        default_fields=(self.text_fields or None))
+        return self.search(q, **kw)
+
     def search(
         self,
         q: Query,

@@ -180,6 +180,9 @@ class _Parser:
         raise QueryParseError(f"unexpected {self.toks[self.i][1]!r}")
 
     def _atom(self, fields) -> Query:
+        if self._peek() is None:
+            raise QueryParseError("unexpected end of query (dangling "
+                                  "'field:' or operator)")
         k, tok = self._next()
         if k == "quoted":
             words = tok[1:-1].split()

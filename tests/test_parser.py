@@ -114,3 +114,24 @@ def test_boost_scores_add_only_on_required(engine, oracle):
     base = engine.search(Term(mid[0]), k=50)
     # result set == required set (the SHOULD clause widens nothing)
     assert r.total_hits == base.total_hits
+
+
+def test_dangling_field_raises():
+    with pytest.raises(QueryParseError):
+        parse_query("title:")
+    with pytest.raises(QueryParseError):
+        parse_query("a AND")
+    # a bare trailing '-' is NOT negation (no following token): it
+    # lexes as the literal term '-'
+    assert parse_query("-") == Term("-")
+
+
+def test_search_text_convenience(engine, oracle):
+    from tests.test_query import _terms_by_df
+
+    _, mid, _ = _terms_by_df(oracle)
+    a = engine.search_text(f"{mid[0]} AND {mid[1]}", k=10)
+    from icat_lucene_ray.query import And, Term
+
+    b = engine.search(And([Term(mid[0]), Term(mid[1])]), k=10)
+    assert a.table.equals(b.table)
