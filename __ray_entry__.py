@@ -520,6 +520,44 @@ def _keep_latest_event(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _units_convert_si(sf_dir: str):
+    """M7 convertUnits: recorded-units → SI companion columns
+    (Lucene.java:1650-1692; units DSL run.properties:12). Units are
+    derived deterministically from l_partkey so the SQL oracle can
+    mirror the factor/offset arithmetic."""
+    import ray.data
+
+    from icat_lucene_ray.ops.units import UnitConverter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    def attach_units(b: pa.Table) -> pa.Table:
+        mod = pc.subtract(b["l_partkey"],
+                          pc.multiply(pc.divide(b["l_partkey"], 3), 3))
+        units = pc.case_when(
+            pc.make_struct(pc.equal(mod, 0), pc.equal(mod, 1)),
+            "eV", "kelvin", "celsius")
+        return b.append_column("type_units", units)
+
+    out = (ds.map_batches(attach_units, batch_format="pyarrow")
+             .map_batches(UnitConverter,
+                          fn_constructor_kwargs=dict(
+                              value_cols=["l_quantity"]),
+                          batch_format="pyarrow", concurrency=2)
+             .to_pandas()
+             .sort_values(["l_orderkey", "l_linenumber"])
+             .reset_index(drop=True))
+    return pa.table({
+        "l_orderkey": pa.array(out["l_orderkey"], pa.int64()),
+        "l_linenumber": pa.array(out["l_linenumber"], pa.int32()),
+        "value_si": pa.array(
+            [round(float(v), 6) for v in out["l_quantitySI"]], pa.float64()),
+        "units_si": pa.array(out["type_unitsSI"], pa.string()),
+    })
+
+
 def _agg_window_sum(sf_dir: str):
     """Tumbling daily window sum per user (windowed aggregate — the
     brief's custom-operator class; one hash aggregate, pre-combined
@@ -818,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "agg_rollup_sum": _agg_rollup_sum,
+        "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
         "asof_last_order": _asof_last_order,
         "keep_latest_event": _keep_latest_event,
@@ -1032,6 +1071,14 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup_sum": """
             SELECT user_id, round(sum(value), 6) AS total_value FROM events
             GROUP BY user_id ORDER BY user_id""",
+        "units_convert_si": """
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE l_partkey % 3
+                         WHEN 0 THEN l_quantity * 1.602176634e-19
+                         WHEN 1 THEN l_quantity
+                         ELSE l_quantity + 273.15 END, 6) AS value_si,
+                   CASE l_partkey % 3 WHEN 0 THEN 'J' ELSE 'K' END AS units_si
+            FROM lineitem ORDER BY l_orderkey, l_linenumber""",
         "agg_window_sum": """
             SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS window_start,
                    round(sum(value), 6) AS total_value

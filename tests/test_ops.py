@@ -328,3 +328,33 @@ def test_audio_featurizer(ray_session):
         "audio": pa.array([make_fake_audio(2)], pa.binary())}))[
         "audio_feat"][0].as_py()
     assert list(a) == b
+
+
+def test_unit_conversion_si(ray_session):
+    """M7 convertUnits/convertValue (Lucene.java:1650-1692): numeric
+    values gain SI companions per the run.properties units DSL; unknown
+    units leave SI columns null (the reference skips the SI fields)."""
+    import ray.data
+
+    from icat_lucene_ray.ops.units import UnitConverter
+
+    rows = [
+        {"rid": 0, "numericValue": 2.0, "type_units": "eV"},
+        {"rid": 1, "numericValue": 25.0, "type_units": "celsius"},
+        {"rid": 2, "numericValue": 300.0, "type_units": "kelvin"},
+        {"rid": 3, "numericValue": 1.5, "type_units": "furlongs"},  # unknown
+        {"rid": 4, "numericValue": 7.0, "type_units": "J"},  # SI itself
+    ]
+    out = (ray.data.from_items(rows)
+           .map_batches(UnitConverter,
+                        fn_constructor_kwargs=dict(
+                            value_cols=["numericValue"]),
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    assert abs(out["numericValueSI"][0] - 2.0 * 1.602176634e-19) < 1e-30
+    assert out["type_unitsSI"][0] == "J"
+    assert abs(out["numericValueSI"][1] - 298.15) < 1e-9  # celsius offset
+    assert out["type_unitsSI"][1] == "K"
+    assert out["numericValueSI"][2] == 300.0
+    assert out["numericValueSI"].isna()[3] and out["type_unitsSI"].isna()[3]
+    assert out["numericValueSI"][4] == 7.0 and out["type_unitsSI"][4] == "J"
