@@ -40,8 +40,10 @@ class EngineConfig:
     #: many piece objects; with more encode tasks an intermediate
     #: combine level merges pieces first (two-level exchange — keeps the
     #: per-writer ref count and the T×S piece matrix bounded at 10^12
-    #: docs). Order-preserving, so segment bytes are identical.
-    exchange_fanin: int = 64
+    #: docs). Order-preserving, so segment bytes are identical. Sized so
+    #: single-node builds (~3×CPUs encode tasks) stay single-level —
+    #: the combine hop only pays for itself when T ≫ fanin.
+    exchange_fanin: int = 256
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | None = None  # None -> let Ray size the task pool
     analyzed_rows_per_file: int = 65536
