@@ -602,7 +602,27 @@ def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
                        pairs_tbl["hamming"]):
         seen[(int(a), int(b))] = int(d)
     verified = sorted((a, b, d) for (a, b), d in seen.items())
-    return {"pairs": verified}
+
+    # keep-one per connected component (same contract as MinHash LSH:
+    # small drop set + lazy cluster-side keep dataset)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _d in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    involved = {d for p in verified for d in p[:2]}
+    clusters = {d: find(d) for d in involved}
+    drop = sorted(d for d, r in clusters.items() if r != d)
+    keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
+    return {"pairs": verified, "clusters": clusters, "drop": drop,
+            "keep_ds": keep_ds}
 
 
 # ---------------------------------------------------------------------------

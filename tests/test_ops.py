@@ -131,6 +131,8 @@ def test_simhash_dedup(dup_ds):
     res = simhash_dedup(dup_ds, max_hamming=6)
     found = {(a, b) for a, b, _ in res["pairs"]}
     assert (0, 100) in found
+    keep = set(res["keep_ds"].to_pandas()["doc_id"].astype(int))
+    assert 100 in res["drop"] and 100 not in keep and 0 in keep
 
 
 def test_embedding_near_dup(ray_session):
