@@ -283,6 +283,279 @@ def _bucket_pairs_vec(group: pa.Table, id_col: str = "doc_id",
     })
 
 
+class _ShingleSketcher:
+    """Actor-pool stage: per-doc bottom-``sketch_k`` UNIQUE shingle-hash
+    sketch (sorted uint64 list). For docs whose unique-shingle count is
+    < ``sketch_k`` the sketch IS the exact shingle set, so downstream
+    Jaccard is exact (identical to :func:`ngram_jaccard`); above it the
+    bottom-k sketch gives the standard unbiased estimate."""
+
+    def __init__(self, shingle_k: int = 5, sketch_k: int = 8192,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.k, self.sketch_k = shingle_k, sketch_k
+        self.text_col, self.id_col = text_col, id_col
+        self.hasher = _TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs, th = _tokenize_flat(batch[self.text_col], self.hasher)
+        sh_off, sh = _shingle_hash_batch(offs, th, self.k)
+        values: list[np.ndarray] = []
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        for i in range(len(ids)):
+            u = np.unique(sh[sh_off[i]:sh_off[i + 1]])[:self.sketch_k]
+            values.append(u)
+            offsets[i + 1] = offsets[i] + len(u)
+        flat = np.concatenate(values) if values else np.empty(0, np.uint64)
+        sketch = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64()))
+        n = len(ids)
+        return pa.table({
+            "nid": pa.array(ids, pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "sketch": sketch,
+        })
+
+
+def _sketch_jaccard(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
+    """Jaccard of two sorted-unique bottom-k shingle sketches. Exact when
+    both sets are complete (< k elements); bottom-k estimate otherwise."""
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    if len(sa) < k and len(sb) < k:
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        return inter / (len(sa) + len(sb) - inter)
+    union = np.union1d(sa, sb)[:k]
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    hits = np.intersect1d(union, inter, assume_unique=True).size
+    return hits / max(1, min(k, len(union)))
+
+
+def _dedup_pairs_np(a: np.ndarray, b: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b) rows via lexsort run-finding (64-bit-safe — no
+    packing into one word, ids may exceed 2^32 at corpus scale)."""
+    if a.size == 0:
+        return a.astype(np.int64), b.astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep].astype(np.int64), b[keep].astype(np.int64)
+
+
+def _pairs_to_side_rows(batch: pa.Table) -> pa.Table:
+    """(id_a, id_b) candidate rows -> two tagged rows per pair, schema-
+    aligned with the sketch rows for the union-groupby join."""
+    a = batch["id_a"].to_numpy(zero_copy_only=False)
+    b = batch["id_b"].to_numpy(zero_copy_only=False)
+    nid = np.concatenate([a, b])
+    n = len(nid)
+    return pa.table({
+        "nid": pa.array(nid, pa.int64()),
+        "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+        "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+        "sketch": pa.nulls(n, pa.list_(pa.uint64())),
+    })
+
+
+def _attach_sketch_group(g: pa.Table) -> pa.Table:
+    """One ``nid`` group: ≤1 sketch row (id_a null) + this doc's pair-side
+    rows. Emits (id_a, id_b, nid, sketch) per DISTINCT pair touching the
+    doc — duplicate candidates from different bands collapse here."""
+    is_sketch = pc.is_null(g["id_a"])
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "nid": pa.array([], pa.int64()),
+                      "sketch": pa.array([], pa.list_(pa.uint64()))})
+    sk_rows = g.filter(is_sketch)
+    pr = g.filter(pc.invert(is_sketch))
+    if sk_rows.num_rows == 0 or pr.num_rows == 0:
+        return empty
+    ua, ub = _dedup_pairs_np(pr["id_a"].to_numpy(zero_copy_only=False),
+                             pr["id_b"].to_numpy(zero_copy_only=False))
+    sk = sk_rows["sketch"]
+    if isinstance(sk, pa.ChunkedArray):
+        sk = sk.combine_chunks()
+    vals = sk.values.to_numpy(zero_copy_only=False)
+    n = len(ua)
+    L = len(vals)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int64) * L, pa.int32())
+    sketch_rep = pa.ListArray.from_arrays(
+        offsets, pa.array(np.tile(vals, n), pa.uint64()))
+    nid_val = int(sk_rows["nid"][0].as_py())
+    return pa.table({
+        "id_a": pa.array(ua, pa.int64()),
+        "id_b": pa.array(ub, pa.int64()),
+        "nid": pa.array(np.full(n, nid_val), pa.int64()),
+        "sketch": sketch_rep,
+    })
+
+
+def _make_pair_verifier(threshold: float, sketch_k: int):
+    def _verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        a = int(g["id_a"][0].as_py())
+        b = int(g["id_b"][0].as_py())
+        nid = g["nid"].to_numpy(zero_copy_only=False)
+        ia = np.flatnonzero(nid == a)
+        ib = np.flatnonzero(nid == b)
+        if len(ia) == 0 or len(ib) == 0:
+            return empty  # endpoint absent from corpus
+        sa = np.asarray(g["sketch"][int(ia[0])].as_py(), dtype=np.uint64)
+        sb = np.asarray(g["sketch"][int(ib[0])].as_py(), dtype=np.uint64)
+        j = _sketch_jaccard(sa, sb, sketch_k)
+        if j < threshold:
+            return empty
+        return pa.table({"id_a": pa.array([a], pa.int64()),
+                         "id_b": pa.array([b], pa.int64()),
+                         "jaccard": pa.array([j], pa.float64())})
+    return _verify
+
+
+def verify_pairs_distributed(
+    ds: ray.data.Dataset,
+    cand_pairs_ds: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int = 5,
+    sketch_k: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard verification of candidate pairs, entirely
+    cluster-side (no driver loop, no corpus broadcast): a reduce-side
+    join. One streaming pass computes per-doc shingle sketches; a
+    tag-union + ``groupby(nid)`` attaches each endpoint's sketch to its
+    pairs; ``groupby(id_a, id_b)`` computes the Jaccard and keeps
+    survivors. Shuffle volume is O(corpus sketches + candidate pairs) —
+    the cost of a distributed join, with no O(pairs) driver state."""
+    sketches = ds.map_batches(
+        _ShingleSketcher,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k, sketch_k=sketch_k,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, _pool_size()),
+    )
+    sides = cand_pairs_ds.map_batches(
+        _pairs_to_side_rows, batch_format="pyarrow")
+    attached = (
+        sketches.union(sides)
+        .groupby("nid")
+        .map_groups(_attach_sketch_group, batch_format="pyarrow")
+    )
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        _make_pair_verifier(threshold, sketch_k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+def _edges_to_adj(batch: pa.Table) -> pa.Table:
+    """(id_a, id_b) edges -> symmetric (node, nbr) adjacency rows plus
+    self-loops (a self-loop makes each node re-receive its own label
+    every round, so labels are monotone non-increasing)."""
+    a = batch["id_a"].to_numpy(zero_copy_only=False)
+    b = batch["id_b"].to_numpy(zero_copy_only=False)
+    node = np.concatenate([a, b, a])
+    nbr = np.concatenate([b, a, a])
+    # local dedup only (global dupes are harmless under min-aggregation)
+    node, nbr = _dedup_pairs_np(node, nbr)
+    return pa.table({
+        "node": pa.array(node, pa.int64()),
+        "nbr": pa.array(nbr, pa.int64()),
+    })
+
+
+def _propagate_group(g: pa.Table) -> pa.Table:
+    """One ``node`` group of the tagged union: the node's single label
+    row (nbr null) + its adjacency rows. Sends the node's current label
+    to every neighbour (vectorized)."""
+    is_label = pc.is_null(g["nbr"])
+    lab_rows = g.filter(is_label)
+    adj_rows = g.filter(pc.invert(is_label))
+    if lab_rows.num_rows == 0 or adj_rows.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "cand": pa.array([], pa.int64())})
+    lbl = int(pc.min(lab_rows["label"]).as_py())
+    nbrs = adj_rows["nbr"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "node": pa.array(nbrs, pa.int64()),
+        "cand": pa.array(np.full(len(nbrs), lbl), pa.int64()),
+    })
+
+
+def connected_components_labels(
+    pairs_ds: ray.data.Dataset, *, max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Distributed connected components over an (id_a, id_b) edge
+    Dataset: iterative min-label propagation — each round every node
+    broadcasts its label to its neighbours and takes the min of what it
+    receives (``groupby(node).min``). Converges to the component-minimum
+    label in ≤ diameter rounds; near-dup clusters are star-like, so a
+    handful of rounds in practice. Driver state per round is ONE scalar
+    (the label sum used as the monotone convergence witness) — never the
+    pair set."""
+    from ray.data.aggregate import Min
+
+    adj = pairs_ds.map_batches(
+        _edges_to_adj, batch_format="pyarrow").materialize()
+    labels = adj.groupby("node").aggregate(
+        Min("nbr", alias_name="label")).materialize()
+    n_nodes = labels.count()
+    if n_nodes == 0:
+        return labels
+    adj_tagged = adj.map_batches(
+        lambda b: b.append_column("label", pa.nulls(b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+        lab_tagged = labels.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "nbr": pa.nulls(b.num_rows, pa.int64()),
+                "label": b["label"],
+            }),
+            batch_format="pyarrow")
+        msgs = (
+            adj_tagged.union(lab_tagged)
+            .groupby("node")
+            .map_groups(_propagate_group, batch_format="pyarrow")
+        )
+        labels = msgs.groupby("node").aggregate(
+            Min("cand", alias_name="label")).materialize()
+    return labels
+
+
+def _driver_union_find(pairs: list[tuple]) -> dict[int, int]:
+    """Small-scale CC: union-find with larger→smaller parenting, so the
+    final root of every node is the component MINIMUM (same labels as
+    :func:`connected_components_labels`)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    involved = {int(d) for p in pairs for d in p[:2]}
+    return {d: find(d) for d in involved}
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     h = _TokenHasher()
     offs, th = _tokenize_flat(pa.array([text_a or "", text_b or ""]), h)
@@ -305,27 +578,39 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     num_buckets: int | None = None,
     target_bucket_rows: int = 65536,
+    sketch_k: int = 8192,
+    cc: str = "auto",
+    cc_driver_cap: int = 200_000,
 ) -> dict:
     """MinHash+LSH near-dup detection:
     shingle→minhash→band→``groupby(bucket)``→candidate pairs→exact
-    n-gram-Jaccard verify→connected components (driver union-find over
-    the small verified-pair set).
+    n-gram-Jaccard verify (cluster-side reduce-join,
+    :func:`verify_pairs_distributed`)→connected components.
 
-    Scale invariants (the three things that must stay true at 100 TB):
+    Scale invariants (what must stay true at 100 TB):
 
     - the shuffle key is a coarse bucket whose COUNT grows with the
       corpus (``ceil(rows·bands / target_bucket_rows)``), so each
       ``map_groups`` group holds ~``target_bucket_rows`` exploded rows
       regardless of N; pair emission inside a group is one vectorized
       lexsort over the true (band, band_hash) collision keys;
-    - candidate texts are fetched by a CLUSTER-side ``is_in`` filter
-      (only survivors reach the driver), never a driver scan;
+    - pair verification never touches the driver: candidate pairs stay
+      a Dataset, sketches are joined to them via union+groupby, and
+      only VERIFIED pairs exist downstream;
+    - connected components: ``cc='auto'`` uses driver union-find only
+      below the documented ``cc_driver_cap`` verified-pair budget and
+      switches to distributed min-label propagation
+      (:func:`connected_components_labels`) above it; ``cc='distributed'``
+      forces the cluster path (driver then holds O(nodes) drop ids and
+      ONE convergence scalar per round — never the pair set, which can
+      be quadratic in cluster size);
     - the full corpus is never materialized: the result carries the
-      (small) ``drop`` set plus a lazy ``keep_ds`` Dataset — callers
-      stream it or write it, the op itself pulls only pairs.
+      ``drop`` id list plus a lazy ``keep_ds`` Dataset.
 
-    Returns ``{"pairs": [(a, b, jaccard)...], "clusters": {doc: root},
-    "drop": [ids], "keep_ds": Dataset[id_col]}``.
+    Returns ``{"pairs": [(a, b, jaccard)...] | None, "pairs_ds": Dataset,
+    "clusters": {doc: root} | None, "labels_ds": Dataset | None,
+    "drop": [ids], "keep_ds": Dataset[id_col], "cc_mode": str}``
+    ("pairs"/"clusters" are materialized only on the driver CC path).
     """
     if num_buckets is None:
         n_rows = ds.count()  # parquet metadata count — no scan
@@ -338,43 +623,51 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         concurrency=(1, _pool_size()),
     )
-    pairs_tbl = (
+    cand_ds = (
         sig.groupby("bucket")
         .map_groups(lambda g: _bucket_pairs_vec(g, id_col),
                     batch_format="pyarrow")
-    ).to_pandas()  # candidate pairs only — small by LSH design
-    if len(pairs_tbl) == 0:
-        return {"pairs": [], "clusters": {}, "drop": [],
-                "keep_ds": ds.select_columns([id_col])}
-    cand = set(zip(pairs_tbl["id_a"], pairs_tbl["id_b"]))
+    ).select_columns(["id_a", "id_b"])
+    verified_ds = verify_pairs_distributed(
+        ds, cand_ds, threshold=threshold, shingle_k=shingle_k,
+        sketch_k=sketch_k, text_col=text_col, id_col=id_col,
+    ).materialize()
+    return _finish_dedup(ds, verified_ds, score_col="jaccard",
+                         id_col=id_col, cc=cc, cc_driver_cap=cc_driver_cap)
 
-    # verify candidates exactly (cluster-side filter; survivors only)
-    involved = sorted({d for p in cand for d in p})
-    texts = _fetch_rows_by_id(ds, involved, [text_col], id_col)
-    verified = []
-    for a, b in sorted(cand):
-        j = ngram_jaccard(texts.get(a, (None,))[0] or "",
-                          texts.get(b, (None,))[0] or "", shingle_k)
-        if j >= threshold:
-            verified.append((int(a), int(b), j))
 
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b, _j in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    clusters = {d: find(d) for d in involved if find(d) != d or d in parent}
-    drop = sorted(d for d, r in clusters.items() if r != d)
+def _finish_dedup(ds: ray.data.Dataset, verified_ds: ray.data.Dataset, *,
+                  score_col: str, id_col: str, cc: str,
+                  cc_driver_cap: int) -> dict:
+    """Shared tail of the near-dup ops: connected components over the
+    verified-pair Dataset + keep/drop construction. ``cc`` ∈ {'auto',
+    'driver', 'distributed'} (see :func:`minhash_lsh_dedup`)."""
+    n_pairs = verified_ds.count()
+    if n_pairs == 0:
+        return {"pairs": [], "pairs_ds": verified_ds, "clusters": {},
+                "labels_ds": None, "drop": [],
+                "keep_ds": ds.select_columns([id_col]), "cc_mode": "driver"}
+    use_driver = cc == "driver" or (cc == "auto" and n_pairs <= cc_driver_cap)
+    if use_driver:
+        tbl = verified_ds.to_pandas()
+        verified = sorted(
+            (int(a), int(b), s) for a, b, s in
+            zip(tbl["id_a"], tbl["id_b"], tbl[score_col]))
+        clusters = _driver_union_find(verified)
+        drop = sorted(d for d, r in clusters.items() if r != d)
+        keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
+        return {"pairs": verified, "pairs_ds": verified_ds,
+                "clusters": clusters, "labels_ds": None, "drop": drop,
+                "keep_ds": keep_ds, "cc_mode": "driver"}
+    labels_ds = connected_components_labels(verified_ds)
+    drop = sorted(int(r["node"]) for r in labels_ds.map_batches(
+        lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
+        .select(["node"]),
+        batch_format="pyarrow").take_all())  # O(dropped nodes), not pairs
     keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
-    return {"pairs": verified, "clusters": clusters, "drop": drop,
-            "keep_ds": keep_ds}
+    return {"pairs": None, "pairs_ds": verified_ds, "clusters": None,
+            "labels_ds": labels_ds, "drop": drop, "keep_ds": keep_ds,
+            "cc_mode": "distributed"}
 
 
 def _isin_batch(batch: pa.Table, *, want_ref, cols, id_col, invert=False):
@@ -406,21 +699,6 @@ def filter_out_ids(ds: ray.data.Dataset, drop_ids, id_col: str = "doc_id"
         fn_kwargs=dict(want_ref=ref, cols=cols, id_col=id_col, invert=True),
         batch_format="pyarrow",
     )
-
-
-def _fetch_rows_by_id(ds, ids, cols: list[str], id_col) -> dict[int, tuple]:
-    """Fetch the given ids' rows only: the ``is_in`` filter runs
-    CLUSTER-side (broadcast id set), so only matching rows cross to the
-    driver — never the corpus."""
-    import ray as _ray
-
-    ref = _ray.put(pa.array(list(ids), pa.int64()))
-    hits = ds.map_batches(
-        _isin_batch,
-        fn_kwargs=dict(want_ref=ref, cols=[id_col] + cols, id_col=id_col),
-        batch_format="pyarrow",
-    ).take_all()  # |ids| rows at most
-    return {int(r[id_col]): tuple(r[c] for c in cols) for r in hits}
 
 
 def _pool_size() -> int:
@@ -571,13 +849,20 @@ def _simhash_bucket_pairs(group: pa.Table, *, id_col: str, max_hamming: int,
 def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_buckets: int | None = None,
-                  target_bucket_rows: int = 65536) -> dict:
+                  target_bucket_rows: int = 65536,
+                  cc: str = "auto", cc_driver_cap: int = 200_000) -> dict:
     """SimHash near-dup: docs sharing any 16-bit band are candidates
     (any pair within hamming ≤ 3 of 64 bits shares ≥1 of 4 bands —
     pigeonhole); verified by exact hamming distance INSIDE the bucket
-    group (vectorized popcount), so only verified pairs reach the
-    driver. Same adaptive-bucket shuffle shape as MinHash LSH: group
-    size stays ~``target_bucket_rows`` regardless of corpus size."""
+    group (vectorized popcount), so only verified pairs exist
+    downstream. Cross-band duplicate pairs collapse in a cluster-side
+    ``groupby`` (the distance is exact, so min == any); connected
+    components follow the shared ``cc`` policy of
+    :func:`minhash_lsh_dedup`. Same adaptive-bucket shuffle shape as
+    MinHash LSH: group size stays ~``target_bucket_rows`` regardless of
+    corpus size."""
+    from ray.data.aggregate import Min
+
     if num_buckets is None:
         n_rows = ds.count()
         num_buckets = max(64, -(-n_rows * 4 // target_bucket_rows))
@@ -590,39 +875,16 @@ def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
         fn_kwargs=dict(id_col=id_col, num_buckets=num_buckets),
         batch_format="pyarrow",
     )
-    pairs_tbl = (
+    verified_ds = (
         exploded.groupby("bucket")
         .map_groups(lambda g: _simhash_bucket_pairs(
             g, id_col=id_col, max_hamming=max_hamming),
             batch_format="pyarrow")
-    ).to_pandas()  # verified pairs only — small
-    # a pair within distance d can share several bands -> dedup
-    seen: dict[tuple[int, int], int] = {}
-    for a, b, d in zip(pairs_tbl["id_a"], pairs_tbl["id_b"],
-                       pairs_tbl["hamming"]):
-        seen[(int(a), int(b))] = int(d)
-    verified = sorted((a, b, d) for (a, b), d in seen.items())
-
-    # keep-one per connected component (same contract as MinHash LSH:
-    # small drop set + lazy cluster-side keep dataset)
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b, _d in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    involved = {d for p in verified for d in p[:2]}
-    clusters = {d: find(d) for d in involved}
-    drop = sorted(d for d, r in clusters.items() if r != d)
-    keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
-    return {"pairs": verified, "clusters": clusters, "drop": drop,
-            "keep_ds": keep_ds}
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    ).materialize()
+    return _finish_dedup(ds, verified_ds, score_col="hamming",
+                         id_col=id_col, cc=cc, cc_driver_cap=cc_driver_cap)
 
 
 # ---------------------------------------------------------------------------

@@ -360,3 +360,49 @@ def test_unit_conversion_si(ray_session):
     assert out["numericValueSI"][2] == 300.0
     assert out["numericValueSI"].isna()[3] and out["type_unitsSI"].isna()[3]
     assert out["numericValueSI"][4] == 7.0 and out["type_unitsSI"][4] == "J"
+
+
+def test_dedup_distributed_cc_matches_driver(dup_ds):
+    """The distributed verify+CC path (forced via cc='distributed') must
+    produce the same drop set / component partition as the driver
+    union-find path — and must never materialize the pair set on the
+    driver (result carries labels_ds + O(nodes) drop ids only)."""
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup, simhash_dedup
+
+    drv = minhash_lsh_dedup(dup_ds, threshold=0.7, cc="driver")
+    dist = minhash_lsh_dedup(dup_ds, threshold=0.7, cc="distributed")
+    assert dist["cc_mode"] == "distributed" and drv["cc_mode"] == "driver"
+    # O(clusters) driver contract: no pair list, no clusters dict
+    assert dist["pairs"] is None and dist["clusters"] is None
+    assert dist["labels_ds"] is not None
+    assert dist["drop"] == drv["drop"]
+    # labels agree with union-find roots (both are component minima)
+    labels = {int(r["node"]): int(r["label"])
+              for r in dist["labels_ds"].take_all()}
+    assert labels == drv["clusters"]
+
+    sdrv = simhash_dedup(dup_ds, max_hamming=6, cc="driver")
+    sdist = simhash_dedup(dup_ds, max_hamming=6, cc="distributed")
+    assert sdist["drop"] == sdrv["drop"]
+    slabels = {int(r["node"]): int(r["label"])
+               for r in sdist["labels_ds"].take_all()}
+    assert slabels == sdrv["clusters"]
+
+
+def test_connected_components_labels_chain(ray_session):
+    """Min-label propagation converges across a multi-hop chain (needs
+    >1 round) and across disjoint components."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import connected_components_labels
+
+    edges = ray.data.from_items([
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+        {"id_a": 3, "id_b": 4}, {"id_a": 4, "id_b": 5},
+        {"id_a": 10, "id_b": 11},
+        {"id_a": 20, "id_b": 21}, {"id_a": 21, "id_b": 22},
+    ])
+    labels = {int(r["node"]): int(r["label"])
+              for r in connected_components_labels(edges).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
