@@ -89,8 +89,126 @@ def write_sidecar(root: str) -> str | None:
     return out_dir
 
 
+class FacetShard:
+    """One doc-range slice of the facet state, resident in a SERVING
+    ACTOR — the cluster form of ST2 (the reference's per-shard
+    ``DefaultSortedSetDocValuesReaderState``, ``Lucene.java:182-198``,
+    is likewise per-shard state next to the shard's reader). Each
+    SegmentActor owns a subset of shards; the driver only ever sees
+    merged ≤max_labels label-count dicts, never the O(N) forward
+    arrays.
+
+    A shard maps to one base doc-store file. It loads its sidecar part
+    when one exists, else reads the pruned meta columns from the base
+    file directly; ad-hoc facet columns outside the sidecar are fetched
+    from the base file on demand. All state is cached for the actor's
+    lifetime."""
+
+    def __init__(self, part_path: str | None, base_file: str,
+                 id_base: int | None, meta_cols: list[str]):
+        self.part_path = part_path
+        self.base_file = base_file
+        self.id_base = id_base  # None => explicit doc_id column
+        self.meta_cols = list(meta_cols)
+        self._tbl: pa.Table | None = None
+        self._ids: np.ndarray | None = None
+        self._perm: pa.Array | None = None  # explicit-mode sort order
+        self._string: dict[str, tuple[np.ndarray, list]] = {}
+        self._numeric: dict[str, np.ndarray] = {}
+
+    def _load(self):
+        if self._tbl is not None:
+            return
+        if self.part_path is not None and os.path.exists(self.part_path):
+            t = pq.read_table(self.part_path)
+        else:
+            cols = (self.meta_cols if self.id_base is not None
+                    else ["doc_id"] + self.meta_cols)
+            t = pq.read_table(self.base_file,
+                              columns=[c for c in cols if c])
+            if self.id_base is not None:
+                t = t.add_column(0, "doc_id", pa.array(
+                    np.arange(self.id_base, self.id_base + t.num_rows),
+                    pa.int64()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > 1 and np.any(ids[1:] < ids[:-1]):
+            self._perm = pa.compute.sort_indices(
+                t, sort_keys=[("doc_id", "ascending")])
+            t = t.take(self._perm)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        self._tbl = t
+        self._ids = ids
+
+    def _column(self, col: str):
+        self._load()
+        if col not in self._tbl.column_names:
+            extra = pq.read_table(self.base_file, columns=[col])[col]
+            if self._perm is not None:
+                extra = extra.take(self._perm)
+            self._tbl = self._tbl.append_column(col, extra)
+        return self._tbl[col]
+
+    def _select(self, cand: np.ndarray) -> np.ndarray:
+        """Row positions of this shard's rows whose doc_id ∈ cand
+        (both sides sorted ascending)."""
+        ids = self._ids
+        if len(ids) == 0 or len(cand) == 0:
+            return np.empty(0, np.int64)
+        lo = np.searchsorted(cand, ids[0])
+        hi = np.searchsorted(cand, ids[-1], side="right")
+        sub = cand[lo:hi]
+        if len(sub) == 0:
+            return np.empty(0, np.int64)
+        if self.id_base is not None:
+            return sub - ids[0]  # dense contiguous range: all present
+        pos = np.searchsorted(ids, sub)
+        pos = np.minimum(pos, len(ids) - 1)
+        return pos[ids[pos] == sub]
+
+    def count_into(self, cand: np.ndarray, dims: list[str],
+                   ranges: dict, counters: dict, range_counts: dict):
+        """Accumulate this shard's label / range counts for the
+        candidate docs into the (small) output dicts."""
+        self._load()
+        sel = self._select(cand)
+        if not len(sel):
+            return
+        for d in dims:
+            got = self._string.get(d)
+            if got is None:
+                arr = self._column(d).combine_chunks()
+                if not pa.types.is_dictionary(arr.type):
+                    arr = arr.dictionary_encode()
+                idx_arr = arr.indices
+                if idx_arr.null_count:
+                    idx_arr = pa.compute.fill_null(idx_arr, -1)
+                got = self._string[d] = (
+                    idx_arr.to_numpy(zero_copy_only=False).astype(np.int64),
+                    arr.dictionary.to_pylist())
+            codes, labels = got
+            cs = codes[sel]
+            cs = cs[cs >= 0]
+            bc = np.bincount(cs, minlength=len(labels))
+            c = counters[d]
+            for li in np.flatnonzero(bc):
+                c[labels[li]] = c.get(labels[li], 0) + int(bc[li])
+        for f, rs in ranges.items():
+            vals = self._numeric.get(f)
+            if vals is None:
+                arr = self._column(f)
+                if pa.types.is_timestamp(arr.type):
+                    arr = arr.cast(pa.int64())
+                vals = self._numeric[f] = arr.to_numpy(zero_copy_only=False)
+            v = vals[sel]
+            for i, (_label, lo, hi) in enumerate(rs):
+                range_counts[f][i] += int(
+                    np.count_nonzero((v >= lo) & (v < hi)))
+
+
 class FacetState:
-    """Loaded (or lazily built) per-index facet forward arrays."""
+    """Loaded (or lazily built) per-index facet forward arrays
+    (single-process serving path; actor-mode serving shards this state
+    across the SegmentActor pool as :class:`FacetShard` instances)."""
 
     def __init__(self, index):
         self._idx = index

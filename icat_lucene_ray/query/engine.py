@@ -27,6 +27,7 @@ import fnmatch
 import math
 import re
 import time
+import os
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -86,6 +87,11 @@ def _union_sum(parts: list[tuple[np.ndarray, np.ndarray]]):
 
 class Index:
     """Open an index directory for querying."""
+
+    #: dense-mode predicate scans fan out to Ray tasks at/above this
+    #: base-file count; below it the inline loop is cheaper than task
+    #: dispatch
+    scan_fanout_min_files = 5
 
     def __init__(self, root: str, *, use_actors: bool = False,
                  num_actors: int | None = None):
@@ -191,9 +197,27 @@ class Index:
         src = self._doc_sources[0][1]
         if not self._implicit:
             return src.to_table(columns=cols, filter=filter)
-        parts = []
         scan_cols = [c for c in dict.fromkeys(list(cols) + list(filter_cols))
                      if c != "doc_id"]
+        if filter is not None \
+                and len(self._base_files) >= self.scan_fanout_min_files \
+                and _ray_initialized():
+            # predicate scans fan out one Ray task per file group (the
+            # same shape as the field-sorted top-k path) — the driver
+            # receives only matching rows, never runs the O(N) scan
+            import ray
+
+            files = self._base_files_with_bases()
+            n = min(len(files), 32)
+            groups = [files[i::n] for i in range(n)]
+            refs = [_fragment_filter_scan.remote(g, scan_cols, cols, filter)
+                    for g in groups]
+            self._filter_scan_tasks = getattr(
+                self, "_filter_scan_tasks", 0) + len(groups)
+            parts = [t for t in ray.get(refs) if t is not None]
+            return (pa.concat_tables(parts) if parts
+                    else self._base_schema_table(cols))
+        parts = []
         for i, frag in enumerate(self._base_frags):
             t = frag.to_table(columns=scan_cols)
             ids = np.arange(self._bases[i], self._bases[i] + t.num_rows)
@@ -235,18 +259,37 @@ class Index:
         return pa.concat_tables(parts)
 
     # ---------------- actor pool -------------------------------------
+    def _facet_shard_specs(self) -> list[tuple]:
+        """(sidecar_part|None, base_file, id_base|None) per base doc-store
+        file. Dense mode maps sidecar parts positionally (write order ==
+        id_files order); explicit mode reads meta columns from the base
+        file directly (pruned scan — the part↔file mapping is not
+        guaranteed there)."""
+        from icat_lucene_ray.index.facets import SIDECAR_DIR
+
+        sc_dir = os.path.join(self.manifest.root, SIDECAR_DIR)
+        specs = []
+        for i, (path, base) in enumerate(self._base_files_with_bases()):
+            part = os.path.join(sc_dir, f"part_{i:05d}.parquet")
+            ok = base is not None and os.path.exists(part)
+            specs.append((part if ok else None, path, base))
+        return specs
+
     def _init_actors(self, num_actors: int | None):
         import ray
 
         n = num_actors or min(len(self._paths), 8) or 1
         seg_ids = sorted(self._paths)
         groups = [seg_ids[i::n] for i in range(n)]
+        shard_specs = self._facet_shard_specs()
+        meta_cols = list(self.manifest.meta_cols or [])
         self._actor_of: dict[int, int] = {}
         self._actors = []
         for ai, grp in enumerate(groups):
             paths = {sid: self._paths[sid] for sid in grp}
-            self._actors.append(
-                SegmentActor.remote(paths, self.cfg.codec_block))
+            self._actors.append(SegmentActor.remote(
+                paths, self.cfg.codec_block,
+                facet_shards=shard_specs[ai::n], meta_cols=meta_cols))
             for sid in grp:
                 self._actor_of[sid] = ai
 
@@ -1249,7 +1292,28 @@ class Index:
         if delta_matched:
             shadow = np.concatenate(delta_matched)
             base_docs = docs[~np.isin(docs, shadow)]
-        if len(base_docs):
+        if len(base_docs) and self._actors is not None:
+            # sharded facet state (ST2 on the SegmentActor pool): each
+            # actor counts its shards' candidates locally; the driver
+            # merges ≤max_labels-sized dicts — forward arrays never
+            # leave the actors.
+            import ray
+
+            cand_ref = ray.put(base_docs)
+            outs = ray.get([
+                a.facet_counts.remote(cand_ref, list(dims or []),
+                                      dict(ranges or {}))
+                for a in self._actors])
+            self._facet_rows_resident_remote = sum(o[2] for o in outs)
+            for cnts, rngs, _resident in outs:
+                for d, c in cnts.items():
+                    cd = counters[d]
+                    for label, v in c.items():
+                        cd[label] = cd.get(label, 0) + v
+                for f, lst in rngs.items():
+                    for i, v in enumerate(lst):
+                        range_counts[f][i] += v
+        elif len(base_docs):
             st = self._facet_state_obj()
             ids = st.ids()
             pos = np.minimum(np.searchsorted(ids, base_docs),
@@ -1388,6 +1452,32 @@ def _fragment_topk_local(files, sort, k, cand, after, tomb):
     return ids[order], [a[order] for a in keys]
 
 
+def _ray_initialized() -> bool:
+    try:
+        import ray
+
+        return ray.is_initialized()
+    except Exception:
+        return False
+
+
+def _scan_filter_local(files, scan_cols, out_cols, expr) -> pa.Table | None:
+    """Predicate scan over a group of base doc-store files (one task's
+    share). ``files``: [(path, dense_id_base)]. Returns matching rows
+    (out_cols) or None."""
+    import pyarrow.parquet as pq_
+
+    parts = []
+    for path, base in files:
+        t = pq_.read_table(path, columns=scan_cols)
+        t = t.add_column(0, "doc_id", pa.array(
+            np.arange(base, base + t.num_rows), pa.int64()))
+        t = pads.dataset(t).to_table(filter=expr)
+        if t.num_rows:
+            parts.append(t.select(out_cols))
+    return pa.concat_tables(parts) if parts else None
+
+
 def _make_fragment_task():
     import ray
 
@@ -1396,6 +1486,29 @@ def _make_fragment_task():
         return _fragment_topk_local(files, sort, k, cand, after, tomb)
 
     return _task
+
+
+def _make_scan_task():
+    import ray
+
+    @ray.remote
+    def _scan(files, scan_cols, out_cols, expr):
+        return _scan_filter_local(files, scan_cols, out_cols, expr)
+
+    return _scan
+
+
+class _LazyScanTask:
+    _fn = None
+
+    @classmethod
+    def remote(cls, *a):
+        if cls._fn is None:
+            cls._fn = _make_scan_task()
+        return cls._fn.remote(*a)
+
+
+_fragment_filter_scan = _LazyScanTask
 
 
 class _LazyFragTask:
@@ -1421,10 +1534,34 @@ def _make_segment_actor():
     @ray.remote
     class _SegmentActor:
         """Owns a subset of segments; state (term dict, posting cache)
-        lives for the actor's lifetime ≈ ST1 SearcherManager."""
+        lives for the actor's lifetime ≈ ST1 SearcherManager. Also owns
+        a subset of FACET SHARDS (ST2 sharded onto the pool —
+        ``Lucene.java:182-198`` per-shard reader state): facet forward
+        arrays load once per actor and every query returns only merged
+        label-count dicts to the driver."""
 
-        def __init__(self, paths: dict[int, str], codec_block: int):
+        def __init__(self, paths: dict[int, str], codec_block: int,
+                     facet_shards: list[tuple] | None = None,
+                     meta_cols: list[str] | None = None):
+            from icat_lucene_ray.index.facets import FacetShard
+
             self.group = SegmentGroupReader(paths, codec_block)
+            self.facet_shards = [
+                FacetShard(part, base_file, id_base, meta_cols or [])
+                for part, base_file, id_base in (facet_shards or [])]
+
+        def facet_counts(self, cand, dims, ranges):
+            """Label/range counts for candidate docs over THIS actor's
+            facet shards. Returns ({dim: {label: n}}, {field: [n...]},
+            resident_rows) — resident_rows evidences where the state
+            lives."""
+            counters = {d: {} for d in dims}
+            range_counts = {f: [0] * len(rs) for f, rs in ranges.items()}
+            for sh in self.facet_shards:
+                sh.count_into(cand, dims, ranges, counters, range_counts)
+            resident = sum(len(sh._ids) for sh in self.facet_shards
+                           if sh._ids is not None)
+            return counters, range_counts, resident
 
         def score_term(self, seg_id, term, bucket, idf, k1, b, avgdl,
                        doc_range=None):
