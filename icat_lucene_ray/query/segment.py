@@ -181,6 +181,15 @@ class SegmentReader:
         row = self._rows.get(key)
         if row is None or len(sel_blocks) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        idxs = np.sort(np.asarray(sel_blocks, dtype=np.int64))
+        return self._score_selected_blocks(key, row, idxs, idf, k1, b, avgdl)
+
+    def _score_selected_blocks(self, key, row, idxs, idf, k1, b, avgdl):
+        """Decode + score ONLY blocks ``idxs`` (sorted ascending): doc
+        ids are reconstructed per block by restarting the delta cumsum
+        from the previous block's ``block_last`` skip entry, so decode
+        cost is O(selected blocks) — shared by the block-max WAND read
+        path and the conjunction doc-range skip path."""
         block_last = np.frombuffer(
             self._meta_tbl["block_last"][row].as_py(),
             dtype=np.uint64).astype(np.int64)
@@ -189,12 +198,11 @@ class SegmentReader:
         nblocks = len(block_last)
         block = self.block
         mask = np.zeros(nblocks, dtype=bool)
-        mask[sel_blocks] = True
+        mask[idxs] = True
         deltas = decode_u64_blocks(cell["docs"], block, mask)
         tfs = decode_u64_blocks(cell["tfs"], block, mask)
         dls = decode_u64_blocks(cell["dls"], block, mask)
 
-        idxs = np.sort(np.asarray(sel_blocks, dtype=np.int64))
         starts = idxs * block
         ends = np.minimum(starts + block, n)
         lens = ends - starts
@@ -234,16 +242,13 @@ class SegmentReader:
             nblocks = len(block_last)
             if b0 >= nblocks:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            mask = np.zeros(nblocks, dtype=bool)
-            mask[b0 : min(nblocks, b1 + 1)] = True
-            cell = self._cell("docs", row)
-            docs = decode_u64_blocks(cell["docs"], self.block)
-            doc_ids = np.cumsum(docs.astype(np.int64))
-            tfs = decode_u64_blocks(cell["tfs"], self.block, mask)
-            dls = decode_u64_blocks(cell["dls"], self.block, mask)
-            sel = np.repeat(mask, self.block)[: len(doc_ids)]
-            sel &= (doc_ids >= lo) & (doc_ids <= hi)
-            d, t_, l_ = doc_ids[sel], tfs[sel].astype(np.int64), dls[sel].astype(np.int64)
+            # block-restart decode (same as score_blocks): doc, tf AND
+            # dl decode all cost O(selected blocks), not O(df)
+            idxs = np.arange(b0, min(nblocks, b1 + 1), dtype=np.int64)
+            ids, scores = self._score_selected_blocks(
+                key, row, idxs, idf, k1, b, avgdl)
+            sel = (ids >= lo) & (ids <= hi)
+            return ids[sel], scores[sel]
         else:
             got = self.postings(term, bucket)
             d, t_, l_ = got

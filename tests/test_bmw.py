@@ -181,3 +181,49 @@ def test_or_pruned_pagination(bmw_index):
         after = r.search_after
     exact = idx.search(q, k=30)
     assert got == exact.table["doc_id"].to_pylist()
+
+
+def test_conjunction_skip_decodes_selected_blocks_only(bmw_index):
+    """score_term with a narrow doc_range (the AND skip path) must
+    decode O(selected blocks) of the doc stream — same block-restart
+    reconstruction as score_blocks — and match the full-decode answer
+    exactly."""
+    import pyarrow.dataset as pads
+
+    from icat_lucene_ray.query.segment import (
+        DECODE_STATS, SegmentReader, reset_decode_stats,
+    )
+
+    idx = Index(bmw_index)
+    ts = pads.dataset(idx.manifest.termstats_dir()).to_table(
+        columns=["term", "df"]).to_pandas().sort_values("df", ascending=False)
+    t = ts["term"].iloc[0]
+    stem = idx.analyzer.analyze_query_term(t)[0]
+    from icat_lucene_ray.index.docids import term_shard
+
+    seg_id = term_shard(stem.encode(), len(idx._paths))
+    path = idx._paths[seg_id]
+
+    # reference: full decode, then mask to the range
+    ref_reader = SegmentReader(path, idx.cfg.codec_block)
+    got = ref_reader.postings(stem, 0)
+    assert got is not None and len(got[0]) > idx.cfg.codec_block * 4, \
+        "fixture term too small to show skipping"
+    full_d, _tf, _dl = got
+    lo = int(full_d[len(full_d) // 2])
+    hi = int(full_d[len(full_d) // 2 + 20])
+    fsel = (full_d >= lo) & (full_d <= hi)
+    fd, fs = ref_reader.score_term(stem, 0, 1.5, 1.2, 0.75, 100.0,
+                                   doc_range=(lo, hi))  # cached: full path
+
+    # fresh reader (cold cache): the skip path must engage
+    reader = SegmentReader(path, idx.cfg.codec_block)
+    reset_decode_stats()
+    d, s = reader.score_term(stem, 0, 1.5, 1.2, 0.75, 100.0,
+                             doc_range=(lo, hi))
+    assert DECODE_STATS["postings"] == 0  # never fell back to postings()
+    # decode volume bounded by the selected blocks, far below df
+    assert 0 < DECODE_STATS["blocks"] < len(full_d)
+    assert DECODE_STATS["blocks"] <= 3 * idx.cfg.codec_block
+    assert d.tolist() == full_d[fsel].tolist() == fd.tolist()
+    assert np.allclose(s, fs, rtol=0, atol=0)
