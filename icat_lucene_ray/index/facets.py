@@ -148,10 +148,22 @@ class FacetShard:
             self._tbl = self._tbl.append_column(col, extra)
         return self._tbl[col]
 
-    def _select(self, cand: np.ndarray) -> np.ndarray:
-        """Row positions of this shard's rows whose doc_id ∈ cand
-        (both sides sorted ascending)."""
+    def _select(self, cand: np.ndarray | None,
+                exclude: np.ndarray | None = None) -> np.ndarray:
+        """Row positions of this shard's rows whose doc_id ∈ cand (both
+        sides sorted ascending). ``cand=None`` selects ALL rows except
+        the (small) sorted ``exclude`` set — the MatchAll path, which
+        never materializes a candidate id universe."""
         ids = self._ids
+        if cand is None:
+            if exclude is None or len(exclude) == 0:
+                return np.arange(len(ids), dtype=np.int64)
+            mask = np.ones(len(ids), dtype=bool)
+            if len(ids):
+                pos = np.minimum(np.searchsorted(ids, exclude), len(ids) - 1)
+                hit = ids[pos] == exclude
+                mask[pos[hit]] = False
+            return np.flatnonzero(mask)
         if len(ids) == 0 or len(cand) == 0:
             return np.empty(0, np.int64)
         lo = np.searchsorted(cand, ids[0])
@@ -165,12 +177,13 @@ class FacetShard:
         pos = np.minimum(pos, len(ids) - 1)
         return pos[ids[pos] == sub]
 
-    def count_into(self, cand: np.ndarray, dims: list[str],
-                   ranges: dict, counters: dict, range_counts: dict):
+    def count_into(self, cand: np.ndarray | None, dims: list[str],
+                   ranges: dict, counters: dict, range_counts: dict,
+                   exclude: np.ndarray | None = None):
         """Accumulate this shard's label / range counts for the
         candidate docs into the (small) output dicts."""
         self._load()
-        sel = self._select(cand)
+        sel = self._select(cand, exclude)
         if not len(sel):
             return
         for d in dims:

@@ -467,6 +467,52 @@ class Index:
                                   filter_cols=fields)
         return np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
 
+    def live_count(self) -> int:
+        """Live doc count from manifest + tombstone arithmetic: dense
+        base count minus in-range tombstones, plus live delta rows —
+        O(deltas + tombstones), never an O(N) id materialization.
+        (Explicit-id indexes fall back to the id scan.)"""
+        if not self._implicit:
+            return len(self.all_doc_ids())
+        n_base = int(self._bases[-1])
+        dead0 = self._tombstones_after(0)
+        total = n_base - int(np.count_nonzero(dead0 < n_base))
+        for gen, src in self._doc_sources[1:]:
+            ids = src.to_table(columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            total += len(ids) if keep is None else int(np.count_nonzero(keep))
+        return total
+
+    def _match_all_topk_ids(self, k: int, after: dict | None
+                            ) -> np.ndarray | None:
+        """First-k live doc ids ascending (the scored-MatchAll result
+        order: constant score, doc_id tiebreak) WITHOUT materializing
+        the id universe — O(k + tombstones + delta rows). None = not
+        applicable (explicit-id index)."""
+        if not self._implicit:
+            return None
+        start = int(after["doc_id"]) + 1 if after else 0
+        n_base = int(self._bases[-1])
+        dead = self._tombstones_after(0)
+        dead = dead[(dead >= start) & (dead < n_base)]
+        m = max(0, min(n_base - start, k + len(dead)))
+        base_ids = np.arange(start, start + m, dtype=np.int64)
+        if len(dead):
+            base_ids = base_ids[~np.isin(base_ids, dead)]
+        base_ids = base_ids[:k]
+        extras = []
+        for gen, src in self._doc_sources[1:]:
+            ids = src.to_table(columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            if keep is not None:
+                ids = ids[keep]
+            extras.append(ids[ids >= start])
+        if extras and sum(len(e) for e in extras):
+            base_ids = np.unique(np.concatenate([base_ids] + extras))[:k]
+        return base_ids
+
     def all_doc_ids(self) -> np.ndarray:
         if self._all_docs is None:
             if self._implicit and len(self._doc_sources) == 1 \
@@ -854,6 +900,20 @@ class Index:
             return self._search_field_sorted(
                 q, k, sort, fields, search_after, deadline,
                 populate_scores=populate_scores)
+        if isinstance(q, MatchAll):
+            # scored MatchAll: first-k live ids at constant score — no
+            # O(N) arange of the id universe (dense-id indexes)
+            self._check_deadline(deadline)
+            ids = self._match_all_topk_ids(k, search_after)
+            if ids is not None:
+                tbl = pa.table({
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "score": pa.array(np.ones(len(ids)), pa.float64())})
+                if fields:
+                    tbl = self._attach_fields(tbl, fields)
+                cursor = ({"score": 1.0, "doc_id": int(ids[-1])}
+                          if len(ids) else None)
+                return SearchResult(tbl, self.live_count(), cursor)
         pruned = self._search_term_pruned(q, k, search_after, fields)
         if pruned is not None:
             return pruned
@@ -1224,6 +1284,8 @@ class Index:
 
     # ---------------- counting / facets --------------------------------
     def count(self, q: Query) -> int:
+        if isinstance(q, MatchAll):
+            return self.live_count()  # A7 without the O(N) arange
         docs, _ = self._eval(q)
         return len(docs)
 
@@ -1243,8 +1305,14 @@ class Index:
         ``Lucene.java:182-198``): dictionary codes in doc-id order, so a
         query costs O(|candidates|) bincount — no doc-store scan. Delta
         commits are counted from their (small) delta doc stores first,
-        which also shadows stale base rows of updated docs."""
-        docs, _ = self._eval(q)
+        which also shadows stale base rows of updated docs.
+
+        ``MatchAll`` never materializes the candidate id universe
+        (dense-id indexes): the candidate set is implicit ("all") and
+        only the (small) EXCLUSION set — base tombstones + delta-shadowed
+        ids — is built."""
+        docs = None if (isinstance(q, MatchAll) and self._implicit) \
+            else self._eval(q)[0]
         if dims is None and ranges is None:
             dims = [f for f in self.manifest.meta_cols
                     if pa.types.is_string(self._doc_ds.schema.field(f).type)]
@@ -1262,10 +1330,14 @@ class Index:
             for batch in src.to_batches(
                     columns=list(dict.fromkeys(["doc_id"] + scan_cols))):
                 bids = batch["doc_id"].to_numpy(zero_copy_only=False)
-                if not len(docs):
+                if docs is None:
+                    member = np.ones(len(bids), dtype=bool)
+                elif not len(docs):
                     break
-                pos = np.minimum(np.searchsorted(docs, bids), len(docs) - 1)
-                member = docs[pos] == bids
+                else:
+                    pos = np.minimum(np.searchsorted(docs, bids),
+                                     len(docs) - 1)
+                    member = docs[pos] == bids
                 keep = self._live_mask(gen, bids)
                 if keep is not None:
                     member &= keep
@@ -1289,20 +1361,35 @@ class Index:
 
         # ---- base: cached sidecar lookup ------------------------------
         base_docs = docs
-        if delta_matched:
+        exclude = np.empty(0, np.int64)
+        if docs is None:
+            # implicit MatchAll: exclusion set = base tombstones +
+            # delta-shadowed ids (both small); candidates stay implicit
+            n_base = int(self._bases[-1])
+            dead0 = self._tombstones_after(0)
+            parts = [dead0[dead0 < n_base]]
+            if delta_matched:
+                shadow = np.concatenate(delta_matched)
+                parts.append(shadow[shadow < n_base])
+            exclude = np.unique(np.concatenate(parts)) if parts else exclude
+            has_base = n_base - len(exclude) > 0
+        elif delta_matched:
             shadow = np.concatenate(delta_matched)
             base_docs = docs[~np.isin(docs, shadow)]
-        if len(base_docs) and self._actors is not None:
+            has_base = len(base_docs) > 0
+        else:
+            has_base = len(base_docs) > 0
+        if has_base and self._actors is not None:
             # sharded facet state (ST2 on the SegmentActor pool): each
             # actor counts its shards' candidates locally; the driver
             # merges ≤max_labels-sized dicts — forward arrays never
             # leave the actors.
             import ray
 
-            cand_ref = ray.put(base_docs)
+            cand_ref = None if base_docs is None else ray.put(base_docs)
             outs = ray.get([
                 a.facet_counts.remote(cand_ref, list(dims or []),
-                                      dict(ranges or {}))
+                                      dict(ranges or {}), exclude)
                 for a in self._actors])
             self._facet_rows_resident_remote = sum(o[2] for o in outs)
             for cnts, rngs, _resident in outs:
@@ -1313,14 +1400,26 @@ class Index:
                 for f, lst in rngs.items():
                     for i, v in enumerate(lst):
                         range_counts[f][i] += v
-        elif len(base_docs):
+        elif has_base:
             st = self._facet_state_obj()
             ids = st.ids()
-            pos = np.minimum(np.searchsorted(ids, base_docs),
-                             max(0, len(ids) - 1))
-            member = ids[pos] == base_docs if len(ids) else \
-                np.zeros(len(base_docs), bool)
-            sel = pos[member]
+            if base_docs is None:
+                if len(exclude):
+                    mask = np.ones(len(ids), dtype=bool)
+                    pos = np.minimum(np.searchsorted(ids, exclude),
+                                     max(0, len(ids) - 1))
+                    hit = ids[pos] == exclude if len(ids) else \
+                        np.zeros(len(exclude), bool)
+                    mask[pos[hit]] = False
+                    sel = np.flatnonzero(mask)
+                else:
+                    sel = slice(None)
+            else:
+                pos = np.minimum(np.searchsorted(ids, base_docs),
+                                 max(0, len(ids) - 1))
+                member = ids[pos] == base_docs if len(ids) else \
+                    np.zeros(len(base_docs), bool)
+                sel = pos[member]
             for d in dims or []:
                 codes, labels = st.string_dim(d)
                 cs = codes[sel]
@@ -1550,15 +1649,17 @@ def _make_segment_actor():
                 FacetShard(part, base_file, id_base, meta_cols or [])
                 for part, base_file, id_base in (facet_shards or [])]
 
-        def facet_counts(self, cand, dims, ranges):
+        def facet_counts(self, cand, dims, ranges, exclude=None):
             """Label/range counts for candidate docs over THIS actor's
-            facet shards. Returns ({dim: {label: n}}, {field: [n...]},
-            resident_rows) — resident_rows evidences where the state
-            lives."""
+            facet shards (``cand=None`` = all docs except the small
+            ``exclude`` set — the MatchAll path). Returns
+            ({dim: {label: n}}, {field: [n...]}, resident_rows) —
+            resident_rows evidences where the state lives."""
             counters = {d: {} for d in dims}
             range_counts = {f: [0] * len(rs) for f, rs in ranges.items()}
             for sh in self.facet_shards:
-                sh.count_into(cand, dims, ranges, counters, range_counts)
+                sh.count_into(cand, dims, ranges, counters, range_counts,
+                              exclude=exclude)
             resident = sum(len(sh._ids) for sh in self.facet_shards
                            if sh._ids is not None)
             return counters, range_counts, resident

@@ -67,3 +67,25 @@ def test_filter_scan_fans_out(engine, monkeypatch):
     monkeypatch.setattr(engine, "scan_fanout_min_files", 1)
     got = engine.search(rq, k=10)
     assert got.total_hits == want.total_hits and got.table.equals(want.table)
+
+
+def test_match_all_paths_avoid_id_universe(engine, monkeypatch):
+    """count/search/facets on MatchAll must not materialize the O(N) id
+    universe (the dense-id arithmetic paths)."""
+    want_count = engine.count(MatchAll())
+    want_search = engine.search(MatchAll(), k=5)
+    want_facets = engine.facets(MatchAll(), dims=["lang"])
+
+    def boom(*_a, **_k):
+        raise AssertionError("all_doc_ids materialized for MatchAll")
+
+    monkeypatch.setattr(engine, "all_doc_ids", boom)
+    monkeypatch.setattr(engine, "_all_docs", None)
+    assert engine.count(MatchAll()) == want_count == engine.N
+    r = engine.search(MatchAll(), k=5)
+    assert r.total_hits == want_search.total_hits
+    assert r.table.equals(want_search.table)
+    # cursor pagination stays consistent
+    r2 = engine.search(MatchAll(), k=5, search_after=r.search_after)
+    assert r2.table["doc_id"].to_pylist() == [5, 6, 7, 8, 9]
+    assert engine.facets(MatchAll(), dims=["lang"]) == want_facets
