@@ -157,17 +157,27 @@ def join_fetch(hits: "pa.Table", key_field: str, to_idx, *,
     search hit, run a term query for its key value against ANOTHER index
     and inline up to ``max_joined`` matching doc ids (the reference's
     hardcoded 100-doc cap). Returns (doc_id, joined_doc_id) rows in hit
-    order / joined-id order."""
+    order / joined-id order.
+
+    One TO-index query per DISTINCT key, not per hit — hits sharing a
+    key (common when the join key is a parent id) reuse the same result,
+    so query count is O(unique keys) where the reference re-runs the
+    join query for every hit."""
     from icat_lucene_ray.query.ast import Term as _Term
 
+    joined: dict[str, list[int]] = {}
     out_from: list[int] = []
     out_to: list[int] = []
     for did, key in zip(hits["doc_id"].to_pylist(),
                         hits[key_field].to_pylist()):
-        docs, _ = to_idx._eval(_Term(str(key)))
-        for j in docs[:max_joined]:
-            out_from.append(int(did))
-            out_to.append(int(j))
+        key = str(key)
+        docs = joined.get(key)
+        if docs is None:
+            got, _ = to_idx._eval(_Term(key))
+            docs = [int(j) for j in got[:max_joined]]
+            joined[key] = docs
+        out_from.extend([int(did)] * len(docs))
+        out_to.extend(docs)
     return pa.table({
         "doc_id": pa.array(out_from, pa.int64()),
         "joined_doc_id": pa.array(out_to, pa.int64()),

@@ -317,6 +317,30 @@ class Index:
         return [pfx + s for t in texts
                 for s in self.analyzer.analyze_query_term(t)]
 
+    def _phrase_groups(self, q) -> list[list[str]]:
+        """Per-POSITION posting-term groups of a Phrase: one group per
+        surviving raw query token, holding that token's stem plus its
+        single-token synonym expansions — expansions share the position,
+        mirroring the index-side graph (``candidate_expansion``), so a
+        phrase over a synonym-class word matches docs carrying any class
+        member (reference ``TestLucene.java:147-171`` phrase+synonym).
+        Stopped tokens are dropped, keeping phrase-lite's
+        adjacency-after-stop semantics. Multi-token synonym rules carry
+        no positions and are excluded here (documented edge)."""
+        pfx = self._field_prefix(q.field)
+        groups: list[list[str]] = []
+        twp = getattr(self.analyzer, "tokens_with_positions", None)
+        for t in q.terms:
+            if twp is not None:
+                per: dict[int, list[str]] = {}
+                for s, j in twp(t):
+                    per.setdefault(j, []).append(pfx + s)
+                groups.extend(per[j] for j in sorted(per))
+            else:
+                groups.extend([pfx + s]
+                              for s in self.analyzer.analyze_query_term(t))
+        return groups
+
     def _avgdl_of(self, stem: str) -> float:
         """Per-field avgdl (BM25 length normalization is per field on
         multi-field indexes, like Lucene per-field norms)."""
@@ -611,12 +635,18 @@ class Index:
             stems = self._term_stems(q)
             return self._eval_stems(stems, doc_range) if stems else _EMPTY
         if isinstance(q, Phrase):
+            if self.cfg.positions:
+                groups = self._phrase_groups(q)
+                if not groups:
+                    return _EMPTY
+                if len(groups) > 1:
+                    return self._eval_phrase_positional(groups, deadline,
+                                                        doc_range)
+                # one position: a SynonymQuery-style OR of its stems
+                return self._eval_stems(groups[0], doc_range)
             stems = self._term_stems(q)
             if not stems:
                 return _EMPTY
-            if self.cfg.positions and len(stems) > 1:
-                return self._eval_phrase_positional(stems, deadline,
-                                                    doc_range)
             # phrase-lite: conjunction of the analyzed terms (north_rule
             # default profile; positional profile is behind cfg.positions)
             return self._eval(And([_Stem(s) for s in stems]), deadline,
@@ -671,22 +701,25 @@ class Index:
         raise TypeError(f"unknown query node {type(q).__name__}")
 
     # ---------------- positional phrases (Q4) --------------------------
-    def _eval_phrase_positional(self, stems: list[str], deadline, doc_range):
+    def _eval_phrase_positional(self, groups: list[list[str]], deadline,
+                                doc_range):
         """True phrase matching (reference ``TestLucene.java:147-171``
-        semantics): the candidate set is the terms' conjunction (same
-        block-skipped path as phrase-lite), then the positional streams
-        of the candidates verify adjacency — stem i must occur at
-        position p+i for one common p. Scores stay the BM25 sum of the
-        member terms over the ADJACENT matches (documented divergence
-        from Lucene's phrase-frequency scoring; SQL-oracle-expressible).
-        """
-        docs, scores = self._eval(And([_Stem(s) for s in stems]), deadline,
-                                  doc_range)
+        semantics): the candidate set is the positions' conjunction (same
+        block-skipped path as phrase-lite; a multi-stem position — a
+        synonym class — contributes an OR clause), then the positional
+        streams of the candidates verify adjacency — position i must
+        hold SOME stem of group i at p+i for one common p. Scores stay
+        the BM25 sum of the member terms over the ADJACENT matches
+        (documented divergence from Lucene's phrase-frequency scoring;
+        SQL-oracle-expressible)."""
+        docs, scores = self._eval(
+            And([_Stem(g[0]) if len(g) == 1 else Or([_Stem(s) for s in g])
+                 for g in groups]), deadline, doc_range)
         if not len(docs):
             return _EMPTY
         if scores is None:
             scores = np.ones(len(docs))
-        keep = self._phrase_adjacency_mask(stems, docs)
+        keep = self._phrase_adjacency_mask(groups, docs)
         return docs[keep], scores[keep]
 
     def _term_positions(self, stem: str, cand: np.ndarray):
@@ -737,20 +770,35 @@ class Index:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(parts_d), np.concatenate(parts_p)
 
-    def _phrase_adjacency_mask(self, stems: list[str], cand: np.ndarray
-                               ) -> np.ndarray:
+    def _group_positions(self, group: list[str], cand: np.ndarray):
+        """Union of occurrence streams of a position's stem group (one
+        stem, or a synonym class sharing the position)."""
+        if len(group) == 1:
+            return self._term_positions(group[0], cand)
+        ds, ps = [], []
+        for stem in group:
+            d, p = self._term_positions(stem, cand)
+            if len(d):
+                ds.append(d)
+                ps.append(p)
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(ds), np.concatenate(ps)
+
+    def _phrase_adjacency_mask(self, groups: list[list[str]],
+                               cand: np.ndarray) -> np.ndarray:
         """Boolean mask over ``cand``: a doc survives iff some position p
-        has stem i at p+i for every i (vectorized set intersection over
-        (doc-rank, start-position) keys)."""
+        has a stem of group i at p+i for every i (vectorized set
+        intersection over (doc-rank, start-position) keys)."""
         occ = []
         max_pos = 0
-        for stem in stems:
-            d, p = self._term_positions(stem, cand)
+        for group in groups:
+            d, p = self._group_positions(group, cand)
             if not len(d):
                 return np.zeros(len(cand), dtype=bool)
             occ.append((d, p))
             max_pos = max(max_pos, int(p.max()))
-        M = max_pos + len(stems) + 2
+        M = max_pos + len(groups) + 2
         valid: np.ndarray | None = None
         for i, (d, p) in enumerate(occ):
             rank = np.searchsorted(cand, d)

@@ -179,6 +179,47 @@ def test_positional_force_merge(pos_index, tmp_path_factory, ray_session):
     assert idx.count(Phrase(["echoz", "delta"])) == 0
 
 
+def test_phrase_positional_synonyms(ray_session, tmp_path_factory):
+    """Phrase through the synonym analyzer (reference
+    ``TestLucene.java:147-171``): each phrase position expands to its
+    synonym class sharing the position, so 'hydrogen peroxide' matches a
+    doc written as 'h peroxide' and vice versa — while order still
+    matters and adjacency is still enforced."""
+    import pyarrow.parquet as pq_mod
+
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.query import Index
+
+    d = tmp_path_factory.mktemp("possyn")
+    docs = pa.table({
+        "url": [f"u{i}" for i in range(5)],
+        "text": [
+            "hydrogen peroxide solution",      # exact phrase
+            "h peroxide bleaching agent",      # symbol form of position 0
+            "peroxide hydrogen reversed",      # wrong order
+            "hydrogen strong peroxide",        # gap — not adjacent
+            "sodium chloride crystals",        # unrelated
+        ],
+        "lang": ["en"] * 5,
+    })
+    pq_mod.write_table(docs, str(d / "docs.parquet"))
+    out = str(d / "idx")
+    cfg = EngineConfig(positions=True, num_segments=2)
+    build_index(str(d), out, meta_cols=["lang"], analyzer="icat_synonym",
+                config=cfg)
+    idx = Index(out)
+    urls = {}
+    for q in (Phrase(["hydrogen", "peroxide"]), Phrase(["h", "peroxide"])):
+        r = idx.search(q, k=10, fields=["url"])
+        urls[tuple(q.terms)] = set(r.table["url"].to_pylist())
+    # both spellings match BOTH surface forms, nothing else
+    assert urls[("hydrogen", "peroxide")] == {"u0", "u1"}
+    assert urls[("h", "peroxide")] == {"u0", "u1"}
+    # single-position phrase degenerates to the synonym-class OR
+    assert idx.count(Phrase(["hydrogen"])) == 4  # u0 u1 u2 u3
+
+
 def test_phrase_positional_actor_mode(pos_index, pos_oracle):
     """Actor-pool serving of positional phrases: decode + candidate
     intersection run on the SegmentActors; results identical to

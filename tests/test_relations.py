@@ -113,3 +113,34 @@ def test_join_fetch_cap(ray_session, built_index, oracle):
 
     per = collections.Counter(out["doc_id"].to_pylist())
     assert all(v <= 5 for v in per.values())
+
+
+def test_join_fetch_one_query_per_distinct_key(ray_session, built_index):
+    """Hits sharing a join key must share ONE to-index query (the
+    reference re-runs it per hit; ours is O(unique keys))."""
+    import pyarrow as pa
+
+    from icat_lucene_ray.ops.relations import join_fetch
+    from icat_lucene_ray.query import Index
+
+    idx = Index(built_index.root)
+    calls: list[str] = []
+    orig = idx._eval
+
+    def counting_eval(q, *a, **kw):
+        calls.append(q.text)
+        return orig(q, *a, **kw)
+
+    idx._eval = counting_eval
+    hits = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "en", "de", "fr"]),
+    })
+    out = join_fetch(hits, "lang", idx, max_joined=3)
+    assert len(calls) == 3  # en, de, fr — not 6
+    # identical keys got identical joined sets
+    by_hit = {}
+    for d, j in zip(out["doc_id"].to_pylist(),
+                    out["joined_doc_id"].to_pylist()):
+        by_hit.setdefault(d, []).append(j)
+    assert by_hit.get(1) == by_hit.get(2) == by_hit.get(4)
