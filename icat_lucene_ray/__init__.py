@@ -18,4 +18,23 @@ behavioral parity can be checked; no code is ported from it.
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    """Ray Data's schema-dedup fast path logs a harmless warning
+    ('Failed to hash the schemas …') on every stage whose block schema
+    isn't hashable, flooding build/bench logs. The slow path it falls
+    back to is correct; drop just that message. Installed at package
+    import so worker processes (which import this package to
+    deserialize stage callables) are covered too."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_DropSchemaHashNoise())
+
 from icat_lucene_ray.config import EngineConfig  # noqa: F401

@@ -1009,6 +1009,14 @@ def build_index(
             writers[s % n_writers].write.remote(*[r[s] for r in piece_refs])
             for s in range(S)
         ]
+        # Release the driver's handles on the piece matrix NOW: each
+        # piece stays referenced by exactly the one pending write (or
+        # combine) task that consumes it, so plasma frees it the moment
+        # that task completes. Without this, the driver pins the full
+        # T×S matrix until the LAST segment is written — at scale that
+        # is the entire encoded index resident in the object store at
+        # once instead of just the writers' in-flight backlog.
+        enc_refs = piece_refs = combined = col = None  # noqa: F841
         seg_stats = [r for r in ray.get(write_refs) if r is not None]
         for w in writers:
             ray.kill(w)
