@@ -374,6 +374,23 @@ def _dedup_minhash(sf_dir: str):
     return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
 
+def _dedup_ngram(sf_dir: str):
+    """Exact blocked n-gram Jaccard pairs — the non-approximate member
+    of the dedup family (ground truth for the MinHash estimator); fully
+    SQL-oracle-verified (same tokens / shingles / Jaccard in DuckDB)."""
+    from icat_lucene_ray.ops.dedup import ngram_jaccard_pairs
+
+    t = (ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5, k=5,
+                             block_cols=("lang",))
+         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return pa.table({
+        "id_a": pa.array(t["id_a"].astype(int), pa.int64()),
+        "id_b": pa.array(t["id_b"].astype(int), pa.int64()),
+        "jaccard": pa.array([round(float(x), 6) for x in t["jaccard"]],
+                            pa.float64()),
+    })
+
+
 def _dedup_simhash(sf_dir: str):
     from icat_lucene_ray.ops.dedup import SimHasher
 
@@ -846,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multifield_default_or": _ft_multifield_default_or,
         "ft_docfreq_top20": _ft_docfreq_top20,
         "dedup_exact": _dedup_exact,
+        "dedup_ngram": _dedup_ngram,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -1025,6 +1043,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id""",
+        "dedup_ngram": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang,
+                list_distinct(CASE WHEN len(toks) <= 5
+                  THEN [array_to_string(toks, chr(31))]
+                  ELSE list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], chr(31)))
+                END) AS sh
+              FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.5
+            ORDER BY id_a, id_b""",
         # dedup_minhash / dedup_simhash / text_langid / ann_ivf_topk:
         # not SQL-expressible (signatures / heuristic / approximate) —
         # rows-only checks.

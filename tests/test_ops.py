@@ -113,6 +113,33 @@ def test_minhash_lsh_dedup(dup_ds):
     assert 100 in res["drop"] and 100 not in keep and 0 in keep
 
 
+def test_ngram_jaccard_dedup(dup_ds):
+    """Exact blocked n-gram Jaccard: pair values equal a brute-force
+    per-pair recomputation (string shingle sets), and the keep/drop
+    tail behaves like the other dedup ops."""
+    from icat_lucene_ray.ops.dedup import ngram_jaccard_dedup
+
+    res = ngram_jaccard_dedup(dup_ds, threshold=0.7, k=5, block_cols=())
+    found = {(a, b): j for a, b, j in res["pairs"]}
+    assert found[(0, 100)] == 1.0                 # exact dup
+    assert (1, 101) in found and (2, 102) in found
+
+    def brute(sa: str, sb: str, k: int = 5) -> float:
+        def sh(s):
+            t = s.split()
+            if len(t) <= k:
+                return {"\x1f".join(t)}
+            return {"\x1f".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+        A, B = sh(sa), sh(sb)
+        return len(A & B) / len(A | B)
+
+    texts = {r["doc_id"]: r["text"] for r in dup_ds.take_all()}
+    for (a, b), j in found.items():
+        assert abs(j - brute(texts[a], texts[b])) < 1e-12, (a, b)
+    keep = set(res["keep_ds"].to_pandas()["doc_id"].astype(int))
+    assert 100 in res["drop"] and 100 not in keep and 0 in keep
+
+
 def test_minhash_jaccard_estimate_close():
     from icat_lucene_ray.ops.dedup import MinHasher, ngram_jaccard
 
