@@ -44,6 +44,21 @@ class EngineConfig:
     #: single-node builds (~3×CPUs encode tasks) stay single-level —
     #: the combine hop only pays for itself when T ≫ fanin.
     exchange_fanin: int = 256
+    #: segment-writer pool size (phase C). None -> auto (ncpu // 4,
+    #: floor 2, cap S). Writing is memory-traffic-bound, not CPU-bound:
+    #: past ~ncpu/2 concurrent writers this box spends >90% kernel time
+    #: in page-fault service and aggregate throughput drops.
+    num_writers: int | None = None
+    #: pre-fault writer scratch pools during the encode stage. Free
+    #: overlap on hosts whose page-fault service scales with cores; on
+    #: hosts with a serialized fault path it contends with encode-stage
+    #: plasma faults and delays the first write (measured net loss).
+    writer_warmup: bool = False
+    #: segment writers gather+encode in term-group chunks of ~this many
+    #: postings: bounds the writer's scratch working set to ~80 B x
+    #: chunk (cache/TLB resident, faulted once) instead of ~80 B x
+    #: segment. Output bytes are identical at any value.
+    writer_chunk_postings: int = 1_000_000
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | None = None  # None -> let Ray size the task pool
     analyzed_rows_per_file: int = 65536

@@ -475,7 +475,8 @@ class SegmentWriter:
 
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int,
                  name_prefix: str = "seg",
-                 field_avgdl: dict[str, float] | None = None):
+                 field_avgdl: dict[str, float] | None = None,
+                 chunk_postings: int = 1_000_000):
         self.out_dir = out_dir
         self.k1, self.b, self.avgdl, self.block = k1, b, avgdl, block
         self.name_prefix = name_prefix
@@ -483,6 +484,15 @@ class SegmentWriter:
         # BMW bound is not an upper bound (term strings carry the field
         # prefix, so the mapping is resolvable per term row)
         self.field_avgdl = field_avgdl
+        # gather/encode in term-group chunks of ~this many postings so
+        # the scratch working set stays ~80 B x chunk (cache/TLB
+        # resident) instead of ~80 B x segment — the write stage is
+        # memory-traffic-bound and first-touch faults on a segment-sized
+        # scratch pool (~1 GB/writer at 1.2M docs) dominate its cost on
+        # hosts with serialized fault service. Per-term output bytes are
+        # identical: groups are independent and chunk order preserves
+        # group order.
+        self.chunk_postings = max(1, int(chunk_postings))
 
     def __call__(self, group: pa.Table) -> pa.Table:
         skey = int(group["skey"][0].as_py())
@@ -511,24 +521,13 @@ class SegmentWriter:
         g_lens = lengths[run_order]
         total = int(g_lens.sum())
         g_ends = np.cumsum(g_lens)
-        gather = concat_ranges(run_off[:-1][run_order], g_lens,
-                               _scratch("gather", total, np.int64))
         has_pos = "pos" in group.column_names
         if has_pos:
-            # track the posting permutation so per-posting position
-            # slices can be re-gathered after the in-group doc sorts
-            porder = gather.copy()
             pos_flat_all = group["pos"].combine_chunks().flatten() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             tf_orig = tf_flat.astype(np.int64)
             p_start0 = np.zeros(len(tf_orig) + 1, dtype=np.int64)
             np.cumsum(tf_orig, out=p_start0[1:])
-        doc_s = np.take(doc_flat, gather,
-                        out=_scratch("doc_s", total, doc_flat.dtype))
-        tf_s = np.take(tf_flat, gather,
-                       out=_scratch("tf_s", total, tf_flat.dtype))
-        dl_s = np.take(dl_flat, gather,
-                       out=_scratch("dl_s", total, dl_flat.dtype))
 
         rkey_s = rkey[run_order]
         first_run = np.empty(len(rkey_s), dtype=bool)
@@ -536,59 +535,99 @@ class SegmentWriter:
             first_run[0] = True
             np.not_equal(rkey_s[1:], rkey_s[:-1], out=first_run[1:])
         group_run_idx = np.flatnonzero(first_run)
+        n_groups = len(group_run_idx)
         run_pstart = g_ends - g_lens
         starts = run_pstart[group_run_idx]
         ends = np.append(starts[1:], total)
-        # doc-sort inside term groups that got postings from >1 run
         nruns_per_group = np.diff(np.append(group_run_idx, len(rkey_s)))
-        for gi in np.flatnonzero(nruns_per_group > 1):
-            s, e = starts[gi], ends[gi]
-            o = np.argsort(doc_s[s:e], kind="stable")
-            doc_s[s:e] = doc_s[s:e][o]
-            tf_s[s:e] = tf_s[s:e][o]
-            dl_s[s:e] = dl_s[s:e][o]
-            if has_pos:
-                porder[s:e] = porder[s:e][o]
 
         dictionary = term_enc.dictionary
         codes_g = run_codes[run_order][group_run_idx]
         buckets_g = run_buckets[run_order][group_run_idx]
-        avgdl = self.avgdl
+        dict_avg = None
         if self.field_avgdl:
             # per-posting avgdl from the term's field prefix (dictionary
             # is per-batch and small — Python touches uniques only)
             dict_avg = np.array(
                 [self.field_avgdl.get(t.split(":", 1)[0], self.avgdl)
                  for t in dictionary.to_pylist()], dtype=np.float64)
-            avgdl = np.repeat(dict_avg[codes_g], ends - starts)
-        # one vectorized pass over all terms' blocks (per-term Python cost
-        # is buffer slicing only)
-        enc = encode_postings_multi(
-            doc_s, tf_s, dl_s, starts, ends,
-            k1=self.k1, b=self.b, avgdl=avgdl, block=self.block)
+
+        # chunk boundaries at term-GROUP granularity (~chunk_postings
+        # postings per chunk; an oversized group stays whole)
+        csum = np.cumsum(ends - starts)
+        bins = (csum - 1) // self.chunk_postings if n_groups else csum
+        cuts = np.concatenate(([0], np.flatnonzero(np.diff(bins)) + 1,
+                               [n_groups])) if n_groups else np.array([0, 0])
+        acc: dict[str, list] = {k: [] for k in (
+            "docs", "tfs", "dls", "block_last", "block_max", "df", "cf")}
+        poss_acc: list[bytes] = []
+        for ci in range(len(cuts) - 1):
+            ga, gb = int(cuts[ci]), int(cuts[ci + 1])
+            if gb <= ga:
+                continue
+            ra = group_run_idx[ga]
+            rb = int(group_run_idx[gb]) if gb < n_groups else len(run_order)
+            r_sel = run_order[ra:rb]
+            r_lens = g_lens[ra:rb]
+            base = int(starts[ga])
+            total_c = int(ends[gb - 1]) - base
+            gather = concat_ranges(run_off[:-1][r_sel], r_lens,
+                                   _scratch("gather", total_c, np.int64))
+            doc_s = np.take(doc_flat, gather,
+                            out=_scratch("doc_s", total_c, doc_flat.dtype))
+            tf_s = np.take(tf_flat, gather,
+                           out=_scratch("tf_s", total_c, tf_flat.dtype))
+            dl_s = np.take(dl_flat, gather,
+                           out=_scratch("dl_s", total_c, dl_flat.dtype))
+            cs = starts[ga:gb] - base
+            ce = ends[ga:gb] - base
+            if has_pos:
+                # track the posting permutation so per-posting position
+                # slices can be re-gathered after the in-group doc sorts
+                porder = gather.copy()
+            # doc-sort inside term groups that got postings from >1 run
+            for gi in np.flatnonzero(nruns_per_group[ga:gb] > 1):
+                s, e = cs[gi], ce[gi]
+                o = np.argsort(doc_s[s:e], kind="stable")
+                doc_s[s:e] = doc_s[s:e][o]
+                tf_s[s:e] = tf_s[s:e][o]
+                dl_s[s:e] = dl_s[s:e][o]
+                if has_pos:
+                    porder[s:e] = porder[s:e][o]
+            avgdl = self.avgdl if dict_avg is None \
+                else np.repeat(dict_avg[codes_g[ga:gb]], ce - cs)
+            # one vectorized pass over the chunk's blocks (per-term
+            # Python cost is buffer slicing only)
+            enc = encode_postings_multi(
+                doc_s, tf_s, dl_s, cs, ce,
+                k1=self.k1, b=self.b, avgdl=avgdl, block=self.block)
+            for k, v in enc.items():
+                acc[k].extend(v)
+            if has_pos:
+                from icat_lucene_ray.index.codec import encode_u64_multi
+
+                tf_final = tf_orig[porder]
+                pf_off = np.zeros(len(tf_final) + 1, dtype=np.int64)
+                np.cumsum(tf_final, out=pf_off[1:])
+                pos_sorted = pos_flat_all[concat_ranges(
+                    p_start0[:-1][porder], tf_final,
+                    np.empty(int(pf_off[-1]), np.int64))]
+                poss_acc.extend(encode_u64_multi(
+                    pos_sorted, pf_off[cs], pf_off[ce], self.block))
+
         seg_cols = {
             "term": dictionary.take(pa.array(codes_g)),
             "bucket": pa.array(buckets_g.astype(np.int32)),
-            "df": pa.array(enc["df"], pa.int64()),
-            "cf": pa.array(enc["cf"], pa.int64()),
-            "docs": pa.array(enc["docs"], pa.binary()),
-            "tfs": pa.array(enc["tfs"], pa.binary()),
-            "dls": pa.array(enc["dls"], pa.binary()),
-            "block_last": pa.array(enc["block_last"], pa.binary()),
-            "block_max": pa.array(enc["block_max"], pa.binary()),
+            "df": pa.array(acc["df"], pa.int64()),
+            "cf": pa.array(acc["cf"], pa.int64()),
+            "docs": pa.array(acc["docs"], pa.binary()),
+            "tfs": pa.array(acc["tfs"], pa.binary()),
+            "dls": pa.array(acc["dls"], pa.binary()),
+            "block_last": pa.array(acc["block_last"], pa.binary()),
+            "block_max": pa.array(acc["block_max"], pa.binary()),
         }
         if has_pos:
-            from icat_lucene_ray.index.codec import encode_u64_multi
-
-            tf_final = tf_orig[porder]
-            pf_off = np.zeros(len(tf_final) + 1, dtype=np.int64)
-            np.cumsum(tf_final, out=pf_off[1:])
-            pos_sorted = pos_flat_all[concat_ranges(
-                p_start0[:-1][porder], tf_final,
-                np.empty(int(pf_off[-1]), np.int64))]
-            seg_cols["poss"] = pa.array(
-                encode_u64_multi(pos_sorted, pf_off[starts], pf_off[ends],
-                                 self.block), pa.binary())
+            seg_cols["poss"] = pa.array(poss_acc, pa.binary())
         seg = pa.table(seg_cols).sort_by(
             [("term", "ascending"), ("bucket", "ascending")])
 
@@ -688,10 +727,12 @@ class _SegmentWriterActor:
 
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float,
                  block: int, name_prefix: str = "seg",
-                 field_avgdl: dict[str, float] | None = None):
+                 field_avgdl: dict[str, float] | None = None,
+                 chunk_postings: int = 1_000_000):
         self.w = SegmentWriter(out_dir, k1, b, avgdl, block,
                                name_prefix=name_prefix,
-                               field_avgdl=field_avgdl)
+                               field_avgdl=field_avgdl,
+                               chunk_postings=chunk_postings)
 
     def warmup(self, est_postings: int) -> bool:
         """Pre-fault the scratch pool while the encode stage still runs:
@@ -699,7 +740,7 @@ class _SegmentWriterActor:
         encode stage is compute-bound, so the two overlap cleanly."""
         from icat_lucene_ray.index.codec import _scratch
 
-        p = est_postings
+        p = min(est_postings, self.w.chunk_postings)
         for name, nbytes in [("gather", 8 * p), ("doc_s", 8 * p),
                              ("tf_s", 4 * p), ("dl_s", 4 * p),
                              ("deltas", 8 * p), ("gpos", 8 * p),
@@ -711,10 +752,14 @@ class _SegmentWriterActor:
         return True
 
     def write(self, *pieces):
+        t0 = time.monotonic()  # CLOCK_MONOTONIC: driver-comparable
         pieces = [p for p in pieces if p is not None and p.num_rows]
         if not pieces:
             return None
-        return self.w(pa.concat_tables(pieces)).to_pylist()[0]
+        r = self.w(pa.concat_tables(pieces)).to_pylist()[0]
+        r["write_start"] = t0
+        r["write_sec"] = round(time.monotonic() - t0, 3)
+        return r
 
 
 def _rowgroup_units(files: list[str], target_tasks: int
@@ -998,13 +1043,27 @@ def build_index(
                 len(c) for c in combined)
         else:
             piece_refs = enc_refs
-        n_writers = min(S, max(2, ncpu // 4))
+        n_writers = config.num_writers or min(S, max(2, ncpu // 4))
         writers = [
             _SegmentWriterActor.remote(
                 out_dir, config.k1, config.b, avgdl, config.codec_block,
-                field_avgdl=field_avgdl or None)
+                field_avgdl=field_avgdl or None,
+                chunk_postings=config.writer_chunk_postings)
             for _ in range(n_writers)
         ]
+        if config.writer_warmup:
+            # Pre-fault each writer's codec scratch pool WHILE the
+            # encode stage runs (sum_dl bounds postings; 1.15 covers
+            # segment skew). Fire-and-forget — actor method order
+            # guarantees warmup completes before the first write.
+            # Measured on this VM: cuts write-busy 736->301 CPU-s but
+            # the host's SERIALIZED fault service makes the warmups
+            # contend with encode-stage plasma faults and delay the
+            # first write (16s->76s), a net loss — hence default-off
+            # here, worthwhile where fault service scales with cores.
+            est = int(total_len / max(1, S) * 1.15) + 1024
+            for w in writers:
+                w.warmup.remote(est)
         write_refs = [
             writers[s % n_writers].write.remote(*[r[s] for r in piece_refs])
             for s in range(S)
@@ -1017,10 +1076,23 @@ def build_index(
         # is the entire encoded index resident in the object store at
         # once instead of just the writers' in-flight backlog.
         enc_refs = piece_refs = combined = col = None  # noqa: F841
+        t0_mono = time.monotonic() - (time.perf_counter() - t0)
         seg_stats = [r for r in ray.get(write_refs) if r is not None]
         for w in writers:
             ray.kill(w)
         metrics["phase_c_sec"] = round(time.perf_counter() - t0, 3)
+        # encode-barrier vs write split: writes for segment s wait on
+        # EVERY encode task (all-to-all exchange), so first-write-at ≈
+        # the encode+combine barrier; write_busy = Σ writer seconds
+        # (÷ n_writers for the write wall-clock floor)
+        if seg_stats and "write_start" in seg_stats[0]:
+            metrics["phase_c_first_write_at"] = round(
+                min(r["write_start"] for r in seg_stats) - t0_mono, 3)
+            metrics["phase_c_write_busy_sec"] = round(
+                sum(r.pop("write_sec") for r in seg_stats), 3)
+            metrics["phase_c_writers"] = n_writers
+            for r in seg_stats:
+                r.pop("write_start", None)
     finally:
         ctx.target_min_block_size = prev_min_block
 
