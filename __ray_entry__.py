@@ -508,6 +508,99 @@ def _text_langid(sf_dir: str):
                      "lang_pred": pa.array(pdf["lang_pred"], pa.string())})
 
 
+def _text_repetition(sf_dir: str):
+    from icat_lucene_ray.ops.text import add_repetition_metrics
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: add_repetition_metrics(b).select(
+            ["doc_id", "dup_word_frac", "top_bigram_frac"]),
+        batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------- web ops (URL canonicalization / host agg / URL dedup) -----
+
+def _with_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic Common-Crawl-style URL per doc (mirrors the SQL
+    oracle's expression exactly): mixed-case scheme+host, a www.
+    variant every 3rd doc, an explicit :443 every 5th, a trailing
+    slash every 4th, a fragment every 7th; path slot doc_id%13 so
+    distinct docs collide on the CANONICAL form (dedup groups)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    parts = [
+        pa.array(np.where(ids % 3 == 0, "HTTPS://WWW.", "HTTPS://")),
+        batch["source"],
+        pa.array(np.where(ids % 5 == 0, ".Example.COM:443", ".Example.COM")),
+        pa.array(np.char.add("/P", (ids % 13).astype("U3"))),
+        pa.array(np.where(ids % 4 == 0, "/", "")),
+        pa.array(np.where(ids % 7 == 0, "#sec", "")),
+    ]
+    return batch.append_column(
+        "url", pc.binary_join_element_wise(*parts, ""))
+
+
+#: the same URL in SQL (DuckDB), string-identical per doc_id
+_URL_SQL = (
+    "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || "
+    "source || '.Example.COM' || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/P' || CAST(doc_id % 13 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END"
+)
+
+#: canonicalization pipeline in SQL — the same RE2 regexes as ops/web.py
+_CANON_CTE = f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+nofrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+lowpre AS (SELECT doc_id,
+    lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+    regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS x
+    FROM nofrag),
+nowww AS (SELECT doc_id, regexp_replace(x, '://www\\.', '://') AS x
+    FROM lowpre),
+noport AS (SELECT doc_id,
+    regexp_replace(x, '(://[^/:?]+):(?:80|443)($|[/?])', '\\1\\2') AS x
+    FROM nowww),
+canon AS (SELECT doc_id, regexp_replace(x, '/$', '') AS canon_url
+    FROM noport)
+"""
+
+
+def _web_canon_url(sf_dir: str):
+    from icat_lucene_ray.ops.web import canonicalize_urls
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: _with_urls(b.select(["doc_id", "source"])),
+        batch_format="pyarrow")
+    ds = canonicalize_urls(ds, "url", "canon_url").select_columns(
+        ["doc_id", "canon_url"])
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _web_host_topk(sf_dir: str):
+    from icat_lucene_ray.ops.web import host_doc_counts
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: _with_urls(b.select(["doc_id", "source"])),
+        batch_format="pyarrow")
+    t = host_doc_counts(ds, "url", k=10).to_pandas()
+    return pa.table({"host": pa.array(t["host"], pa.string()),
+                     "doc_count": pa.array(t["doc_count"].astype(int),
+                                           pa.int64())})
+
+
+def _dedup_url(sf_dir: str):
+    from icat_lucene_ray.ops.web import dedup_by_url
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: _with_urls(b.select(["doc_id", "source"])),
+        batch_format="pyarrow")
+    kept = dedup_by_url(ds, "url", "doc_id").to_pandas()
+    return pa.table({"doc_id": pa.array(
+        np.sort(kept["doc_id"].astype(int)), pa.int64())})
+
+
 # ---------------- generic relational ops (events table) ---------------------
 
 def _agg_rollup_sum(sf_dir: str):
@@ -873,6 +966,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
+        "text_repetition": _text_repetition,
+        "web_canon_url": _web_canon_url,
+        "web_host_topk": _web_host_topk,
+        "dedup_url": _dedup_url,
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
@@ -1108,6 +1205,36 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
             ORDER BY doc_id""",
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            uni AS (SELECT doc_id, len(w) AS n_words,
+                           len(list_distinct(w)) AS n_distinct FROM w),
+            bi AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+            bic AS (SELECT doc_id, count(*) AS c FROM bi GROUP BY doc_id, bg),
+            bimax AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg
+                      FROM bic GROUP BY doc_id)
+            SELECT u.doc_id,
+                   round(1.0 - n_distinct::DOUBLE / n_words, 6)
+                       AS dup_word_frac,
+                   round(coalesce(maxc::DOUBLE / nbg, 0), 6)
+                       AS top_bigram_frac
+            FROM uni u LEFT JOIN bimax b ON u.doc_id = b.doc_id
+            ORDER BY u.doc_id""",
+        "web_canon_url": _CANON_CTE + """
+            SELECT doc_id, canon_url FROM canon ORDER BY doc_id""",
+        "web_host_topk": _CANON_CTE + """
+            , hosts AS (SELECT doc_id,
+                regexp_extract(canon_url,
+                               '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+                FROM canon)
+            SELECT host, count(*) AS doc_count FROM hosts
+            GROUP BY host ORDER BY doc_count DESC, host LIMIT 10""",
+        "dedup_url": _CANON_CTE + """
+            SELECT min(doc_id) AS doc_id FROM canon
+            GROUP BY canon_url ORDER BY doc_id""",
         "agg_rollup_sum": """
             SELECT user_id, round(sum(value), 6) AS total_value FROM events
             GROUP BY user_id ORDER BY user_id""",

@@ -137,6 +137,65 @@ class LangId:
         return batch.append_column(self.out, pa.array(preds, pa.string()))
 
 
+def add_repetition_metrics(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals, fully vectorized:
+
+    - ``dup_word_frac``  = 1 - distinct_words / n_words
+    - ``top_bigram_frac`` = count(most frequent bigram) / (n_words - 1)
+
+    Both are exact (not sketched) and SQL-mirrorable (``list_distinct``
+    / bigram ``list_transform`` + group-max in DuckDB). Boilerplate-
+    heavy web pages score high on both; LLM-data quality filters drop
+    the tail (Gopher rules: dup-line/dup-ngram fractions).
+    """
+    toks = pc.split_pattern(batch[col], " ")
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    ndocs = len(lens)
+    codes = arr.flatten().dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    didx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+
+    # distinct words per doc: sort (doc, code), count group firsts
+    order = np.lexsort((codes, didx))
+    dd, cc = didx[order], codes[order]
+    new = np.empty(len(dd), dtype=bool)
+    if len(dd):
+        new[0] = True
+        new[1:] = (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])
+    n_distinct = np.bincount(dd[new], minlength=ndocs) if len(dd) \
+        else np.zeros(ndocs, np.int64)
+    dup = np.where(lens > 0, 1.0 - n_distinct / np.maximum(lens, 1), 0.0)
+
+    # top bigram per doc: within-doc adjacent pairs, group counts, max
+    top = np.zeros(ndocs, dtype=np.float64)
+    if len(codes) > 1:
+        mask = didx[:-1] == didx[1:]
+        d2, c1, c2 = didx[:-1][mask], codes[:-1][mask], codes[1:][mask]
+        if len(d2):
+            o = np.lexsort((c2, c1, d2))
+            d2s, c1s, c2s = d2[o], c1[o], c2[o]
+            nb = np.empty(len(d2s), dtype=bool)
+            nb[0] = True
+            nb[1:] = ((d2s[1:] != d2s[:-1]) | (c1s[1:] != c1s[:-1])
+                      | (c2s[1:] != c2s[:-1]))
+            starts = np.flatnonzero(nb)
+            counts = np.diff(np.append(starts, len(d2s)))
+            dstart = d2s[starts]
+            fod = np.empty(len(dstart), dtype=bool)
+            fod[0] = True
+            fod[1:] = dstart[1:] != dstart[:-1]
+            gb = np.flatnonzero(fod)
+            docs_with = dstart[gb]
+            top[docs_with] = (np.maximum.reduceat(counts, gb)
+                              / (lens[docs_with] - 1))
+    out = batch
+    for name, vals in [("dup_word_frac", dup), ("top_bigram_frac", top)]:
+        out = out.append_column(name, pa.array(np.round(vals, 6)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
