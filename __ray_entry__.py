@@ -518,6 +518,42 @@ def _text_repetition(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _with_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII suffix per doc (mirrors _PII_SQL exactly):
+    an email, a NNN-555-0199 phone, and an IPv4 on every 6th doc."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    email = np.char.add(np.char.add(" contact user", ids.astype("U6")),
+                        "@Mail.example.COM")
+    phone = np.char.add(np.char.add(" or ", (ids % 900 + 100).astype("U3")),
+                        "-555-0199")
+    ip = np.where(ids % 6 == 0,
+                  np.char.add(np.char.add(" at 192.168.",
+                                          (ids % 256).astype("U3")), ".1"),
+                  "")
+    t2 = pc.binary_join_element_wise(
+        batch["text"], pa.array(email), pa.array(phone), pa.array(ip), "")
+    return batch.set_column(batch.column_names.index("text"), "text", t2)
+
+
+_PII_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@Mail.example.COM' || ' or ' || "
+    "CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-0199' || "
+    "CASE WHEN doc_id % 6 = 0 THEN ' at 192.168.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+)
+
+
+def _text_pii_redact(sf_dir: str):
+    from icat_lucene_ray.ops.text import redact_pii
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: redact_pii(_with_pii(b.select(["doc_id", "text"])))
+        .select(["doc_id", "clean_text", "n_pii"]),
+        batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------- web ops (URL canonicalization / host agg / URL dedup) -----
 
 def _with_urls(batch: pa.Table) -> pa.Table:
@@ -967,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
+        "text_pii_redact": _text_pii_redact,
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
@@ -1223,6 +1260,27 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_frac
             FROM uni u LEFT JOIN bimax b ON u.doc_id = b.doc_id
             ORDER BY u.doc_id""",
+        "text_pii_redact": f"""
+            WITH p AS (SELECT doc_id, {_PII_SQL} AS t FROM documents),
+            r1 AS (SELECT doc_id, t,
+                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                               '<EMAIL>', 'g') AS x FROM p),
+            r2 AS (SELECT doc_id, t, x AS prev,
+                regexp_replace(x, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b',
+                               '<SSN>', 'g') AS x FROM r1),
+            r3 AS (SELECT doc_id, t, prev AS p1, x AS prev,
+                regexp_replace(x, '\\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\\b',
+                               '<PHONE>', 'g') AS x FROM r2),
+            r4 AS (SELECT doc_id, t, p1, prev AS p2, x AS prev,
+                regexp_replace(x, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                               '<IP>', 'g') AS x FROM r3)
+            SELECT doc_id, x AS clean_text,
+                (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               + len(regexp_extract_all(p1, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b'))
+               + len(regexp_extract_all(p2, '\\b[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}\\b'))
+               + len(regexp_extract_all(prev, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')))::BIGINT
+                AS n_pii
+            FROM r4 ORDER BY doc_id""",
         "web_canon_url": _CANON_CTE + """
             SELECT doc_id, canon_url FROM canon ORDER BY doc_id""",
         "web_host_topk": _CANON_CTE + """

@@ -137,6 +137,34 @@ class LangId:
         return batch.append_column(self.out, pa.array(preds, pa.string()))
 
 
+#: (name, RE2 pattern, replacement) — order matters: emails first so a
+#: digit run inside a local-part is never half-redacted as a phone.
+#: RE2-only syntax (\b is ASCII word boundary) so the SAME patterns run
+#: in a DuckDB oracle (regexp_replace ... 'g' / regexp_extract_all).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(batch: pa.Table, col: str = "text",
+               out: str = "clean_text", count_col: str = "n_pii") -> pa.Table:
+    """Replace emails / SSNs / phone numbers / IPv4s with typed tags and
+    count the redactions. Vectorized RE2 kernels; a standard pre-train
+    scrub stage (the tags keep token positions roughly stable for
+    downstream dedup)."""
+    x = batch[col]
+    n = None
+    for _name, pat, repl in PII_PATTERNS:
+        c = pc.count_substring_regex(x, pat)
+        n = c if n is None else pc.add(n, c)
+        x = pc.replace_substring_regex(x, pattern=pat, replacement=repl)
+    return batch.append_column(out, x) \
+                .append_column(count_col, n.cast(pa.int64()))
+
+
 def add_repetition_metrics(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition signals, fully vectorized:
 

@@ -14,7 +14,7 @@ from icat_lucene_ray.ops.web import (
     extract_host_batch,
     host_doc_counts,
 )
-from icat_lucene_ray.ops.text import add_repetition_metrics
+from icat_lucene_ray.ops.text import add_repetition_metrics, redact_pii
 
 
 def _canon(urls: list[str]) -> list[str]:
@@ -94,6 +94,30 @@ def test_repetition_metrics_exact():
     top = r["top_bigram_frac"].to_pylist()
     assert dup == pytest.approx([1 - 3 / 5, 1 - 1 / 3, 0.0, 0.0], abs=1e-6)
     assert top == pytest.approx([2 / 4, 1.0, 1 / 2, 0.0], abs=1e-6)
+
+
+def test_redact_pii():
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@x-y.io and a.b+c@x-y.io twice",
+        "ssn 123-45-6789 phone 123-555-0199 ip 10.0.0.255",
+        "clean text 123-45-678 (too short) 1.2.3 (not ip)",
+        "v4 999.999.999.999 still matches the shape rule",
+    ])})
+    r = redact_pii(t)
+    out = r["clean_text"].to_pylist()
+    assert out[0] == "mail <EMAIL> and <EMAIL> twice"
+    assert out[1] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert out[2] == "clean text 123-45-678 (too short) 1.2.3 (not ip)"
+    assert out[3] == "v4 <IP> still matches the shape rule"
+    assert r["n_pii"].to_pylist() == [2, 3, 0, 1]
+
+
+def test_redact_pii_email_digits_not_phone():
+    # digits inside an email local-part must not leak a <PHONE> tag
+    t = pa.table({"text": pa.array(["reach 123-555-0199@ex.com today"])})
+    r = redact_pii(t)
+    assert r["clean_text"].to_pylist() == ["reach <EMAIL> today"]
+    assert r["n_pii"].to_pylist() == [1]
 
 
 def test_repetition_metrics_batch_boundaries():
