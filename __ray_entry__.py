@@ -518,6 +518,13 @@ def _text_repetition(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _text_unigram_logprob(sf_dir: str):
+    from icat_lucene_ray.ops.text import unigram_logprob
+
+    ds = unigram_logprob(_docs_ds(sf_dir), min_count=2)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _with_pii(batch: pa.Table) -> pa.Table:
     """Deterministic PII suffix per doc (mirrors _PII_SQL exactly):
     an email, a NNN-555-0199 phone, and an IPv4 on every 6th doc."""
@@ -1004,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
         "text_pii_redact": _text_pii_redact,
+        "text_unigram_logprob": _text_unigram_logprob,
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
@@ -1260,6 +1268,18 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_frac
             FROM uni u LEFT JOIN bimax b ON u.doc_id = b.doc_id
             ORDER BY u.doc_id""",
+        "text_unigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+            tot AS (SELECT sum(c) AS t FROM cnt),
+            vocab AS (SELECT w, c FROM cnt WHERE c >= 2)
+            SELECT doc_id,
+                   round(avg(-log2(coalesce(v.c, 0.5) / t.t)), 6)
+                       AS bits_per_word
+            FROM w LEFT JOIN vocab v USING (w) CROSS JOIN tot t
+            GROUP BY doc_id ORDER BY doc_id""",
         "text_pii_redact": f"""
             WITH p AS (SELECT doc_id, {_PII_SQL} AS t FROM documents),
             r1 AS (SELECT doc_id, t,

@@ -225,6 +225,85 @@ def add_repetition_metrics(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# corpus-level statistics (two-pass: global aggregate -> broadcast -> score)
+# ---------------------------------------------------------------------------
+
+def _word_counts_partial(batch: pa.Table, col: str) -> pa.Table:
+    """Per-batch combiner: collapse a block to (word, c) partial counts
+    so the global ``groupby(word)`` shuffles vocabulary-sized rows,
+    never per-token rows."""
+    flat = pc.split_pattern(batch[col], " ")
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.flatten().dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    c = np.bincount(idx, minlength=len(enc.dictionary))
+    return pa.table({"word": enc.dictionary,
+                     "c": pa.array(c.astype(np.int64))})
+
+
+def unigram_logprob(ds, col: str = "text", id_col: str = "doc_id",
+                    min_count: int = 2, out: str = "bits_per_word"):
+    """Per-doc mean unigram surprisal (bits/word) under the CORPUS
+    unigram model — the classic cheap LM-quality proxy (gibberish and
+    rare-token spam score high; boilerplate scores low).
+
+    Two-pass: (1) global word counts via per-batch combiners + one
+    small ``groupby(word)``; words with count >= ``min_count`` form the
+    model (count thresholding, not top-k — deterministic under ties),
+    everything else gets the 0.5-count OOV floor. (2) the model is
+    broadcast once (``ray.put``) and a ``map_batches`` stage scores
+    docs vectorized (dictionary-encode + hashmap lookup on UNIQUE
+    batch words only, reduceat per doc).
+
+    Scale note: the broadcast is O(model vocabulary) — thresholded
+    web-scale vocabs are ~10^7 entries (~100 MB), a per-node constant,
+    NOT per-batch traffic.
+    """
+    import ray
+
+    counts = ds.map_batches(lambda b: _word_counts_partial(b, col),
+                            batch_format="pyarrow") \
+               .groupby("word").sum("c")
+    total = 0
+    model: dict[str, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        cs = b["sum(c)"].to_numpy(zero_copy_only=False)
+        total += int(cs.sum())
+        keep = cs >= min_count
+        if keep.any():
+            for w, c, k in zip(b["word"].to_pylist(), cs, keep):
+                if k:
+                    model[w] = int(c)
+    model_ref = ray.put(model)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(model_ref)
+        toks = pc.split_pattern(batch[col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        enc = toks.flatten().dictionary_encode()
+        uniq = pd.Index(enc.dictionary.to_pylist())
+        ucnt = uniq.map(m).fillna(0.5).to_numpy(dtype=np.float64)
+        bits_u = -np.log2(ucnt / total)
+        bits = bits_u[enc.indices.to_numpy(zero_copy_only=False)]
+        sums = np.zeros(len(lens), dtype=np.float64)
+        nz = lens > 0
+        if bits.size and nz.any():
+            sums[nz] = np.add.reduceat(bits, offsets[:-1][nz])
+        mean = np.divide(sums, lens, out=np.zeros_like(sums),
+                         where=lens > 0)
+        return pa.table({id_col: batch[id_col],
+                         out: pa.array(np.round(mean, 6))})
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 

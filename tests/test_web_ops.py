@@ -14,7 +14,11 @@ from icat_lucene_ray.ops.web import (
     extract_host_batch,
     host_doc_counts,
 )
-from icat_lucene_ray.ops.text import add_repetition_metrics, redact_pii
+from icat_lucene_ray.ops.text import (
+    add_repetition_metrics,
+    redact_pii,
+    unigram_logprob,
+)
 
 
 def _canon(urls: list[str]) -> list[str]:
@@ -126,3 +130,22 @@ def test_repetition_metrics_batch_boundaries():
     r = add_repetition_metrics(t)
     assert r["top_bigram_frac"].to_pylist() == [1.0, 1.0]
     assert r["dup_word_frac"].to_pylist() == [0.0, 0.0]
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    # corpus: a a a b b c  -> total 6; model (min_count=2): a:3 b:2;
+    # c is OOV -> 0.5 count
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a a b", "b c"]),
+    }))
+    out = unigram_logprob(ds, min_count=2).to_pandas() \
+        .sort_values("doc_id")
+    d0 = (3 * -math.log2(3 / 6) + -math.log2(2 / 6)) / 4
+    d1 = (-math.log2(2 / 6) + -math.log2(0.5 / 6)) / 2
+    assert out["bits_per_word"].tolist() == pytest.approx(
+        [round(d0, 6), round(d1, 6)], abs=1e-6)
