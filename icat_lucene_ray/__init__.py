@@ -37,4 +37,23 @@ _logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow"
 ).addFilter(_DropSchemaHashNoise())
 
+
+class _DropEmptyBundleSchemaNoise(_logging.Filter):
+    """groupby().map_groups stages whose reducer partitions come up
+    empty emit zero-row RefBundles; the streaming executor then warns
+    'RefBundle with a different schema ... new schema: .' (the empty
+    schema) once per such bundle. The group fns all return
+    consistently-typed (possibly empty) tables — only the no-schema
+    variant of the warning is dropped, real schema drift still logs."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_DropEmptyBundleSchemaNoise())
+
 from icat_lucene_ray.config import EngineConfig  # noqa: F401

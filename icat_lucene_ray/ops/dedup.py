@@ -291,9 +291,11 @@ class _ShingleSketcher:
     bottom-k sketch gives the standard unbiased estimate."""
 
     def __init__(self, shingle_k: int = 5, sketch_k: int = 8192,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 256):
         self.k, self.sketch_k = shingle_k, sketch_k
         self.text_col, self.id_col = text_col, id_col
+        self.nb = num_buckets
         self.hasher = _TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -311,6 +313,8 @@ class _ShingleSketcher:
             pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64()))
         n = len(ids)
         return pa.table({
+            "gb": pa.array((ids.astype(np.uint64) * _HASH_MULT
+                            % np.uint64(self.nb)).astype(np.int64)),
             "nid": pa.array(ids, pa.int64()),
             "id_a": pa.nulls(n, pa.int64()),
             "id_b": pa.nulls(n, pa.int64()),
@@ -346,14 +350,21 @@ def _dedup_pairs_np(a: np.ndarray, b: np.ndarray
     return a[keep].astype(np.int64), b[keep].astype(np.int64)
 
 
-def _pairs_to_side_rows(batch: pa.Table) -> pa.Table:
+#: golden-ratio multiplier for the pair-bucket hash (uint64 wraparound)
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pairs_to_side_rows(batch: pa.Table, nb: int) -> pa.Table:
     """(id_a, id_b) candidate rows -> two tagged rows per pair, schema-
-    aligned with the sketch rows for the union-groupby join."""
+    aligned with the sketch rows for the union-groupby join. ``gb`` is
+    the endpoint's shuffle bucket (same formula as the sketch rows)."""
     a = batch["id_a"].to_numpy(zero_copy_only=False)
     b = batch["id_b"].to_numpy(zero_copy_only=False)
-    nid = np.concatenate([a, b])
+    nid = np.concatenate([a, b]).astype(np.int64)
     n = len(nid)
     return pa.table({
+        "gb": pa.array((nid.astype(np.uint64) * _HASH_MULT
+                        % np.uint64(nb)).astype(np.int64)),
         "nid": pa.array(nid, pa.int64()),
         "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
         "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
@@ -361,59 +372,106 @@ def _pairs_to_side_rows(batch: pa.Table) -> pa.Table:
     })
 
 
-def _attach_sketch_group(g: pa.Table) -> pa.Table:
-    """One ``nid`` group: ≤1 sketch row (id_a null) + this doc's pair-side
-    rows. Emits (id_a, id_b, nid, sketch) per DISTINCT pair touching the
-    doc — duplicate candidates from different bands collapse here."""
-    is_sketch = pc.is_null(g["id_a"])
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "nid": pa.array([], pa.int64()),
-                      "sketch": pa.array([], pa.list_(pa.uint64()))})
-    sk_rows = g.filter(is_sketch)
-    pr = g.filter(pc.invert(is_sketch))
-    if sk_rows.num_rows == 0 or pr.num_rows == 0:
-        return empty
-    ua, ub = _dedup_pairs_np(pr["id_a"].to_numpy(zero_copy_only=False),
-                             pr["id_b"].to_numpy(zero_copy_only=False))
-    sk = sk_rows["sketch"]
-    if isinstance(sk, pa.ChunkedArray):
-        sk = sk.combine_chunks()
-    vals = sk.values.to_numpy(zero_copy_only=False)
-    n = len(ua)
-    L = len(vals)
-    offsets = pa.array(np.arange(n + 1, dtype=np.int64) * L, pa.int32())
-    sketch_rep = pa.ListArray.from_arrays(
-        offsets, pa.array(np.tile(vals, n), pa.uint64()))
-    nid_val = int(sk_rows["nid"][0].as_py())
-    return pa.table({
-        "id_a": pa.array(ua, pa.int64()),
-        "id_b": pa.array(ub, pa.int64()),
-        "nid": pa.array(np.full(n, nid_val), pa.int64()),
-        "sketch": sketch_rep,
-    })
+_ATTACH_EMPTY = {
+    "id_a": pa.array([], pa.int64()),
+    "id_b": pa.array([], pa.int64()),
+    "nid": pa.array([], pa.int64()),
+    "sketch": pa.array([], pa.list_(pa.uint64())),
+}
+
+
+def _make_attach_bucket(nb: int):
+    """One HASH BUCKET of nids (not one nid — per-group Python overhead
+    on tiny groups dominates at any scale): vectorized sketch lookup
+    via searchsorted over the bucket's sorted sketch rows. Emits
+    (id_a, id_b, nid, sketch) per DISTINCT (pair, endpoint) — duplicate
+    candidates from different bands collapse here — plus ``gb2``, the
+    PAIR-keyed bucket for the verify shuffle."""
+
+    def _attach(g: pa.Table) -> pa.Table:
+        is_sketch = pc.is_null(g["id_a"])
+        sk_rows = g.filter(is_sketch)
+        pr = g.filter(pc.invert(is_sketch))
+        if sk_rows.num_rows == 0 or pr.num_rows == 0:
+            return pa.table({**_ATTACH_EMPTY,
+                             "gb2": pa.array([], pa.int64())})
+        # distinct (nid, id_a, id_b) side rows
+        nid = pr["nid"].to_numpy(zero_copy_only=False)
+        pa_ = pr["id_a"].to_numpy(zero_copy_only=False)
+        pb_ = pr["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pb_, pa_, nid))
+        nid, pa_, pb_ = nid[order], pa_[order], pb_[order]
+        keep = np.empty(len(nid), dtype=bool)
+        keep[0] = True
+        keep[1:] = ((nid[1:] != nid[:-1]) | (pa_[1:] != pa_[:-1])
+                    | (pb_[1:] != pb_[:-1]))
+        nid, pa_, pb_ = nid[keep], pa_[keep], pb_[keep]
+        # sketch lookup: bucket's sketch nids are unique -> searchsorted
+        sk_nid = sk_rows["nid"].to_numpy(zero_copy_only=False)
+        sk_ord = np.argsort(sk_nid)
+        sk_sorted = sk_nid[sk_ord]
+        pos = np.searchsorted(sk_sorted, nid)
+        pos = np.minimum(pos, len(sk_sorted) - 1)
+        found = sk_sorted[pos] == nid
+        nid, pa_, pb_, pos = nid[found], pa_[found], pb_[found], pos[found]
+        sk = sk_rows["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        sketch = sk.take(pa.array(sk_ord[pos]))
+        gb2 = ((pa_.astype(np.uint64) * _HASH_MULT
+                + pb_.astype(np.uint64)) * _HASH_MULT
+               % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(pa_, pa.int64()),
+            "id_b": pa.array(pb_, pa.int64()),
+            "nid": pa.array(nid, pa.int64()),
+            "sketch": sketch,
+            "gb2": pa.array(gb2),
+        })
+
+    return _attach
 
 
 def _make_pair_verifier(threshold: float, sketch_k: int):
+    """One PAIR-HASH BUCKET: rows (id_a, id_b, nid, sketch), ≤2 rows per
+    pair (one per endpoint that had a sketch). Jaccard per complete
+    pair; numpy per pair on bucket-local slices — no per-pair Arrow
+    tables, no driver."""
+
     def _verify(g: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
-        a = int(g["id_a"][0].as_py())
-        b = int(g["id_b"][0].as_py())
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
         nid = g["nid"].to_numpy(zero_copy_only=False)
-        ia = np.flatnonzero(nid == a)
-        ib = np.flatnonzero(nid == b)
-        if len(ia) == 0 or len(ib) == 0:
-            return empty  # endpoint absent from corpus
-        sa = np.asarray(g["sketch"][int(ia[0])].as_py(), dtype=np.uint64)
-        sb = np.asarray(g["sketch"][int(ib[0])].as_py(), dtype=np.uint64)
-        j = _sketch_jaccard(sa, sb, sketch_k)
-        if j < threshold:
+        sk = g["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        vals = sk.values.to_numpy(zero_copy_only=False)
+        offs = sk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((nid, b, a))
+        a, b, nid = a[order], b[order], nid[order]
+        # complete pairs = adjacent rows with same (a, b), nid a then b
+        same = np.zeros(len(a), dtype=bool)
+        if len(a) > 1:
+            same[:-1] = (a[:-1] == a[1:]) & (b[:-1] == b[1:])
+        first = np.flatnonzero(same)
+        oa, ob, oj = [], [], []
+        for i in first:
+            ra, rb = int(order[i]), int(order[i + 1])
+            sa = vals[offs[ra]:offs[ra + 1]]
+            sb = vals[offs[rb]:offs[rb + 1]]
+            j = _sketch_jaccard(sa, sb, sketch_k)
+            if j >= threshold:
+                oa.append(int(a[i]))
+                ob.append(int(b[i]))
+                oj.append(j)
+        if not oa:
             return empty
-        return pa.table({"id_a": pa.array([a], pa.int64()),
-                         "id_b": pa.array([b], pa.int64()),
-                         "jaccard": pa.array([j], pa.float64())})
+        return pa.table({"id_a": pa.array(oa, pa.int64()),
+                         "id_b": pa.array(ob, pa.int64()),
+                         "jaccard": pa.array(oj, pa.float64())})
     return _verify
 
 
@@ -426,30 +484,41 @@ def verify_pairs_distributed(
     sketch_k: int = 8192,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs, entirely
     cluster-side (no driver loop, no corpus broadcast): a reduce-side
     join. One streaming pass computes per-doc shingle sketches; a
-    tag-union + ``groupby(nid)`` attaches each endpoint's sketch to its
-    pairs; ``groupby(id_a, id_b)`` computes the Jaccard and keeps
-    survivors. Shuffle volume is O(corpus sketches + candidate pairs) —
-    the cost of a distributed join, with no O(pairs) driver state."""
+    tag-union + ``groupby(gb)`` (nid HASH BUCKET) attaches each
+    endpoint's sketch to its pairs; ``groupby(gb2)`` (pair hash bucket)
+    computes the Jaccard and keeps survivors. Bucketed keys, not raw
+    nid/pair keys: each group call processes thousands of
+    nids/pairs vectorized instead of paying per-group Python/Arrow
+    overhead on 1-3-row groups. Shuffle volume is O(corpus sketches +
+    candidate pairs) — the cost of a distributed join, with no O(pairs)
+    driver state. Size ``num_buckets`` ~ (expected pairs / 10^4) so a
+    bucket's pairs fit one worker; buckets cap reduce fan-in, not
+    correctness."""
     sketches = ds.map_batches(
         _ShingleSketcher,
         fn_constructor_kwargs=dict(shingle_k=shingle_k, sketch_k=sketch_k,
-                                   text_col=text_col, id_col=id_col),
+                                   text_col=text_col, id_col=id_col,
+                                   num_buckets=num_buckets),
         batch_format="pyarrow",
         concurrency=(1, _pool_size()),
     )
     sides = cand_pairs_ds.map_batches(
-        _pairs_to_side_rows, batch_format="pyarrow")
+        lambda b: _pairs_to_side_rows(b, num_buckets),
+        batch_format="pyarrow")
     attached = (
         sketches.union(sides)
-        .groupby("nid")
-        .map_groups(_attach_sketch_group, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(_make_attach_bucket(num_buckets),
+                    batch_format="pyarrow")
     )
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        _make_pair_verifier(threshold, sketch_k), batch_format="pyarrow")
+    return attached.groupby("gb2").map_groups(
+        _make_pair_verifier(threshold, sketch_k),
+        batch_format="pyarrow").select_columns(["id_a", "id_b", "jaccard"])
 
 
 # ---------------------------------------------------------------------------
@@ -790,6 +859,9 @@ def minhash_lsh_dedup(
     verified_ds = verify_pairs_distributed(
         ds, cand_ds, threshold=threshold, shingle_k=shingle_k,
         sketch_k=sketch_k, text_col=text_col, id_col=id_col,
+        # same adaptive sizing as the LSH buckets: expected pairs grow
+        # with rows x bands, so verify fan-in stays worker-sized
+        num_buckets=num_buckets,
     ).materialize()
     return _finish_dedup(ds, verified_ds, score_col="jaccard",
                          id_col=id_col, cc=cc, cc_driver_cap=cc_driver_cap)
