@@ -476,10 +476,12 @@ class SegmentWriter:
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float, block: int,
                  name_prefix: str = "seg",
                  field_avgdl: dict[str, float] | None = None,
-                 chunk_postings: int = 1_000_000):
+                 chunk_postings: int = 1_000_000,
+                 compression: str = "lz4"):
         self.out_dir = out_dir
         self.k1, self.b, self.avgdl, self.block = k1, b, avgdl, block
         self.name_prefix = name_prefix
+        self.compression = compression
         # multi-field: block_max must use the TERM's field avgdl or the
         # BMW bound is not an upper bound (term strings carry the field
         # prefix, so the mapping is resolvable per term row)
@@ -634,7 +636,8 @@ class SegmentWriter:
         path = os.path.join(self.out_dir, "segments",
                             f"{self.name_prefix}_{skey:05d}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(seg, tmp, row_group_size=256, compression="zstd")
+        pq.write_table(seg, tmp, row_group_size=256,
+                       compression=self.compression)
         os.replace(tmp, path)  # atomic, idempotent on retry
         return pa.table({
             "seg_id": pa.array([skey], pa.int32()),
@@ -728,11 +731,13 @@ class _SegmentWriterActor:
     def __init__(self, out_dir: str, k1: float, b: float, avgdl: float,
                  block: int, name_prefix: str = "seg",
                  field_avgdl: dict[str, float] | None = None,
-                 chunk_postings: int = 1_000_000):
+                 chunk_postings: int = 1_000_000,
+                 compression: str = "lz4"):
         self.w = SegmentWriter(out_dir, k1, b, avgdl, block,
                                name_prefix=name_prefix,
                                field_avgdl=field_avgdl,
-                               chunk_postings=chunk_postings)
+                               chunk_postings=chunk_postings,
+                               compression=compression)
 
     def warmup(self, est_postings: int) -> bool:
         """Pre-fault the scratch pool while the encode stage still runs:
@@ -1048,7 +1053,8 @@ def build_index(
             _SegmentWriterActor.remote(
                 out_dir, config.k1, config.b, avgdl, config.codec_block,
                 field_avgdl=field_avgdl or None,
-                chunk_postings=config.writer_chunk_postings)
+                chunk_postings=config.writer_chunk_postings,
+                compression=config.segment_compression)
             for _ in range(n_writers)
         ]
         if config.writer_warmup:

@@ -326,7 +326,8 @@ class IndexUpdater:
                 (m.total_tokens - removed_tokens + added_tokens)
                 / new_ndocs if new_ndocs else 1.0,
                 self.cfg.codec_block, name_prefix=entry["seg_prefix"],
-                field_avgdl=field_avgdl)
+                field_avgdl=field_avgdl,
+                compression=self.cfg.segment_compression)
             skeys = runs["skey"].to_numpy(zero_copy_only=False)
             for s in np.unique(skeys):
                 grp = runs.filter(pa.array(skeys == s))
@@ -375,7 +376,8 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
                         seg_id: int, tomb: list[tuple[int, np.ndarray]],
                         k1: float, b: float,
                         avgdl: float, block: int,
-                        field_avgdl: dict | None = None) -> dict | None:
+                        field_avgdl: dict | None = None,
+                        compression: str = "lz4") -> dict | None:
     """Decode every (term,bucket) slice of one shard key across base +
     delta segment files, drop tombstoned docs, re-encode one clean
     segment (the per-segment merge actor of SURVEY.md §7.2 step 6).
@@ -472,7 +474,7 @@ def _merge_segment_task(seg_paths: list[tuple[str, int]], out_dir: str,
         [("term", "ascending"), ("bucket", "ascending")])
     path = os.path.join(out_dir, "segments", f"seg_{seg_id:05d}.parquet")
     tmp = path + ".tmp"
-    pq.write_table(seg, tmp, row_group_size=256, compression="zstd")
+    pq.write_table(seg, tmp, row_group_size=256, compression=compression)
     os.replace(tmp, path)
     n_post = int(np.sum([e - s for s, e in zip(starts, ends)]))
     return {"seg_id": seg_id, "n_terms": seg.num_rows,
@@ -522,7 +524,8 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
     for seg_id, paths in sorted(seg_files.items()):
         refs.append(_merge_segment_task.remote(
             paths, out_root, seg_id, idx._tomb, idx.cfg.k1, idx.cfg.b,
-            avgdl, idx.cfg.codec_block, field_avgdl))
+            avgdl, idx.cfg.codec_block, field_avgdl,
+            idx.cfg.segment_compression))
     seg_stats = [r for r in ray.get(refs) if r is not None]
 
     # doc store: live rows only, one file per source file
