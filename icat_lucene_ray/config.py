@@ -34,6 +34,11 @@ class EngineConfig:
     #: beats uncompressed on size — Lucene's BEST_SPEED (LZ4) analog.
     #: Cold-read latency IS the query p99, so speed wins by default.
     segment_compression: str = "lz4"
+    #: parquet compression for the ANALYZED/doc-store files (written in
+    #: phase A, re-read by phase C's encode tasks and by doc fetches).
+    #: Same measured tradeoff as segments: lz4 cut phase A 20->17 s and
+    #: phase C 25->23 s at 1.2M docs vs zstd, for ~1.6x the temp bytes.
+    analyzed_compression: str = "lz4"
     # terms with global df above this get doc-range-salted across
     # multiple segments (head-term skew; SURVEY.md §7.4). The default is
     # sized for tests; the builder also derives a bound from target

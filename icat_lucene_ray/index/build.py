@@ -228,10 +228,11 @@ class AnalyzedWriter:
     ])
 
     def __init__(self, shard_dir: str, key_col: str | None = None,
-                 max_candidates: int = 1024):
+                 max_candidates: int = 1024, compression: str = "lz4"):
         self.shard_dir = shard_dir
         self.key_col = key_col
         self.max_candidates = max_candidates
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -245,7 +246,8 @@ class AnalyzedWriter:
             digest_size=8).hexdigest()
         path = os.path.join(self.shard_dir, f"an_{name}.parquet")
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(batch, tmp, row_group_size=8192, compression="zstd")
+        pq.write_table(batch, tmp, row_group_size=8192,
+                       compression=self.compression)
         os.replace(tmp, path)
 
         # head-term candidates: per-batch df via dictionary codes
@@ -292,10 +294,12 @@ _WRITER_CACHE: dict[str, AnalyzedWriter] = {}
 
 
 def _write_analyzed_batch(batch: pa.Table, *, shard_dir: str,
-                          key_col: str | None = None) -> pa.Table:
+                          key_col: str | None = None,
+                          compression: str = "lz4") -> pa.Table:
     w = _WRITER_CACHE.get(shard_dir)
     if w is None:
-        w = _WRITER_CACHE[shard_dir] = AnalyzedWriter(shard_dir, key_col)
+        w = _WRITER_CACHE[shard_dir] = AnalyzedWriter(
+            shard_dir, key_col, compression=compression)
     return w(batch)
 
 
@@ -943,7 +947,8 @@ def build_index(
             stats_rows = ds.map_batches(
                 _write_analyzed_batch,
                 fn_kwargs=dict(shard_dir=shard_dir,
-                               key_col=(None if id_col else key_col)),
+                               key_col=(None if id_col else key_col),
+                               compression=config.analyzed_compression),
                 batch_format="pyarrow",
                 batch_size=config.analyzed_rows_per_file,
             ).take_all()

@@ -308,7 +308,8 @@ class IndexUpdater:
             doc_dir = os.path.join(m.doc_table_dir(), f"delta_{gen:05d}")
             os.makedirs(doc_dir, exist_ok=True)
             fpath = os.path.join(doc_dir, f"an_{uuid.uuid4().hex[:12]}.parquet")
-            pq.write_table(an, fpath, row_group_size=8192, compression="zstd")
+            pq.write_table(an, fpath, row_group_size=8192,
+                           compression=self.cfg.analyzed_compression)
             entry["doc_dir"] = os.path.relpath(doc_dir, self.root)
 
             field_avgdl = None
@@ -542,7 +543,8 @@ def force_merge(root: str, out_root: str) -> IndexManifest:
         t = live_all.slice(s0, 65536)
         pq.write_table(
             t, os.path.join(an_out, f"an_{uuid.uuid4().hex[:12]}.parquet"),
-            row_group_size=8192, compression="zstd")
+            row_group_size=8192,
+            compression=idx.cfg.analyzed_compression)
 
     # exact hot-term dfs from the merged segments (tombstones are gone,
     # so the pre-merge manifest values are stale)
