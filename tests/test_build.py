@@ -119,3 +119,43 @@ def test_two_level_exchange_byte_identical(ray_session, tmp_path):
         t1 = pq.read_table(os.path.join(out1, "segments", s))
         t2 = pq.read_table(os.path.join(out2, "segments", s))
         assert t1.equals(t2), s
+
+
+def test_compression_config_round_trip(ray_session, pages_dir, tmp_path):
+    """segment_compression/analyzed_compression are honored on every
+    write path and the index stays fully queryable (zstd here — the
+    non-default — so a silent fallback to the default would fail)."""
+    import pyarrow.parquet as pq
+
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.index.modify import IndexUpdater
+    from icat_lucene_ray.query import Index
+    from icat_lucene_ray.query.ast import Term
+
+    out = str(tmp_path / "zidx")
+    cfg = EngineConfig(num_segments=2, segment_compression="zstd",
+                       analyzed_compression="zstd")
+    build_index(pages_dir, out, meta_cols=["lang"], config=cfg)
+
+    def _codecs(path):
+        md = pq.ParquetFile(path).metadata
+        return {md.row_group(i).column(0).compression
+                for i in range(md.num_row_groups)}
+
+    idx = Index(out)
+    seg0 = idx.manifest.segment_path(idx.manifest.segments[0]["seg_id"])
+    assert _codecs(seg0) == {"ZSTD"}
+    hits = idx.search(Term("data"), k=5)
+    n0 = hits.total_hits
+
+    # delta commit inherits the manifest's config
+    up = IndexUpdater(out)
+    up.create({"url": "zz://new", "text": "data data zstd roundtrip"})
+    up.commit()
+    idx2 = Index(out)
+    assert idx2.search(Term("zstd"), k=5).total_hits == 1
+    assert idx2.search(Term("data"), k=5).total_hits == n0 + 1
+    delta_segs = [s for s in idx2.manifest.segments
+                  if "seg" in s.get("seg_prefix", "seg")]
+    assert delta_segs
