@@ -717,9 +717,15 @@ def _combine_pieces(*pieces):
     return pa.concat_tables(ps).combine_chunks()
 
 
-@ray.remote
+@ray.remote(max_restarts=2, max_task_retries=2)
 class _SegmentWriterActor:
     """Writer-pool actor: each actor writes several segments in sequence.
+
+    Restartable (node loss mid-build must not kill a 100-TB run):
+    constructor args are plain values, write() is idempotent — the
+    segment file is written to a tmp name and atomically renamed, and
+    its bytes are a pure function of the pieces — so a retried write
+    after an actor restart produces the identical artifact.
 
     Actors (not tasks) on purpose, for two measured reasons:
     - the codec scratch-buffer pool warms once per actor and is reused

@@ -77,3 +77,44 @@ def test_marker_contents(ray_session, tmp_path):
     with open(marker) as f:
         d = json.load(f)
     assert "lineage" in d and d["files"]
+
+
+def test_segment_write_idempotent_on_retry(ray_session, tmp_path):
+    """A retried write (actor restart mid-build) must reproduce the
+    byte-identical segment: write twice, compare artifacts."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from icat_lucene_ray.index.build import SegmentWriter
+
+    rng = np.random.default_rng(3)
+    rows = {"skey": [], "term": [], "bucket": [], "docs": [], "tf": [],
+            "dl": []}
+    for t in range(50):
+        docs = np.sort(rng.choice(5000, size=20, replace=False))
+        rows["skey"].append(1)
+        rows["term"].append(f"t{t:03d}")
+        rows["bucket"].append(0)
+        rows["docs"].append(docs.tolist())
+        rows["tf"].append(rng.integers(1, 5, 20).tolist())
+        rows["dl"].append(rng.integers(50, 300, 20).tolist())
+    tbl = pa.table({
+        "skey": pa.array(rows["skey"], pa.int32()),
+        "term": pa.array(rows["term"]),
+        "bucket": pa.array(rows["bucket"], pa.int32()),
+        "docs": pa.array(rows["docs"], pa.list_(pa.int64())),
+        "tf": pa.array(rows["tf"], pa.list_(pa.int32())),
+        "dl": pa.array(rows["dl"], pa.list_(pa.int32())),
+    })
+    d = tmp_path / "retry"
+    (d / "segments").mkdir(parents=True)
+    w = SegmentWriter(str(d), 1.2, 0.75, 150.0, 128)
+    p = d / "segments" / "seg_00001.parquet"
+    stats1 = w(tbl)
+    h1 = hashlib.md5(p.read_bytes()).hexdigest()
+    stats2 = w(tbl)  # the retry
+    h2 = hashlib.md5(p.read_bytes()).hexdigest()
+    assert h1 == h2
+    assert stats1.equals(stats2)
