@@ -561,6 +561,33 @@ def _text_pii_redact(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------- curation ops (sampling / packing) -------------------------
+
+def _sample_stratified(sf_dir: str):
+    from icat_lucene_ray.ops.sampling import stratified_sample
+
+    ds = stratified_sample(_docs_ds(sf_dir), "lang",
+                           {"en": 0.5, "de": 0.25}, default_frac=0.1)
+    out = ds.select_columns(["doc_id", "lang"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+                     "lang": pa.array(out["lang"], pa.string())})
+
+
+def _pack_chunks(sf_dir: str):
+    from icat_lucene_ray.ops.sampling import pack_token_budget
+    from icat_lucene_ray.ops.text import add_token_count
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    out = pack_token_budget(ds, "n_tokens", budget=2000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+        "chunk_id": pa.array(out["chunk_id"].astype(int), pa.int64())})
+
+
 # ---------------- web ops (URL canonicalization / host agg / URL dedup) -----
 
 def _with_urls(batch: pa.Table) -> pa.Table:
@@ -1015,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
+        "sample_stratified": _sample_stratified,
+        "pack_chunks": _pack_chunks,
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
@@ -1313,6 +1342,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url": _CANON_CTE + """
             SELECT min(doc_id) AS doc_id FROM canon
             GROUP BY canon_url ORDER BY doc_id""",
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                    ELSE 0.1 END * 4294967296
+            ORDER BY doc_id""",
+        "pack_chunks": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS chunk_id
+            FROM t ORDER BY doc_id""",
         "agg_rollup_sum": """
             SELECT user_id, round(sum(value), 6) AS total_value FROM events
             GROUP BY user_id ORDER BY user_id""",
