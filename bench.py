@@ -228,6 +228,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
     extras["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 2)
 
+    # ---- q_qps: concurrent throughput on the actor-pool serving path --
+    # (ST1 at cluster shape: SegmentActors own segment subsets; 8 driver
+    # threads keep the pool busy — the serving-node concurrency story,
+    # not another latency number)
+    from concurrent.futures import ThreadPoolExecutor
+
+    aidx = Index(idx_dir, use_actors=True, num_actors=8)
+    aidx.search(qset[0], k=10)  # spawn + warm the pool
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda q: aidx.search(q, k=10), qset))
+    dt = time.perf_counter() - t0
+    queries["q_qps_actor"] = round(dt, 3)
+    extras["query_actor_qps"] = round(len(qset) / dt, 1)
+
     # ---- q_facet: cached-sidecar facet counting (ST2) ------------------
     # first call loads the sidecar (timed separately); steady-state facet
     # cost is O(|candidates|) bincount, NOT a doc-store scan
