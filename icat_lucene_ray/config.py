@@ -71,6 +71,14 @@ class EngineConfig:
     #: segment. Output bytes are identical at any value.
     writer_chunk_postings: int = 1_000_000
     tokenize_batch_size: int = 1024
+    #: rows per RunEncoder batch in phase-C encode tasks (None ->
+    #: tokenize_batch_size). Larger batches amortize the per-batch
+    #: 3-key lexsort and cut the number of sorted runs each segment
+    #: writer must k-way merge (sf0.1 sweep: aggregate writer busy
+    #: time 149-201 s at 2048 rows, 34-42 s at 8192, rising again at
+    #: 32768 as the per-task working set spills cache). Bounded by
+    #: per-task heap: rows x avg tokens x ~20 B must fit a worker.
+    encode_batch_rows: int | None = 8192
     tokenize_concurrency: int | None = None  # None -> let Ray size the task pool
     analyzed_rows_per_file: int = 65536
 

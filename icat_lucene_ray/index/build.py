@@ -1036,7 +1036,8 @@ def build_index(
         opts = {"num_returns": S} if S > 1 else {}
         enc_refs = [
             _encode_split_task.options(**opts).remote(
-                g, S, hot_salt, min_doc, max_doc, config.tokenize_batch_size,
+                g, S, hot_salt, min_doc, max_doc,
+                config.encode_batch_rows or config.tokenize_batch_size,
                 id_bases if not id_col else None, multi, config.positions)
             for g in groups
         ]
