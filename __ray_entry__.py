@@ -588,6 +588,31 @@ def _pack_chunks(sf_dir: str):
         "chunk_id": pa.array(out["chunk_id"].astype(int), pa.int64())})
 
 
+def _text_decontam(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set (deterministic, same table — no external data);
+    every remaining doc is scored for distinct 4-gram overlap against
+    the whole benchmark set (broadcast once) and flagged."""
+    from icat_lucene_ray.ops.decontam import ngram_contamination
+
+    ds = _docs_ds(sf_dir)
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        m = batch["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return batch.filter(pa.array(m if keep_bench else ~m))
+
+    bench = ds.map_batches(_split, batch_format="pyarrow", fn_args=(True,))
+    train = ds.map_batches(_split, batch_format="pyarrow", fn_args=(False,))
+    out = ngram_contamination(train, bench, n=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+        "n_ngrams": pa.array(out["n_ngrams"].astype(int), pa.int64()),
+        "n_hits": pa.array(out["n_hits"].astype(int), pa.int64()),
+        "contaminated": pa.array(out["contaminated"].astype(bool)),
+    })
+
+
 # ---------------- web ops (URL canonicalization / host agg / URL dedup) -----
 
 def _with_urls(batch: pa.Table) -> pa.Table:
@@ -1039,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _text_repetition,
         "text_pii_redact": _text_pii_redact,
         "text_unigram_logprob": _text_unigram_logprob,
+        "text_decontam": _text_decontam,
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
@@ -1309,6 +1335,35 @@ def oracle_sql() -> dict[str, str]:
                        AS bits_per_word
             FROM w LEFT JOIN vocab v USING (w) CROSS JOIN tot t
             GROUP BY doc_id ORDER BY doc_id""",
+        "text_decontam": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 4
+                  THEN [array_to_string(toks, chr(31))]
+                  ELSE list_transform(range(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+3], chr(31)))
+                END) AS sh
+              FROM t
+            ), bench AS (
+              SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0
+            ), train AS (
+              SELECT doc_id, sh FROM s WHERE doc_id % 97 <> 0
+            ), tg AS (
+              SELECT doc_id, unnest(sh) AS g FROM train
+            ), hits AS (
+              SELECT tg.doc_id, count(*) AS n_hits
+              FROM tg JOIN bench USING (g) GROUP BY tg.doc_id
+            )
+            SELECT tr.doc_id, len(tr.sh)::BIGINT AS n_ngrams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+            ORDER BY tr.doc_id""",
         "text_pii_redact": f"""
             WITH p AS (SELECT doc_id, {_PII_SQL} AS t FROM documents),
             r1 AS (SELECT doc_id, t,

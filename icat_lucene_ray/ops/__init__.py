@@ -1,1 +1,2 @@
-from icat_lucene_ray.ops import dedup, multimodal, similarity, text  # noqa: F401
+from icat_lucene_ray.ops import (  # noqa: F401
+    decontam, dedup, multimodal, similarity, text)
