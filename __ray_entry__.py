@@ -465,6 +465,22 @@ def _ann_ivf_topk(sf_dir: str):
     return _round6(t, "cosine")
 
 
+def _cluster_embeddings(sf_dir: str):
+    """Distributed full-data spherical k-means over the embeddings
+    table (rows-only: iterative float-heavy algorithm, not
+    SQL-expressible; serial-oracle equivalence + purity + determinism
+    proven in tests/test_kmeans.py)."""
+    from icat_lucene_ray.ops.similarity import kmeans_cluster
+
+    assigned, cent = kmeans_cluster(_emb_ds(sf_dir), k=8, iters=5, seed=11)
+    out = assigned.select_columns(["vec_id", "cluster"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].astype(int), pa.int64()),
+        "cluster": pa.array(out["cluster"].astype(np.int32), pa.int32()),
+    })
+
+
 # ---------------- text analysis --------------------------------------------
 
 def _text_token_count(sf_dir: str):
@@ -1057,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _dedup_embedding,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "cluster_embeddings": _cluster_embeddings,
         "text_token_count": _text_token_count,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,

@@ -251,3 +251,96 @@ def ivf_index_topk(
     sub = ray.data.read_parquet(paths)
     return brute_force_topk(sub, q, k, vec_col=man["vec_col"],
                             id_col=man["id_col"])
+
+
+# ---------------------------------------------------------------------------
+# distributed spherical k-means (full-data Lloyd's)
+# ---------------------------------------------------------------------------
+
+def _kmeans_partials(batch: pa.Table, cent_ref, vec_col: str,
+                     id_col: str) -> pa.Table:
+    """One Lloyd E+partial-M step over one batch: assign rows to their
+    nearest centroid (cosine), emit k partial rows (cluster, count,
+    vector sum) — the classic combiner that makes k-means a
+    map-side-reduced pass: driver traffic is O(k * dim * n_batches),
+    never O(rows)."""
+    cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+        else cent_ref
+    m = _normalize(_batch_matrix(batch, vec_col))
+    assign = np.argmax(m @ cent.T, axis=1)
+    k, dim = cent.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, m)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    pid = int(ids.min()) if len(ids) else 0
+    return pa.table({
+        "pid": pa.array([pid] * k, pa.int64()),
+        "cluster": pa.array(np.arange(k, dtype=np.int32)),
+        "count": pa.array(counts),
+        "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+    })
+
+
+def kmeans_fit(ds: ray.data.Dataset, k: int = 8, *,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               iters: int = 10, seed: int = 11,
+               init_sample: int = 4096) -> np.ndarray:
+    """Full-data distributed spherical k-means (Lloyd's): unlike
+    :func:`train_centroids` (sample-only, good enough for IVF routing)
+    every iteration streams the WHOLE dataset through one
+    ``map_batches`` pass emitting k partial (count, sum) rows per
+    batch; the driver folds partials in pid order (deterministic float
+    association — same input → bit-identical centroids regardless of
+    task completion order) and renormalizes. Init is the seeded choice
+    from the first ``init_sample`` rows, matching ``train_centroids``.
+
+    Scale: per-iteration driver traffic O(k * dim * n_batches); no
+    shuffle, no row materialization. 10 iters over 100 TB = 10 streamed
+    passes — cache the dataset upstream if re-reads are the bottleneck.
+    """
+    tbl = ds.limit(init_sample).select_columns([vec_col]).to_pandas()
+    m0 = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in tbl[vec_col]]))
+    rng = np.random.default_rng(seed)
+    cent = m0[rng.choice(len(m0), size=min(k, len(m0)), replace=False)]
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = ds.map_batches(
+            _kmeans_partials, batch_format="pyarrow",
+            fn_args=(cent_ref, vec_col, id_col)).to_pandas()
+        parts = parts.sort_values(["pid", "cluster"], kind="stable")
+        kk, dim = cent.shape
+        clusters = parts["cluster"].to_numpy().astype(np.int64)
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        # np.add.at accumulates in row order (pid-sorted) — deterministic
+        np.add.at(sums, clusters,
+                  np.vstack(parts["vsum"].to_numpy()).astype(np.float64))
+        counts = np.bincount(clusters, weights=parts["count"].to_numpy(),
+                             minlength=kk).astype(np.int64)
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new)
+    return cent
+
+
+def kmeans_assign(ds: ray.data.Dataset, centroids: np.ndarray, *,
+                  vec_col: str = "embedding") -> ray.data.Dataset:
+    """Streaming cluster assignment: appends an int32 ``cluster``
+    column (nearest centroid by cosine). One stateless map_batches
+    pass; centroids broadcast once."""
+    return ds.map_batches(_IVFAssign(centroids, vec_col).__call__,
+                          batch_format="pyarrow")
+
+
+def kmeans_cluster(ds: ray.data.Dataset, k: int = 8, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   iters: int = 10, seed: int = 11
+                   ) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Fit + assign: returns (dataset with ``cluster`` column,
+    centroids). The curation primitive behind semantic bucketing /
+    domain mixing / cluster-balanced sampling."""
+    cent = kmeans_fit(ds, k, vec_col=vec_col, id_col=id_col,
+                      iters=iters, seed=seed)
+    return kmeans_assign(ds, cent, vec_col=vec_col), cent
