@@ -629,6 +629,38 @@ def _text_decontam(sf_dir: str):
     })
 
 
+def _pipeline_curate(sf_dir: str):
+    """Flagship training-data curation pipeline, fully SQL-verified:
+    scrub (PII redact + quality/repetition thresholds) → exact content
+    dedup → benchmark 5-gram decontamination, chained LAZILY through
+    the same stage transforms the `curate` CLI verb checkpoints
+    between. Near-dup is off here (MinHash is not SQL-expressible;
+    it's oracled separately via dedup_minhash + pytest recall).
+    Benchmark = docs with doc_id % 97 == 0 (raw text); input = the
+    rest."""
+    from icat_lucene_ray.pipelines.curate import (
+        CurateConfig, decontam_transform, dedup_transform, scrub_transform)
+
+    cfg = CurateConfig(near_dup_threshold=None)
+    ds = _docs_ds(sf_dir)
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        m = batch["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return batch.filter(pa.array(m if keep_bench else ~m))
+
+    bench = ds.map_batches(_split, batch_format="pyarrow", fn_args=(True,))
+    train = ds.map_batches(_split, batch_format="pyarrow", fn_args=(False,))
+    out = decontam_transform(
+        dedup_transform(scrub_transform(train, cfg), cfg), bench, cfg)
+    pdf = out.select_columns(["doc_id", "n_tokens", "n_pii"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(pdf["doc_id"].astype(int), pa.int64()),
+        "n_tokens": pa.array(pdf["n_tokens"].astype(int), pa.int64()),
+        "n_pii": pa.array(pdf["n_pii"].astype(int), pa.int64()),
+    })
+
+
 # ---------------- web ops (URL canonicalization / host agg / URL dedup) -----
 
 def _with_urls(batch: pa.Table) -> pa.Table:
@@ -1082,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_redact": _text_pii_redact,
         "text_unigram_logprob": _text_unigram_logprob,
         "text_decontam": _text_decontam,
+        "pipeline_curate": _pipeline_curate,
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
@@ -1381,6 +1414,75 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) >= 1 AS contaminated
             FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
             ORDER BY tr.doc_id""",
+        "pipeline_curate": r"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+            ), r1 AS (SELECT doc_id, text AS t0,
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS x FROM base
+            ), r2 AS (SELECT doc_id, t0, x AS p1,
+              regexp_replace(x, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                             '<SSN>', 'g') AS x FROM r1
+            ), r3 AS (SELECT doc_id, t0, p1, x AS p2,
+              regexp_replace(x, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+                             '<PHONE>', 'g') AS x FROM r2
+            ), r4 AS (SELECT doc_id, t0, p1, p2, x AS p3,
+              regexp_replace(x, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                             '<IP>', 'g') AS x FROM r3
+            ), m AS (SELECT doc_id, x AS text,
+              (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(p1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+             + len(regexp_extract_all(p2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))
+             + len(regexp_extract_all(p3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT
+                AS n_pii,
+              string_split(x, ' ') AS toks FROM r4
+            ), met AS (SELECT doc_id, text, n_pii, toks,
+              len(toks)::BIGINT AS n_tokens,
+              len(list_filter(toks, y -> y IN ('a','an','and','in','is',
+                  'it','of','that','the','to')))::DOUBLE / len(toks)
+                AS stop_ratio,
+              1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                AS dup_word_frac
+              FROM m
+            ), bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bg FROM met
+            ), bic AS (SELECT doc_id, bg, count(*) AS c FROM bi
+                       GROUP BY doc_id, bg
+            ), bimax AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg
+                         FROM bic GROUP BY doc_id
+            ), scrub AS (SELECT met.doc_id, met.text, met.n_pii,
+                                met.n_tokens
+              FROM met LEFT JOIN bimax USING (doc_id)
+              WHERE met.n_tokens >= 3 AND met.stop_ratio <= 0.9
+                AND met.dup_word_frac <= 0.9
+                AND coalesce(maxc::DOUBLE / nbg, 0) <= 0.9
+            ), ded AS (SELECT min(doc_id) AS doc_id FROM scrub
+                       GROUP BY text
+            ), dd AS (SELECT s.doc_id, s.text, s.n_pii, s.n_tokens
+                      FROM scrub s JOIN ded USING (doc_id)
+            ), bt AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                         z -> z <> '') AS toks
+                      FROM documents WHERE doc_id % 97 = 0
+            ), bsh AS (SELECT DISTINCT unnest(CASE WHEN len(toks) <= 5
+                THEN [array_to_string(toks, chr(31))]
+                ELSE list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], chr(31)))
+              END) AS g FROM bt
+            ), dtok AS (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'),
+                            z -> z <> '') AS toks FROM dd
+            ), dg AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) <= 5
+                  THEN [array_to_string(toks, chr(31))]
+                  ELSE list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], chr(31)))
+                END)) AS g FROM dtok
+            ), contam AS (SELECT DISTINCT dg.doc_id FROM dg
+                          JOIN bsh USING (g))
+            SELECT doc_id, n_tokens, n_pii FROM dd
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            ORDER BY doc_id""",
         "text_pii_redact": f"""
             WITH p AS (SELECT doc_id, {_PII_SQL} AS t FROM documents),
             r1 AS (SELECT doc_id, t,

@@ -113,6 +113,19 @@ def cmd_merge(args):
                       "avgdl": round(m.avgdl, 2)}))
 
 
+def cmd_curate(args):
+    from icat_lucene_ray.pipelines.curate import CurateConfig, curate
+
+    _init_ray(args.num_cpus)
+    cfg = CurateConfig(
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        near_dup_threshold=(None if args.no_near_dup
+                            else args.near_dup_threshold),
+    )
+    report = curate(args.input, args.out, bench=args.bench, cfg=cfg)
+    print(json.dumps(report))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="icat_lucene_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -158,6 +171,20 @@ def main(argv=None):
     mg.add_argument("--out", required=True)
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    cu = sub.add_parser(
+        "curate", help="scrub + dedup + decontaminate a documents table "
+                       "into partitioned parquet (stage-resumable)")
+    cu.add_argument("--input", required=True, help="parquet file or dir")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--bench", default=None,
+                    help="benchmark parquet (text col) for decontamination")
+    cu.add_argument("--langs", default="",
+                    help="comma-separated predicted-language allowlist")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--no-near-dup", action="store_true")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

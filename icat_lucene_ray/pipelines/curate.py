@@ -1,0 +1,231 @@
+"""End-to-end web-corpus curation pipeline.
+
+The "user switches their whole training-data pipeline to this engine"
+surface: one call (or ``python -m icat_lucene_ray curate``) chains the
+standard pre-training scrub over a documents table —
+
+1. **scrub** — ONE fused stateless ``map_batches`` pass: PII redaction
+   (typed tags, text replaced), quality metrics (token count /
+   stop-word ratio / combined score), Gopher-style repetition metrics;
+   threshold filters applied in the same pass so dropped rows never
+   leave the task. Then the LangId actor-pool pass (+ optional
+   language allowlist filter). Streaming write to
+   ``{out}/scrubbed/``.
+2. **dedup** — exact content dedup as ONE hash shuffle carrying full
+   rows (``groupby(fp_md5)``, keep lowest id — the canonical
+   at-scale form: each group is tiny, no driver id sets), then
+   MinHash+LSH near-dup (cluster-side pair verify + connected
+   components; only the drop-id set — O(near-dup clusters), not
+   O(rows) — transits the driver as a broadcast anti-filter).
+   Streaming write to ``{out}/deduped/``.
+3. **decontam** — benchmark n-gram overlap scrub (broadcast shingle
+   set, shuffle-free membership filter). Streaming write to
+   ``{out}/curated/``.
+
+Every stage writes partitioned parquet and a ``_DONE.json`` marker;
+re-running skips finished stages (resumable at stage granularity —
+at 100 TB you resume a failed run without redoing the scrub shuffle).
+Per-stage row counts come from parquet METADATA (``count_rows()``),
+never a data scan.
+
+The reference engine has no curation pipeline (it indexes ICAT
+metadata); this is the brief's training-data surface composed from the
+engine's own ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray
+import ray.data
+
+
+@dataclass
+class CurateConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    #: scrub thresholds (None disables a rule)
+    min_tokens: int | None = 3
+    max_stop_ratio: float | None = 0.9
+    min_quality: float | None = None
+    max_dup_word_frac: float | None = 0.9
+    max_top_bigram_frac: float | None = 0.9
+    redact_pii: bool = True
+    #: language allowlist on the PREDICTED language (None keeps all)
+    langs: tuple[str, ...] | None = None
+    #: near-dup off when None
+    near_dup_threshold: float | None = 0.8
+    #: decontamination (no-op when the pipeline gets no benchmark)
+    decontam_n: int = 5
+    decontam_min_hits: int = 1
+
+
+def _count_rows(path: str) -> int:
+    return pads.dataset(path, format="parquet").count_rows()
+
+
+def _done(stage_dir: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir, "_DONE.json"))
+
+
+def _mark_done(stage_dir: str, info: dict) -> None:
+    with open(os.path.join(stage_dir, "_DONE.json"), "w") as f:
+        json.dump(info, f)
+
+
+def _scrub_stage(cfg: CurateConfig):
+    """Fused scrub: redact + metrics + threshold filter, one pass."""
+    from icat_lucene_ray.ops.text import (
+        add_quality_score, add_repetition_metrics, redact_pii)
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        if cfg.redact_pii:
+            batch = redact_pii(batch, cfg.text_col)
+            i = batch.schema.get_field_index(cfg.text_col)
+            batch = batch.set_column(i, cfg.text_col,
+                                     batch["clean_text"]) \
+                         .drop_columns(["clean_text"])
+        batch = add_quality_score(batch, cfg.text_col)
+        batch = add_repetition_metrics(batch, cfg.text_col)
+        keep = pa.array([True] * batch.num_rows)
+        if cfg.min_tokens is not None:
+            keep = pc.and_(keep, pc.greater_equal(
+                batch["n_tokens"], cfg.min_tokens))
+        if cfg.max_stop_ratio is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                batch["stop_ratio"], cfg.max_stop_ratio))
+        if cfg.min_quality is not None:
+            keep = pc.and_(keep, pc.greater_equal(
+                batch["quality"], cfg.min_quality))
+        if cfg.max_dup_word_frac is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                batch["dup_word_frac"], cfg.max_dup_word_frac))
+        if cfg.max_top_bigram_frac is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                batch["top_bigram_frac"], cfg.max_top_bigram_frac))
+        return batch.filter(keep)
+
+    return _scrub
+
+
+def _keep_min_id_group(g: pa.Table, id_col: str) -> pa.Table:
+    i = pc.index(pc.equal(g[id_col], pc.min(g[id_col])), True).as_py()
+    return g.slice(i, 1)
+
+
+def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
+                    ) -> "ray.data.Dataset":
+    """Stage 1 as a lazy transform: fused redact+metrics+filter pass,
+    LangId actor pass, optional language allowlist."""
+    from icat_lucene_ray.ops.text import LangId
+
+    ds = ds.map_batches(_scrub_stage(cfg), batch_format="pyarrow")
+    ds = ds.map_batches(LangId(cfg.text_col), batch_format="pyarrow",
+                        concurrency=2)
+    if cfg.langs is not None:
+        allowed = pa.array(list(cfg.langs), pa.string())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["lang_pred"], value_set=allowed)),
+            batch_format="pyarrow")
+    return ds
+
+
+def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig
+                    ) -> "ray.data.Dataset":
+    """Stage 2 as a lazy transform: exact content dedup (one hash
+    shuffle carrying full rows, keep lowest id per group) + optional
+    MinHash near-dup anti-filter."""
+    from icat_lucene_ray.ops.dedup import filter_out_ids, minhash_lsh_dedup
+    from icat_lucene_ray.ops.text import add_md5_fingerprint
+
+    hashed = ds.map_batches(
+        lambda b: add_md5_fingerprint(b, cfg.text_col),
+        batch_format="pyarrow")
+    exact = hashed.groupby("fp_md5").map_groups(
+        _keep_min_id_group, batch_format="pyarrow",
+        fn_args=(cfg.id_col,)).drop_columns(["fp_md5"])
+    if cfg.near_dup_threshold is not None:
+        res = minhash_lsh_dedup(
+            exact, threshold=cfg.near_dup_threshold,
+            text_col=cfg.text_col, id_col=cfg.id_col)
+        exact = filter_out_ids(exact, res["drop"], cfg.id_col)
+    return exact
+
+
+def decontam_transform(ds: "ray.data.Dataset",
+                       bench: "ray.data.Dataset | list[str] | None",
+                       cfg: CurateConfig) -> "ray.data.Dataset":
+    """Stage 3 as a lazy transform: benchmark n-gram anti-filter
+    (no-op when ``bench`` is None)."""
+    from icat_lucene_ray.ops.decontam import decontaminate
+
+    if bench is None:
+        return ds
+    return decontaminate(ds, bench, n=cfg.decontam_n,
+                         text_col=cfg.text_col, id_col=cfg.id_col,
+                         min_hits=cfg.decontam_min_hits)
+
+
+def curate(src: str, out_dir: str, *,
+           bench: "str | list[str] | None" = None,
+           cfg: CurateConfig | None = None) -> dict:
+    """Run the full pipeline ``src`` (parquet path/dir) → ``out_dir``.
+    ``bench``: parquet path (text column) or list of benchmark texts;
+    None skips decontamination. Returns the report dict (also written
+    to ``{out_dir}/report.json``)."""
+    cfg = cfg or CurateConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    scrubbed = os.path.join(out_dir, "scrubbed")
+    deduped = os.path.join(out_dir, "deduped")
+    curated = os.path.join(out_dir, "curated")
+    report: dict = {"input_rows": _count_rows(src), "stages": {}}
+
+    # ---- stage 1: scrub ---------------------------------------------
+    t0 = time.perf_counter()
+    if not _done(scrubbed):
+        scrub_transform(ray.data.read_parquet(src), cfg) \
+            .write_parquet(scrubbed)
+        _mark_done(scrubbed, {"sec": round(time.perf_counter() - t0, 3)})
+    report["stages"]["scrub"] = {
+        "rows": _count_rows(scrubbed),
+        **json.load(open(os.path.join(scrubbed, "_DONE.json")))}
+
+    # ---- stage 2: dedup ---------------------------------------------
+    t0 = time.perf_counter()
+    if not _done(deduped):
+        dedup_transform(ray.data.read_parquet(scrubbed), cfg) \
+            .write_parquet(deduped)
+        _mark_done(deduped, {"sec": round(time.perf_counter() - t0, 3)})
+    report["stages"]["dedup"] = {
+        "rows": _count_rows(deduped),
+        **json.load(open(os.path.join(deduped, "_DONE.json")))}
+
+    # ---- stage 3: decontaminate -------------------------------------
+    t0 = time.perf_counter()
+    if not _done(curated):
+        bench_in: "ray.data.Dataset | list[str] | None"
+        if isinstance(bench, str):
+            bench_in = ray.data.read_parquet(bench)
+        elif bench is not None:
+            bench_in = list(bench)
+        else:
+            bench_in = None
+        decontam_transform(ray.data.read_parquet(deduped), bench_in, cfg) \
+            .write_parquet(curated)
+        _mark_done(curated, {"sec": round(time.perf_counter() - t0, 3)})
+    report["stages"]["decontam"] = {
+        "rows": _count_rows(curated),
+        **json.load(open(os.path.join(curated, "_DONE.json")))}
+
+    report["curated_rows"] = report["stages"]["decontam"]["rows"]
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report

@@ -1,0 +1,107 @@
+"""End-to-end curation pipeline: scrub → dedup → decontaminate, with
+stage-resume semantics (training-data surface; no reference parity)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from icat_lucene_ray.pipelines.curate import CurateConfig, curate
+
+GOOD = ("the data pipeline joins the table scan with a filter stage "
+        "and writes compact parquet output for later query passes")
+DOCS = [
+    (0, GOOD),
+    (1, "x"),                                     # min_tokens drop
+    (2, "the and of to in is that it an a"),      # all stopwords drop
+    (3, "spam spam spam spam spam spam spam spam"),  # dup_word_frac drop
+    (4, GOOD),                                    # exact dup of 0 -> drop
+    (5, "contact me at alice@example.com for the merge plan today ok"),
+    (6, "the quick brown fox jumps over the lazy dog every day"),
+    (7, "benchmark question about the secret eval answer tokens here"),
+]
+BENCH = ["benchmark question about the secret eval answer tokens maybe"]
+
+
+def _write_corpus(tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS], pa.string()),
+    }), src)
+    return src
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("curate")
+    src = _write_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    cfg = CurateConfig(near_dup_threshold=0.8, decontam_n=5)
+    report = curate(src, out, bench=BENCH, cfg=cfg)
+    return src, out, cfg, report
+
+
+def test_stage_counts(run):
+    _, out, _, report = run
+    assert report["input_rows"] == 8
+    # drops: 1 (short), 2 (stopwords), 3 (repetition) at scrub
+    assert report["stages"]["scrub"]["rows"] == 5
+    # doc 4 is an exact dup of doc 0
+    assert report["stages"]["dedup"]["rows"] == 4
+    # doc 7 shares a 5-gram with the benchmark
+    assert report["curated_rows"] == 3
+    final = pq.read_table(os.path.join(out, "curated"))
+    assert sorted(final["doc_id"].to_pylist()) == [0, 5, 6]
+
+
+def test_pii_redacted_and_metrics_present(run):
+    _, out, _, _ = run
+    final = pq.read_table(os.path.join(out, "curated")).to_pandas() \
+        .set_index("doc_id")
+    assert "<EMAIL>" in final.loc[5, "text"]
+    assert "alice@example.com" not in final.loc[5, "text"]
+    for col in ("n_tokens", "stop_ratio", "quality", "dup_word_frac",
+                "top_bigram_frac", "lang_pred", "n_pii"):
+        assert col in final.columns, col
+    assert final.loc[5, "n_pii"] == 1
+
+
+def test_report_written(run):
+    _, out, _, report = run
+    on_disk = json.load(open(os.path.join(out, "report.json")))
+    assert on_disk == report
+
+
+def test_resume_skips_finished_stages(run):
+    src, out, cfg, report = run
+
+    def mtimes():
+        out_files = {}
+        for root, _, files in os.walk(out):
+            for f in files:
+                p = os.path.join(root, f)
+                out_files[p] = os.stat(p).st_mtime_ns
+        return out_files
+
+    before = mtimes()
+    report2 = curate(src, out, bench=BENCH, cfg=cfg)
+    after = mtimes()
+    # same row counts, and no stage output rewritten (only report.json
+    # may be touched)
+    assert report2["curated_rows"] == report["curated_rows"]
+    changed = {p for p in before
+               if before[p] != after.get(p) and "report.json" not in p}
+    assert not changed, changed
+
+
+def test_no_bench_keeps_contaminated(ray_session, tmp_path):
+    src = _write_corpus(tmp_path)
+    out = str(tmp_path / "out_nobench")
+    report = curate(src, out, bench=None,
+                    cfg=CurateConfig(near_dup_threshold=None))
+    # scrub drops 3; exact dedup still removes the doc-0 duplicate
+    assert report["curated_rows"] == 4
