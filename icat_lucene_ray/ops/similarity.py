@@ -198,17 +198,26 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    train: str = "sample",
 ) -> dict:
-    """Write a cluster-partitioned IVF index: centroids trained once on
-    a sample, every row assigned in one distributed pass, rows written
-    as ``cluster=<c>/`` parquet partitions so a query READS only its
-    ``nprobe`` clusters (partition pruning — the persisted counterpart
-    of :func:`ivf_topk`, which recomputes clusters per call and is only
+    """Write a cluster-partitioned IVF index: centroids trained once
+    (``train='sample'``: driver-side sample via
+    :func:`train_centroids`; ``train='full'``: distributed full-data
+    Lloyd via :func:`kmeans_fit` — tighter partitions on skewed
+    corpora at the cost of ``iters`` streamed passes), every row
+    assigned in one distributed pass, rows written as ``cluster=<c>/``
+    parquet partitions so a query READS only its ``nprobe`` clusters
+    (partition pruning — the persisted counterpart of
+    :func:`ivf_topk`, which recomputes clusters per call and is only
     for ad-hoc use). Returns the manifest dict."""
     import json
     import os
 
-    cent = train_centroids(ds, n_clusters, vec_col=vec_col, seed=seed)
+    if train == "full":
+        cent = kmeans_fit(ds, n_clusters, vec_col=vec_col,
+                          id_col=id_col, seed=seed)
+    else:
+        cent = train_centroids(ds, n_clusters, vec_col=vec_col, seed=seed)
     assign = _IVFAssign(cent, vec_col)
     (ds.select_columns([id_col, vec_col])
        .map_batches(assign.__call__, batch_format="pyarrow")

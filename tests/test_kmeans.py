@@ -117,3 +117,26 @@ def test_empty_cluster_kept(ray_session):
     })
     cent = kmeans_fit(ray.data.from_arrow(t), k=4, iters=3, seed=1)
     assert np.isfinite(cent).all()
+
+
+def test_ivf_full_train(blobs, tmp_path):
+    """build_ivf_index(train='full') partitions by kmeans_fit centroids;
+    on well-separated blobs the probe-1 read returns the true top-k."""
+    import os
+
+    from icat_lucene_ray.ops.similarity import (
+        _normalize as _nrm, build_ivf_index, ivf_index_topk)
+
+    ds, t, m = blobs
+    out = str(tmp_path / "ivf_full")
+    man = build_ivf_index(ds, out, n_clusters=3, train="full", seed=3)
+    assert man["n_clusters"] == 3
+    assert sorted(d for d in os.listdir(out) if d.startswith("cluster=")) \
+        == ["cluster=0", "cluster=1", "cluster=2"]
+    q = m[7]
+    got = ivf_index_topk(out, q, k=5, nprobe=1)
+    sims = _nrm(m) @ _nrm(np.atleast_2d(q))[0]
+    want = set(np.argsort(-sims)[:5].tolist())
+    # vec_id i corresponds to m[i] (m is already in table order), so
+    # brute-force indices ARE vec_ids
+    assert set(got["vec_id"].to_pylist()) == want
