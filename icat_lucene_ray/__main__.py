@@ -113,6 +113,29 @@ def cmd_merge(args):
                       "avgdl": round(m.avgdl, 2)}))
 
 
+def cmd_stats(args):
+    """S7/ST5-style introspection (the reference's getVersion + shard
+    doc counts, Lucene.java:755-779 status surface): manifest-only
+    read — no Ray session, no data scan."""
+    from icat_lucene_ray.index.manifest import IndexManifest
+
+    m = IndexManifest.load(args.index)
+    print(json.dumps({
+        "num_docs": m.num_docs, "avgdl": round(m.avgdl, 4),
+        "total_tokens": m.total_tokens,
+        "segments": len(m.segments), "generation": m.generation,
+        "deltas": [{"gen": d["gen"], "n_created": d.get("n_created", 0),
+                    "n_deleted": d.get("n_deleted", 0)}
+                   for d in m.deltas],
+        "text_fields": m.text_fields, "meta_cols": m.meta_cols,
+        "analyzer": m.analyzer, "analyzer_version": m.analyzer_version,
+        "format_version": m.format_version,
+        "id_assignment": m.id_assignment,
+        "hot_terms": len(m.hot_terms),
+        "positions": bool(m.config.get("positions", False)),
+    }))
+
+
 def cmd_curate(args):
     from icat_lucene_ray.pipelines.curate import CurateConfig, curate
 
@@ -171,6 +194,11 @@ def main(argv=None):
     mg.add_argument("--out", required=True)
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    stt = sub.add_parser("stats", help="print index manifest stats "
+                                       "(no Ray session, no data scan)")
+    stt.add_argument("--index", required=True)
+    stt.set_defaults(fn=cmd_stats)
 
     cu = sub.add_parser(
         "curate", help="scrub + dedup + decontaminate a documents table "
