@@ -141,6 +141,8 @@ def cmd_curate(args):
 
     _init_ray(args.num_cpus)
     cfg = CurateConfig(
+        text_col=args.text_col,
+        id_col=args.id_col,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         near_dup_threshold=(None if args.no_near_dup
                             else args.near_dup_threshold),
@@ -209,6 +211,10 @@ def main(argv=None):
                     help="benchmark parquet (text col) for decontamination")
     cu.add_argument("--langs", default="",
                     help="comma-separated predicted-language allowlist")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id",
+                    help="row identity for dedup keep-min (string ids "
+                         "OK when near-dup is off)")
     cu.add_argument("--near-dup-threshold", type=float, default=0.8)
     cu.add_argument("--no-near-dup", action="store_true")
     cu.add_argument("--num-cpus", type=int, default=None)

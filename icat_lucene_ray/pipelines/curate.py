@@ -12,8 +12,11 @@ standard pre-training scrub over a documents table —
    language allowlist filter). Streaming write to
    ``{out}/scrubbed/``.
 2. **dedup** — exact content dedup as ONE hash shuffle carrying full
-   rows (``groupby(fp_md5)``, keep lowest id — the canonical
-   at-scale form: each group is tiny, no driver id sets), then
+   rows, BUCKETED: rows group by ``hash(fp_md5) % dedup_buckets`` and
+   each vectorized group call keeps the lowest id per fp run (one
+   Python call per bucket, not per content group — at web scale
+   nearly every group has size 1, so per-group calls would be O(rows)
+   Python overhead; no driver id sets either way), then
    MinHash+LSH near-dup (cluster-side pair verify + connected
    components; only the drop-id set — O(near-dup clusters), not
    O(rows) — transits the driver as a broadcast anti-filter).
@@ -40,6 +43,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -66,6 +70,10 @@ class CurateConfig:
     #: decontamination (no-op when the pipeline gets no benchmark)
     decontam_n: int = 5
     decontam_min_hits: int = 1
+    #: exact-dedup shuffle buckets: rows group by hash(fp_md5) % B, so
+    #: ~rows/B land in each vectorized keep-min group call — size B so
+    #: a bucket (rows x row bytes / B) fits a worker's heap
+    dedup_buckets: int = 256
 
 
 def _count_rows(path: str) -> int:
@@ -116,9 +124,20 @@ def _scrub_stage(cfg: CurateConfig):
     return _scrub
 
 
-def _keep_min_id_group(g: pa.Table, id_col: str) -> pa.Table:
-    i = pc.index(pc.equal(g[id_col], pc.min(g[id_col])), True).as_py()
-    return g.slice(i, 1)
+def _keep_min_per_key(g: pa.Table, id_col: str) -> pa.Table:
+    """One BUCKET of content groups: sort by (fp_md5, id), keep the
+    first row of each fp run — vectorized, one Python call per bucket
+    (NOT per content group; at web scale almost every group has size 1,
+    so per-group map_groups would mean O(rows) Python calls)."""
+    order = pc.sort_indices(
+        pa.table({"f": g["fp_md5"], "i": g[id_col]}),
+        sort_keys=[("f", "ascending"), ("i", "ascending")])
+    g = g.take(order)
+    keys = g["fp_md5"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        first[1:] = keys[1:] != keys[:-1]
+    return g.filter(pa.array(first)).drop_columns(["fp_md5", "_dbkt"])
 
 
 def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
@@ -146,12 +165,19 @@ def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig
     from icat_lucene_ray.ops.dedup import filter_out_ids, minhash_lsh_dedup
     from icat_lucene_ray.ops.text import add_md5_fingerprint
 
-    hashed = ds.map_batches(
-        lambda b: add_md5_fingerprint(b, cfg.text_col),
-        batch_format="pyarrow")
-    exact = hashed.groupby("fp_md5").map_groups(
-        _keep_min_id_group, batch_format="pyarrow",
-        fn_args=(cfg.id_col,)).drop_columns(["fp_md5"])
+    B = cfg.dedup_buckets
+
+    def _hash_stage(b: pa.Table) -> pa.Table:
+        b = add_md5_fingerprint(b, cfg.text_col)
+        fps = b["fp_md5"].to_pylist()
+        bkt = np.fromiter((int(f[:8], 16) % B for f in fps),
+                          dtype=np.int64, count=len(fps))
+        return b.append_column("_dbkt", pa.array(bkt))
+
+    hashed = ds.map_batches(_hash_stage, batch_format="pyarrow")
+    exact = hashed.groupby("_dbkt").map_groups(
+        _keep_min_per_key, batch_format="pyarrow",
+        fn_args=(cfg.id_col,))
     if cfg.near_dup_threshold is not None:
         res = minhash_lsh_dedup(
             exact, threshold=cfg.near_dup_threshold,
