@@ -831,6 +831,25 @@ def _agg_window_sum(sf_dir: str):
     return _round6(t, "total_value")
 
 
+def _sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap): bucketed
+    vectorized session assignment; full window-function SQL oracle."""
+    import ray.data
+
+    from icat_lucene_ray.ops.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, gap=30 * 60).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(out["event_id"].astype(int), pa.int64()),
+        "user_id": pa.array(out["user_id"].astype(int), pa.int64()),
+        "session_seq": pa.array(out["session_seq"].astype(int), pa.int64()),
+    })
+
+
 def _asof_last_order(sf_dir: str):
     """Backward as-of join: each event matched to the user's most
     recent order at-or-before the event time (right side pre-aggregated
@@ -1123,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
+        "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,
         "keep_latest_event": _keep_latest_event,
         "rel_denorm_update": _rel_denorm_update,
@@ -1547,6 +1567,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
             ORDER BY user_id, window_start""",
+        "sessionize_events": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, user_id,
+              (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                AS session_seq
+            FROM o ORDER BY event_id""",
         "asof_last_order": """
             WITH r AS (
               SELECT o_custkey, o_orderdate,

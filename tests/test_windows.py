@@ -69,3 +69,60 @@ def test_asof_join_backward_semantics(ray_session):
     assert np.isnan(got[4])    # no right rows for key 2 at all
     assert got[5] == 30.0      # ties at equal ts match (<=)
     assert len(out) == 5       # every left row survives (left join)
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Strictly-greater gap starts a session; an exact-gap tie does
+    not. Keys never mix sessions, whatever bucket they hash to."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from icat_lucene_ray.ops.windows import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = np.timedelta64(60, "s")
+    rows = [
+        # user 1: 0min, 30min (== gap, same session), 61min (new)
+        (0, 1, base), (1, 1, base + 30 * mins), (2, 1, base + 91 * mins),
+        # user 2: single event
+        (3, 2, base),
+        # user 3: two sessions split by a big gap
+        (4, 3, base), (5, 3, base + 500 * mins),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = sessionize(ray.data.from_arrow(t), gap=30 * 60, num_buckets=4) \
+        .to_pandas().sort_values("event_id")
+    assert out["session_seq"].tolist() == [0, 0, 1, 0, 0, 1]
+
+
+def test_sessionize_matches_window_sql(ray_session):
+    """Full-table equivalence with the DuckDB window formulation at
+    sf0.001 (the driver checks sf0.01)."""
+    import duckdb
+    import ray.data
+
+    from icat_lucene_ray.ops.windows import sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = sessionize(
+        ray.data.read_parquet(src, columns=["event_id", "user_id", "ts"]),
+        gap=30 * 60).to_pandas().sort_values("event_id")
+    ref = duckdb.sql(f"""
+        WITH o AS (
+          SELECT event_id, ts, user_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM '{src}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+        FROM o ORDER BY event_id""").fetchdf()
+    assert (out["session_seq"].to_numpy()
+            == ref["session_seq"].to_numpy()).all()
