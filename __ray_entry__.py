@@ -831,6 +831,30 @@ def _agg_window_sum(sf_dir: str):
     return _round6(t, "total_value")
 
 
+def _rel_hash_join(sf_dir: str):
+    """General distributed equi-join (both sides large): documents
+    enriched with their embedding's cluster label — the standard
+    metadata-enrichment join of a training pipeline."""
+    import ray.data
+
+    from icat_lucene_ray.ops.relations import hash_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"])
+    out = hash_join(docs, emb, on="doc_id", right_on="vec_id",
+                    how="inner").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "label": pa.array(out["label"].astype(np.int32), pa.int32()),
+    })
+
+
 def _sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity gap): bucketed
     vectorized session assignment; full window-function SQL oracle."""
@@ -1142,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
+        "rel_hash_join": _rel_hash_join,
         "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,
         "keep_latest_event": _keep_latest_event,
@@ -1567,6 +1592,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
             ORDER BY user_id, window_start""",
+        "rel_hash_join": """
+            SELECT d.doc_id, d.lang, e.label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY d.doc_id""",
         "sessionize_events": """
             WITH o AS (
               SELECT event_id, user_id, ts,

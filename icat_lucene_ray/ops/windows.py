@@ -63,12 +63,19 @@ def asof_join(
     right_ts: str,
     right_vals: dict[str, str],
     left_cols: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Backward as-of join: each left row gets the right row with the
     LARGEST ``right_ts <= left_ts`` for the same key (null columns when
     no prior right row exists). ``right_vals`` maps right column ->
     output column name. Right (key, ts) pairs should be unique for a
-    deterministic result (pre-aggregate ties upstream)."""
+    deterministic result (pre-aggregate ties upstream).
+
+    Shape: keys bucket by multiplicative hash; each group call runs ONE
+    C-speed ``pd.merge_asof(..., by=key)`` over its whole bucket — one
+    Python call per bucket, never per key. Partitioning assumption
+    (documented per the custom-operator rule): a bucket's rows fit a
+    worker; raise ``num_buckets`` with corpus size."""
     lcols = list(left_cols or [c for c in left.schema().names
                                if c not in (key_col, left_ts)])
 
@@ -103,36 +110,52 @@ def asof_join(
     schema = pa.schema(fields)
 
     def cast_to(b: pa.Table) -> pa.Table:
-        return b.cast(schema)
+        b = b.cast(schema)
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((k * 2654435761) & 0x7FFFFFFF) % num_buckets
+        return b.append_column("_abkt", pa.array(bkt.astype(np.int64)))
 
     tagged = (left.map_batches(tag_left, batch_format="pyarrow")
               .map_batches(cast_to, batch_format="pyarrow")
               .union(right.map_batches(tag_right, batch_format="pyarrow")
                      .map_batches(cast_to, batch_format="pyarrow")))
 
-    out_names = [key_col, left_ts] + lcols + list(right_vals.values())
-
     def match_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
         side = g["__side"].to_numpy(zero_copy_only=False)
         lt = g.filter(pa.array(side == 0))
         rt = g.filter(pa.array(side == 1))
-        rts = rt["__ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(rts, kind="stable")
-        rts = rts[order]
-        lts = lt["__ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        take = pa.array([int(order[i]) if i >= 0 else None for i in idx],
-                        pa.int64())
-        cols = {key_col: lt[key_col], left_ts: lt["__ts"]}
+        ldf = pa.table(
+            {key_col: lt[key_col], "__ts": lt["__ts"],
+             **{f"l__{c}": lt[f"l__{c}"] for c in lcols}}).to_pandas()
+        ldf["__pos"] = np.arange(len(ldf))
+        rdf = pa.table(
+            {key_col: rt[key_col], "__ts": rt["__ts"],
+             **{f"r__{out}": rt[f"r__{out}"]
+                for out in right_vals.values()}}).to_pandas()
+        ldf = ldf.sort_values("__ts", kind="stable")
+        rdf = rdf.sort_values("__ts", kind="stable")
+        if len(rdf):
+            j = pd.merge_asof(ldf, rdf, on="__ts", by=key_col,
+                              direction="backward")
+        else:
+            j = ldf.copy()
+            for out in right_vals.values():
+                j[f"r__{out}"] = None
+        j = j.sort_values("__pos", kind="stable")
+        cols = {key_col: pa.array(j[key_col]),
+                left_ts: pa.Array.from_pandas(
+                    j["__ts"], type=schema.field("__ts").type)}
         for c in lcols:
-            cols[c] = lt[f"l__{c}"]
+            cols[c] = pa.Array.from_pandas(
+                j[f"l__{c}"], type=schema.field(f"l__{c}").type)
         for _rc, out in right_vals.items():
-            cols[out] = rt[f"r__{out}"].take(take) if rt.num_rows else \
-                pa.nulls(lt.num_rows).cast(
-                    schema.field(f"r__{out}").type)
+            cols[out] = pa.Array.from_pandas(
+                j[f"r__{out}"], type=schema.field(f"r__{out}").type)
         return pa.table(cols)
 
-    return tagged.groupby(key_col).map_groups(match_group,
+    return tagged.groupby("_abkt").map_groups(match_group,
                                               batch_format="pyarrow")
 
 

@@ -144,3 +144,53 @@ def test_join_fetch_one_query_per_distinct_key(ray_session, built_index):
                     out["joined_doc_id"].to_pylist()):
         by_hit.setdefault(d, []).append(j)
     assert by_hit.get(1) == by_hit.get(2) == by_hit.get(4)
+
+
+def test_hash_join_semantics(ray_session):
+    """Inner/left equi-join vs a pandas oracle, including duplicate
+    keys (per-key cartesian) and unmatched left rows (nulls on left
+    join, dropped on inner)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from icat_lucene_ray.ops.relations import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                   "lv": pa.array(["a", "b", "c", "d", "e"])})
+    rt = pa.table({"k": pa.array([2, 2, 3, 4], pa.int64()),
+                   "rv": pa.array([10.0, 20.0, 30.0, 40.0])})
+    lds, rds = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+
+    for how in ("inner", "left"):
+        got = hash_join(lds, rds, on="k", how=how, num_buckets=4) \
+            .to_pandas().sort_values(["k", "lv", "rv"]) \
+            .reset_index(drop=True)
+        want = pd.merge(lt.to_pandas(), rt.to_pandas(), on="k", how=how) \
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        assert got["k"].tolist() == want["k"].tolist(), how
+        assert got["lv"].tolist() == want["lv"].tolist(), how
+        assert np.array_equal(got["rv"].to_numpy(), want["rv"].to_numpy(),
+                              equal_nan=True), how
+
+    with pytest.raises(ValueError, match="colliding"):
+        hash_join(lds, rds.map_batches(
+            lambda b: b.rename_columns(["k", "lv"]),
+            batch_format="pyarrow"), on="k")
+
+
+def test_hash_join_right_on(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from icat_lucene_ray.ops.relations import hash_join
+
+    lt = pa.table({"a": pa.array([1, 2], pa.int64()),
+                   "x": pa.array([5, 6], pa.int64())})
+    rt = pa.table({"b": pa.array([2, 3], pa.int64()),
+                   "y": pa.array([7, 8], pa.int64())})
+    got = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    on="a", right_on="b", how="inner").to_pandas()
+    assert got.to_dict("records") == [{"a": 2, "x": 6, "y": 7}]
