@@ -143,6 +143,8 @@ def cmd_curate(args):
     cfg = CurateConfig(
         text_col=args.text_col,
         id_col=args.id_col,
+        drop_cols=tuple(args.drop_cols.split(","))
+        if args.drop_cols else (),
         langs=tuple(args.langs.split(",")) if args.langs else None,
         near_dup_threshold=(None if args.no_near_dup
                             else args.near_dup_threshold),
@@ -211,6 +213,9 @@ def main(argv=None):
                     help="benchmark parquet (text col) for decontamination")
     cu.add_argument("--langs", default="",
                     help="comma-separated predicted-language allowlist")
+    cu.add_argument("--drop-cols", default="",
+                    help="comma-separated columns pruned AT THE READ "
+                         "(e.g. raw html)")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id",
                     help="row identity for dedup keep-min (string ids "

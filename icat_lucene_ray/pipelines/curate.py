@@ -74,6 +74,10 @@ class CurateConfig:
     #: ~rows/B land in each vectorized keep-min group call — size B so
     #: a bucket (rows x row bytes / B) fits a worker's heap
     dedup_buckets: int = 256
+    #: columns dropped AT THE READ (never leave storage) — e.g. raw
+    #: html when only the extracted text is curated; pruning here keeps
+    #: the dedup shuffle and every checkpoint payload-free
+    drop_cols: tuple[str, ...] = ()
 
 
 def _count_rows(path: str) -> int:
@@ -217,7 +221,11 @@ def curate(src: str, out_dir: str, *,
     # ---- stage 1: scrub ---------------------------------------------
     t0 = time.perf_counter()
     if not _done(scrubbed):
-        scrub_transform(ray.data.read_parquet(src), cfg) \
+        cols = None
+        if cfg.drop_cols:
+            names = pads.dataset(src, format="parquet").schema.names
+            cols = [c for c in names if c not in cfg.drop_cols]
+        scrub_transform(ray.data.read_parquet(src, columns=cols), cfg) \
             .write_parquet(scrubbed)
         _mark_done(scrubbed, {"sec": round(time.perf_counter() - t0, 3)})
     report["stages"]["scrub"] = {
