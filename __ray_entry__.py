@@ -831,6 +831,25 @@ def _agg_window_sum(sf_dir: str):
     return _round6(t, "total_value")
 
 
+def _stats_quantiles(sf_dir: str):
+    """Exact distributed quantiles (quantile_disc semantics) via
+    iterative histogram narrowing — no sort, no shuffle, O(passes)
+    pruned column scans. cap=100 forces multiple refinement passes at
+    sf0.01 so the narrowing loop itself is what the oracle verifies."""
+    from icat_lucene_ray.ops.stats import distributed_quantile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    qs = [0.25, 0.5, 0.9, 0.99]
+    res = distributed_quantile(ds, "value", qs, cap=100)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([round(res[q], 6) for q in qs], pa.float64()),
+    })
+
+
 def _rel_hash_join(sf_dir: str):
     """General distributed equi-join (both sides large): documents
     enriched with their embedding's cluster label — the standard
@@ -1166,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
+        "stats_quantiles": _stats_quantiles,
         "rel_hash_join": _rel_hash_join,
         "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,
@@ -1592,6 +1612,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
             ORDER BY user_id, window_start""",
+        "stats_quantiles": """
+            SELECT 0.25 AS q, round(quantile_disc(value, 0.25), 6) AS value
+              FROM events
+            UNION ALL SELECT 0.5, round(quantile_disc(value, 0.5), 6)
+              FROM events
+            UNION ALL SELECT 0.9, round(quantile_disc(value, 0.9), 6)
+              FROM events
+            UNION ALL SELECT 0.99, round(quantile_disc(value, 0.99), 6)
+              FROM events
+            ORDER BY q""",
         "rel_hash_join": """
             SELECT d.doc_id, d.lang, e.label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id

@@ -1,0 +1,73 @@
+"""Exact distributed quantiles (iterative histogram narrowing) vs
+numpy/DuckDB oracles, including the forced multi-pass path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from icat_lucene_ray.ops.stats import distributed_quantile
+
+
+def _disc(vals: np.ndarray, q: float) -> float:
+    """DuckDB quantile_disc: 0-based index max(0, ceil(q*n)-1)."""
+    import math
+
+    s = np.sort(vals)
+    return float(s[max(0, math.ceil(q * len(s)) - 1)])
+
+
+@pytest.fixture(scope="module")
+def vals_ds(ray_session):
+    rng = np.random.default_rng(11)
+    # lognormal (skewed) + exact duplicates + a NaN + negatives
+    v = np.concatenate([
+        rng.lognormal(0, 2, 5000),
+        np.full(500, 7.25),
+        -rng.lognormal(0, 1, 1000),
+        [np.nan],
+    ])
+    t = pa.table({"value": pa.array(v, pa.float64())})
+    return ray.data.from_arrow(t), v[~np.isnan(v)]
+
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+
+
+def test_exact_vs_numpy_multi_pass(vals_ds):
+    ds, v = vals_ds
+    got = distributed_quantile(ds, "value", QS, cap=50, bins=64)
+    for q in QS:
+        assert got[q] == _disc(v, q), q
+
+
+def test_exact_single_pass_big_cap(vals_ds):
+    ds, v = vals_ds
+    got = distributed_quantile(ds, "value", QS, cap=10_000_000)
+    for q in QS:
+        assert got[q] == _disc(v, q), q
+
+
+def test_constant_column(ray_session):
+    t = pa.table({"value": pa.array([3.5] * 1000, pa.float64())})
+    got = distributed_quantile(ray.data.from_arrow(t), "value",
+                               [0.1, 0.5, 0.99], cap=10)
+    assert set(got.values()) == {3.5}
+
+
+def test_all_null(ray_session):
+    t = pa.table({"value": pa.array([None, None], pa.float64())})
+    got = distributed_quantile(ray.data.from_arrow(t), "value", [0.5])
+    assert np.isnan(got[0.5])
+
+
+def test_matches_duckdb(ray_session):
+    import duckdb
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["value"])
+    got = distributed_quantile(ds, "value", [0.5, 0.95], cap=20)
+    for q in (0.5, 0.95):
+        ref = duckdb.sql(
+            f"SELECT quantile_disc(value, {q}) FROM '{src}'").fetchone()[0]
+        assert got[q] == pytest.approx(float(ref), abs=0), q
