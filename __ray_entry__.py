@@ -831,6 +831,24 @@ def _agg_window_sum(sf_dir: str):
     return _round6(t, "total_value")
 
 
+def _sample_group_topk(sf_dir: str):
+    """Top-3 documents per source by n_chars (tie: lowest doc_id) —
+    the best-docs-per-domain curation primitive; row_number() oracle."""
+    from icat_lucene_ray.ops.sampling import group_topk
+
+    out = group_topk(
+        _docs_ds(sf_dir).map_batches(
+            lambda b: b.select(["doc_id", "source", "n_chars"]),
+            batch_format="pyarrow"),
+        "source", "n_chars", 3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+        "source": pa.array(out["source"], pa.string()),
+        "n_chars": pa.array(out["n_chars"].astype(int), pa.int64()),
+    })
+
+
 def _stats_quantiles(sf_dir: str):
     """Exact distributed quantiles (quantile_disc semantics) via
     iterative histogram narrowing — no sort, no shuffle, O(passes)
@@ -1181,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_topk": _web_host_topk,
         "dedup_url": _dedup_url,
         "sample_stratified": _sample_stratified,
+        "sample_group_topk": _sample_group_topk,
         "pack_chunks": _pack_chunks,
         "agg_rollup_sum": _agg_rollup_sum,
         "units_convert_si": _units_convert_si,
@@ -1587,6 +1606,13 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                     ELSE 0.1 END * 4294967296
             ORDER BY doc_id""",
+        "sample_group_topk": """
+            SELECT doc_id, source, n_chars::BIGINT AS n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 3 ORDER BY doc_id""",
         "pack_chunks": """
             WITH t AS (SELECT doc_id,
                               len(string_split(text, ' ')) AS n_tokens

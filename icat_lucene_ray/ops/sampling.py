@@ -103,3 +103,73 @@ def pack_token_budget(ds, tokens_col: str, budget: int,
 
     return mat.map_batches(_assign, batch_format="pyarrow",
                            batch_size=None)
+
+
+def group_topk(ds, key_col: str, score_col: str, k: int, *,
+               id_col: str = "doc_id", ascending: bool = False,
+               num_buckets: int = 64):
+    """Top-k rows per key (e.g. best documents per domain): ties broken
+    by ascending ``id_col`` — fully deterministic.
+
+    Two stages, both shuffle-light:
+    1. per-BATCH partial top-k per key (vectorized lexsort) — at most
+       k rows per (key, batch) enter the shuffle, so shuffle volume is
+       bounded by k * keys, not rows;
+    2. keys bucket by md5 of the key string (hashed once per UNIQUE
+       batch key, broadcast to rows via dictionary indices), one
+       vectorized selection per bucket group call.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def _rank_mask(keys_np: np.ndarray, scores: np.ndarray,
+                   ids: np.ndarray) -> np.ndarray:
+        s = scores if ascending else -scores
+        order = np.lexsort((ids, s, keys_np))
+        kk = keys_np[order]
+        rank = np.arange(len(kk), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        base = np.zeros(len(kk), dtype=np.int64)
+        base[starts] = rank[starts]
+        np.maximum.accumulate(base, out=base)
+        keep_sorted = (rank - base) < k
+        keep = np.zeros(len(kk), dtype=bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        enc = batch[key_col].dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _rank_mask(
+            kidx,
+            batch[score_col].to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        out = batch.filter(pa.array(keep))
+        enc2 = out[key_col].dictionary_encode()
+        if isinstance(enc2, pa.ChunkedArray):
+            enc2 = enc2.combine_chunks()
+        uniq = enc2.dictionary.to_pylist()
+        bkt_u = np.fromiter(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+             % num_buckets for u in uniq),
+            dtype=np.int64, count=len(uniq))
+        bkt = bkt_u[enc2.indices.to_numpy(zero_copy_only=False)] \
+            if out.num_rows else np.array([], dtype=np.int64)
+        return out.append_column("_tbkt", pa.array(bkt))
+
+    def _final(g: pa.Table) -> pa.Table:
+        enc = g[key_col].dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        keep = _rank_mask(
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            g[score_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        return g.filter(pa.array(keep)).drop_columns(["_tbkt"])
+
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+             .groupby("_tbkt").map_groups(_final, batch_format="pyarrow")
