@@ -868,6 +868,21 @@ def _stats_quantiles(sf_dir: str):
     })
 
 
+def _stats_hll_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (rows-only: approximate
+    by design; error bound, merge-exactness and linear-counting tests
+    in tests/test_stats.py). One streamed pass, 16 KB state."""
+    from icat_lucene_ray.ops.stats import hll_distinct
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    return pa.table({"distinct_users_est": pa.array([round(est, 2)],
+                                                    pa.float64())})
+
+
 def _rel_hash_join(sf_dir: str):
     """General distributed equi-join (both sides large): documents
     enriched with their embedding's cluster label — the standard
@@ -1205,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "units_convert_si": _units_convert_si,
         "agg_window_sum": _agg_window_sum,
         "stats_quantiles": _stats_quantiles,
+        "stats_hll_users": _stats_hll_users,
         "rel_hash_join": _rel_hash_join,
         "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,

@@ -143,3 +143,95 @@ def distributed_quantile(
             vals = np.sort(got.loc[got["sid"] == sid, "v"].to_numpy())
             done[q] = float(vals[rank])
     return done
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable approximate distinct count
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (public-domain constants)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(arr: pa.Array) -> np.ndarray:
+    """uint64 hashes for an Arrow column: integers go through
+    splitmix64 vectorized; strings md5-hash once per UNIQUE value
+    (dictionary-encode first) and broadcast via indices."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _splitmix64(v.view(np.uint64))
+    enc = arr.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "big")
+         for u in uniq), dtype=np.uint64, count=len(uniq))
+    return hu[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def hll_partial(arr: pa.Array, p: int = 14) -> np.ndarray:
+    """HLL register array (uint8[2^p]) for one batch — the mergeable
+    partial: merge = elementwise max."""
+    h = _hash_column(arr)
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)
+    # rho = leading zeros of w within the remaining 64-p bits, + 1
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    nz = w != 0
+    if nz.any():
+        # exact floor(log2) by binary reduction (float log2 rounds up
+        # for values within an ulp of a power of two)
+        v = w[nz].copy()
+        bitpos = np.zeros(len(v), dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            hi = v >> np.uint64(s)
+            use = hi != 0
+            v = np.where(use, hi, v)
+            bitpos += np.where(use, s, 0)
+        lz[nz] = np.minimum(63 - bitpos, 64 - p)
+    rho = (lz + 1).astype(np.uint8)
+    reg = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Standard HLL estimate with small-range (linear counting)
+    correction."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: "ray.data.Dataset", col: str, *, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col) in ONE streamed pass: each batch
+    reduces to a 2^p-byte register array (16 KB at p=14), the driver
+    folds registers by elementwise max — no shuffle, driver traffic
+    O(batches * 2^p), relative error ~1.04/sqrt(2^p) (~0.8% at p=14).
+    The sketch union is exact: registers from disjoint partitions merge
+    to the same state as a single pass (tested), so partial sketches
+    can be persisted per shard and re-merged incrementally."""
+    parts = ds.map_batches(
+        lambda b: pa.table({"reg": pa.array([hll_partial(b[col], p)
+                                             .tobytes()], pa.binary())}),
+        batch_format="pyarrow").to_pandas()
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    for buf in parts["reg"]:
+        np.maximum(reg, np.frombuffer(buf, dtype=np.uint8), out=reg)
+    return hll_estimate(reg)

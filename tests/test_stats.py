@@ -71,3 +71,53 @@ def test_matches_duckdb(ray_session):
         ref = duckdb.sql(
             f"SELECT quantile_disc(value, {q}) FROM '{src}'").fetchone()[0]
         assert got[q] == pytest.approx(float(ref), abs=0), q
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_error_bound(ray_session):
+    """~0.8% typical error at p=14; assert a generous 3% bound on 100k
+    distinct int keys with heavy duplication."""
+    from icat_lucene_ray.ops.stats import hll_distinct
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 100_000, 400_000)
+    true = len(np.unique(keys))
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    est = hll_distinct(ray.data.from_arrow(t).repartition(8), "k")
+    assert abs(est - true) / true < 0.03, (est, true)
+
+
+def test_hll_merge_equals_single_pass():
+    """Register union over disjoint partitions == one-pass registers
+    (the property that makes per-shard sketch persistence sound)."""
+    from icat_lucene_ray.ops.stats import hll_partial
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5000, 20_000)
+    a = pa.array(keys[:7000], pa.int64())
+    b = pa.array(keys[7000:], pa.int64())
+    merged = np.maximum(hll_partial(a), hll_partial(b))
+    single = hll_partial(pa.array(keys, pa.int64()))
+    assert np.array_equal(merged, single)
+
+
+def test_hll_string_keys(ray_session):
+    from icat_lucene_ray.ops.stats import hll_distinct
+
+    vals = [f"host{i % 700}.example.com" for i in range(30_000)]
+    t = pa.table({"k": pa.array(vals, pa.string())})
+    est = hll_distinct(ray.data.from_arrow(t), "k")
+    assert abs(est - 700) / 700 < 0.05, est
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    """A handful of distincts hits the linear-counting correction and
+    must come out near-exact."""
+    from icat_lucene_ray.ops.stats import hll_distinct
+
+    t = pa.table({"k": pa.array(list(range(37)) * 100, pa.int64())})
+    est = hll_distinct(ray.data.from_arrow(t), "k")
+    assert round(est) == 37, est
