@@ -898,7 +898,7 @@ def _rel_hash_join(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "label"])
     out = hash_join(docs, emb, on="doc_id", right_on="vec_id",
-                    how="inner").to_pandas() \
+                    how="inner", bloom_prefilter=True).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     return pa.table({
         "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),

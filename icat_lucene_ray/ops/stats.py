@@ -235,3 +235,59 @@ def hll_distinct(ds: "ray.data.Dataset", col: str, *, p: int = 14) -> float:
     for buf in parts["reg"]:
         np.maximum(reg, np.frombuffer(buf, dtype=np.uint8), out=reg)
     return hll_estimate(reg)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch (semi-join pruning)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(h: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """k bit positions per hash via double hashing (h1 + i*h2) —
+    standard Kirsch-Mitzenmacher construction; returns (len(h), k)."""
+    h1 = h % np.uint64(nbits)
+    h2 = (_splitmix64(h) % np.uint64(nbits - 1)) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(nbits)
+
+
+def bloom_build(ds: "ray.data.Dataset", col: str, *,
+                nbits: int = 1 << 23, k: int = 7) -> np.ndarray:
+    """Build a bloom filter over ``col`` in one streamed pass: each
+    batch reduces to a packed bit array (nbits/8 bytes — 1 MB at the
+    2^23 default, good for ~10^6 keys at ~1% FPR), the driver folds by
+    bitwise OR. Mergeable like the HLL registers: per-shard blooms
+    union losslessly."""
+    def _partial(b: pa.Table) -> pa.Table:
+        pos = _bloom_positions(_hash_column(b[col]), nbits, k)
+        bits = np.zeros(nbits, dtype=bool)
+        bits[pos.reshape(-1).astype(np.int64)] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    acc = np.zeros(nbits // 8, dtype=np.uint8)
+    for buf in parts["bits"]:
+        np.bitwise_or(acc, np.frombuffer(buf, dtype=np.uint8), out=acc)
+    return acc
+
+
+def bloom_filter_ds(ds: "ray.data.Dataset", col: str, bloom: np.ndarray,
+                    *, k: int = 7, invert: bool = False
+                    ) -> "ray.data.Dataset":
+    """Keep rows whose ``col`` MAY be in the bloom (no false negatives;
+    false positives at the filter's FPR). The packed filter broadcasts
+    once via ``ray.put`` — a shared-memory read per task, not a
+    re-ship. The standard bloom-pruned semi-join: filter the huge probe
+    side BEFORE the join shuffle."""
+    import ray as _ray
+
+    nbits = len(bloom) * 8
+    ref = _ray.put(bloom)
+
+    def _f(b: pa.Table) -> pa.Table:
+        bits = np.unpackbits(_ray.get(ref)).astype(bool)
+        pos = _bloom_positions(_hash_column(b[col]), nbits, k)
+        hit = bits[pos.astype(np.int64)].all(axis=1)
+        return b.filter(pa.array(~hit if invert else hit))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

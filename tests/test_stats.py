@@ -121,3 +121,47 @@ def test_hll_small_range_linear_counting(ray_session):
     t = pa.table({"k": pa.array(list(range(37)) * 100, pa.int64())})
     est = hll_distinct(ray.data.from_arrow(t), "k")
     assert round(est) == 37, est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    from icat_lucene_ray.ops.stats import bloom_build, bloom_filter_ds
+
+    rng = np.random.default_rng(9)
+    members = rng.choice(10_000_000, 50_000, replace=False)
+    bloom = bloom_build(
+        ray.data.from_arrow(pa.table({"k": pa.array(members, pa.int64())}))
+        .repartition(4), "k")
+    # probe: all members + disjoint non-members
+    non = members.max() + 1 + np.arange(50_000)
+    probe = pa.table({"k": pa.array(np.concatenate([members, non]),
+                                    pa.int64())})
+    kept = bloom_filter_ds(ray.data.from_arrow(probe), "k", bloom) \
+        .to_pandas()["k"].to_numpy()
+    member_set = set(members.tolist())
+    assert member_set <= set(kept.tolist())          # no false negatives
+    fpr = (len(kept) - len(members)) / len(non)
+    assert fpr < 0.02, fpr                           # ~1% at these params
+
+
+def test_bloom_pruned_join_identical(ray_session):
+    """bloom_prefilter must not change the inner-join result."""
+    from icat_lucene_ray.ops.relations import hash_join
+
+    rng = np.random.default_rng(13)
+    lt = pa.table({"k": pa.array(rng.integers(0, 100_000, 20_000),
+                                 pa.int64()),
+                   "lv": pa.array(np.arange(20_000), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.choice(100_000, 300, replace=False),
+                                 pa.int64()),
+                   "rv": pa.array(np.arange(300), pa.int64())})
+    base = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     on="k", how="inner").to_pandas() \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    pruned = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                       on="k", how="inner", bloom_prefilter=True) \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert base.equals(pruned)
