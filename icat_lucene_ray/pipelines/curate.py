@@ -151,8 +151,11 @@ def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
     from icat_lucene_ray.ops.text import LangId
 
     ds = ds.map_batches(_scrub_stage(cfg), batch_format="pyarrow")
-    ds = ds.map_batches(LangId(cfg.text_col), batch_format="pyarrow",
-                        concurrency=2)
+    # autoscaling actor pool: marker tables build once per actor; the
+    # pool grows to keep up with the stateless scrub stage upstream
+    ds = ds.map_batches(LangId, batch_format="pyarrow",
+                        fn_constructor_kwargs={"col": cfg.text_col},
+                        concurrency=(2, 8))
     if cfg.langs is not None:
         allowed = pa.array(list(cfg.langs), pa.string())
         ds = ds.map_batches(
