@@ -604,6 +604,21 @@ def _pack_chunks(sf_dir: str):
         "chunk_id": pa.array(out["chunk_id"].astype(int), pa.int64())})
 
 
+def _text_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords; row_number() SQL oracle (same
+    tf * ln(N/df) score, term tie-break)."""
+    from icat_lucene_ray.ops.text import top_tfidf_terms
+
+    out = top_tfidf_terms(_docs_ds(sf_dir), k=3).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(int), pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "score": pa.array(out["score"].astype(float), pa.float64()),
+        "rank": pa.array(out["rank"].astype(int), pa.int64()),
+    })
+
+
 def _text_decontam(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
     held-out eval set (deterministic, same table — no external data);
@@ -1209,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_redact": _text_pii_redact,
         "text_unigram_logprob": _text_unigram_logprob,
         "text_decontam": _text_decontam,
+        "text_top_terms": _text_top_terms,
         "pipeline_curate": _pipeline_curate,
         "web_canon_url": _web_canon_url,
         "web_host_topk": _web_host_topk,
@@ -1485,6 +1501,26 @@ def oracle_sql() -> dict[str, str]:
                        AS bits_per_word
             FROM w LEFT JOIN vocab v USING (w) CROSS JOIN tot t
             GROUP BY doc_id ORDER BY doc_id""",
+        "text_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln(n.n::DOUBLE / df.df) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            rk AS (
+              SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+              FROM sc)
+            SELECT doc_id, term, round(score, 6) AS score, rank
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
         "text_decontam": r"""
             WITH t AS (
               SELECT doc_id,

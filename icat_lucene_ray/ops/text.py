@@ -378,3 +378,88 @@ class WinnowFingerprint:
         lists = pa.ListArray.from_arrays(pa.array(chunk_off, pa.int32()),
                                          pa.array(mins))
         return batch.append_column(self.out, lists)
+
+
+def top_tfidf_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, min_df: int = 1):
+    """Per-doc top-k TF-IDF terms (keyword extraction): score =
+    tf * ln(N / df), ties broken by term string ascending.
+
+    Two passes, mirroring :func:`unigram_logprob`'s broadcast-model
+    shape: (1) global document frequencies via per-batch per-doc
+    DISTINCT term combiners + one vocab-sized ``groupby(term)``;
+    (2) the thresholded df table broadcasts once (``ray.put`` — a
+    per-node constant, like the unigram model) and a stateless
+    ``map_batches`` scores each doc and keeps its top k vectorized
+    (lexsort ranks, no per-doc Python). Output rows:
+    (id_col, term, score, rank).
+    """
+    import pandas as pd
+    import ray
+
+    def _doc_distinct_terms(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        enc = arr.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(1, len(enc.dictionary))
+        uniq = np.unique(doc_rep * K + codes)
+        # per-batch combine: term -> number of docs containing it
+        cnt = np.bincount((uniq % K), minlength=K)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"term": enc.dictionary.take(pa.array(nz)),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    n_docs = ds.count()
+    dfs = ds.map_batches(_doc_distinct_terms, batch_format="pyarrow") \
+        .groupby("term").sum("c")
+    model: dict[str, int] = {}
+    for b in dfs.iter_batches(batch_format="pyarrow"):
+        for t, c in zip(b["term"].to_pylist(),
+                        b["sum(c)"].to_numpy(zero_copy_only=False)):
+            if c >= min_df:
+                model[t] = int(c)
+    model_ref = ray.put(model)
+
+    def _score(b: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        toks = pc.split_pattern(b[text_col], " ")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        ndocs = len(lens)
+        doc_rep = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        enc = arr.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(1, len(enc.dictionary))
+        uniq, tf = np.unique(doc_rep * K + codes, return_counts=True)
+        u_doc, u_code = uniq // K, uniq % K
+        terms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        df_u = pd.Index(terms).map(m).to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
+        dfv = df_u[u_code]
+        ok = ~np.isnan(dfv)
+        u_doc, u_code, tf, dfv = u_doc[ok], u_code[ok], tf[ok], dfv[ok]
+        score = tf * np.log(n_docs / dfv)
+        tstr = terms[u_code].astype(str)
+        order = np.lexsort((tstr, -score, u_doc))
+        od, osc = u_doc[order], score[order]
+        rank = np.arange(len(od), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, od[1:] != od[:-1]])
+        base = np.zeros(len(od), dtype=np.int64)
+        base[starts] = rank[starts]
+        np.maximum.accumulate(base, out=base)
+        rk = rank - base
+        keep = rk < k
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[od[keep]]),
+            "term": pa.array(tstr[order][keep], pa.string()),
+            "score": pa.array(np.round(osc[keep], 6)),
+            "rank": pa.array(rk[keep] + 1),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

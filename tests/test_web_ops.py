@@ -149,3 +149,42 @@ def test_unigram_logprob_hand_computed(ray_session):
     d1 = (-math.log2(2 / 6) + -math.log2(0.5 / 6)) / 2
     assert out["bits_per_word"].tolist() == pytest.approx(
         [round(d0, 6), round(d1, 6)], abs=1e-6)
+
+
+def test_top_tfidf_terms_bruteforce(ray_session):
+    """Per-doc top-k TF-IDF vs a scalar reference, with exact score
+    ties exercising the term tie-break."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from icat_lucene_ray.ops.text import top_tfidf_terms
+
+    texts = [
+        "apple banana apple cherry",       # tf tie banana/cherry
+        "banana cherry cherry date",
+        "apple apple apple apple",
+        "date egg egg fig fig",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = top_tfidf_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    n = len(texts)
+    df = {}
+    for t in texts:
+        for w in set(t.split(" ")):
+            df[w] = df.get(w, 0) + 1
+    for d, t in enumerate(texts):
+        tf = {}
+        for w in t.split(" "):
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(((w, c * math.log(n / df[w])) for w, c in tf.items()),
+                        key=lambda x: (-x[1], x[0]))[:2]
+        sub = got[got["doc_id"] == d]
+        assert sub["term"].tolist() == [w for w, _ in scored], d
+        for (w, s), gs in zip(scored, sub["score"]):
+            assert round(s, 6) == gs, (d, w)
