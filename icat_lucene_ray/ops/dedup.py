@@ -541,26 +541,39 @@ def _edges_to_adj(batch: pa.Table) -> pa.Table:
     })
 
 
-def _propagate_group(g: pa.Table) -> pa.Table:
-    """One ``node`` group of the tagged union: the node's single label
-    row (nbr null) + its adjacency rows. Sends the node's current label
-    to every neighbour (vectorized)."""
-    is_label = pc.is_null(g["nbr"])
-    lab_rows = g.filter(is_label)
-    adj_rows = g.filter(pc.invert(is_label))
-    if lab_rows.num_rows == 0 or adj_rows.num_rows == 0:
-        return pa.table({"node": pa.array([], pa.int64()),
-                         "cand": pa.array([], pa.int64())})
-    lbl = int(pc.min(lab_rows["label"]).as_py())
-    nbrs = adj_rows["nbr"].to_numpy(zero_copy_only=False)
+def _propagate_bucket(g: pa.Table) -> pa.Table:
+    """One node-hash BUCKET of the tagged union (label rows have null
+    nbr; adjacency rows carry null label). A node's label row and its
+    adjacency rows hash to the same bucket, so one vectorized
+    searchsorted join per bucket sends every node's current label to
+    all its neighbours — one Python call per bucket, never per node
+    (dup-heavy web corpora have O(docs) nodes)."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "cand": pa.array([], pa.int64())})
+    is_lab = pc.is_null(g["nbr"]).to_numpy(zero_copy_only=False)
+    nodes = g["node"].to_numpy(zero_copy_only=False)
+    lab_nodes = nodes[is_lab]
+    if not len(lab_nodes) or is_lab.all():
+        return empty
+    lab_vals = g["label"].filter(pa.array(is_lab)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lab_nodes, kind="stable")
+    ln, lv = lab_nodes[order], lab_vals[order]
+    adj_nodes = nodes[~is_lab]
+    adj_nbrs = g["nbr"].filter(pa.array(~is_lab)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(ln, adj_nodes)
+    valid = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)]
+                               == adj_nodes)
     return pa.table({
-        "node": pa.array(nbrs, pa.int64()),
-        "cand": pa.array(np.full(len(nbrs), lbl), pa.int64()),
+        "node": pa.array(adj_nbrs[valid], pa.int64()),
+        "cand": pa.array(lv[pos[valid]], pa.int64()),
     })
 
 
 def connected_components_labels(
     pairs_ds: ray.data.Dataset, *, max_rounds: int = 50,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Distributed connected components over an (id_a, id_b) edge
     Dataset: iterative min-label propagation — each round every node
@@ -572,6 +585,11 @@ def connected_components_labels(
     pair set."""
     from ray.data.aggregate import Min
 
+    def _with_bucket(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((n * 2654435761) & 0x7FFFFFFF) % num_buckets
+        return b.append_column("_cbkt", pa.array(bkt.astype(np.int64)))
+
     adj = pairs_ds.map_batches(
         _edges_to_adj, batch_format="pyarrow").materialize()
     labels = adj.groupby("node").aggregate(
@@ -580,7 +598,8 @@ def connected_components_labels(
     if n_nodes == 0:
         return labels
     adj_tagged = adj.map_batches(
-        lambda b: b.append_column("label", pa.nulls(b.num_rows, pa.int64())),
+        lambda b: _with_bucket(b.append_column(
+            "label", pa.nulls(b.num_rows, pa.int64()))),
         batch_format="pyarrow")
     prev_sum = None
     for _ in range(max_rounds):
@@ -589,16 +608,16 @@ def connected_components_labels(
             break
         prev_sum = cur
         lab_tagged = labels.map_batches(
-            lambda b: pa.table({
+            lambda b: _with_bucket(pa.table({
                 "node": b["node"],
                 "nbr": pa.nulls(b.num_rows, pa.int64()),
                 "label": b["label"],
-            }),
+            })),
             batch_format="pyarrow")
         msgs = (
             adj_tagged.union(lab_tagged)
-            .groupby("node")
-            .map_groups(_propagate_group, batch_format="pyarrow")
+            .groupby("_cbkt")
+            .map_groups(_propagate_bucket, batch_format="pyarrow")
         )
         labels = msgs.groupby("node").aggregate(
             Min("cand", alias_name="label")).materialize()
