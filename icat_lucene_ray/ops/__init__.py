@@ -1,2 +1,3 @@
 from icat_lucene_ray.ops import (  # noqa: F401
-    decontam, dedup, multimodal, similarity, stats, text)
+    decontam, dedup, multimodal, relations, sampling, similarity, stats,
+    text, units, web, windows)
