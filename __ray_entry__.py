@@ -898,6 +898,23 @@ def _stats_hll_users(sf_dir: str):
                                                     pa.float64())})
 
 
+def _stats_cms_user_counts(sf_dir: str):
+    """Count-min estimated event counts for users 0-9 (rows-only:
+    overestimate-only sketch; exactness bound + merge tests in
+    tests/test_stats.py). One streamed pass, 2 MB mergeable state."""
+    from icat_lucene_ray.ops.stats import cms_build, cms_query
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    sk = cms_build(ds, "user_id")
+    probe = pa.array(list(range(10)), pa.int64())
+    est = cms_query(sk, probe)
+    return pa.table({"user_id": probe,
+                     "est_events": pa.array(est, pa.int64())})
+
+
 def _rel_hash_join(sf_dir: str):
     """General distributed equi-join (both sides large): documents
     enriched with their embedding's cluster label — the standard
@@ -1237,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_window_sum": _agg_window_sum,
         "stats_quantiles": _stats_quantiles,
         "stats_hll_users": _stats_hll_users,
+        "stats_cms_user_counts": _stats_cms_user_counts,
         "rel_hash_join": _rel_hash_join,
         "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,

@@ -291,3 +291,50 @@ def bloom_filter_ds(ds: "ray.data.Dataset", col: str, bloom: np.ndarray,
         return b.filter(pa.array(~hit if invert else hit))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+def cms_partial(arr: pa.Array, *, width: int = 1 << 16, depth: int = 4
+                ) -> np.ndarray:
+    """Count-min table (int64[depth, width]) for one batch — the
+    mergeable partial: merge = elementwise SUM (each row d uses an
+    independent seeded splitmix64 of the value hash)."""
+    h = _hash_column(arr)
+    t = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        hd = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        np.add.at(t[d], idx, 1)
+    return t
+
+
+def cms_build(ds: "ray.data.Dataset", col: str, *,
+              width: int = 1 << 16, depth: int = 4) -> np.ndarray:
+    """Build a count-min sketch over ``col`` in one streamed pass:
+    per-batch tables fold by elementwise sum on the driver (2 MB at
+    the 4x65536 default). Overestimate-only error: with n total rows,
+    est - true <= 2n/width with probability 1 - 2^-depth."""
+    parts = ds.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [cms_partial(b[col], width=width, depth=depth).tobytes()],
+            pa.binary())}),
+        batch_format="pyarrow").to_pandas()
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for buf in parts["t"]:
+        acc += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+    return acc
+
+
+def cms_query(sketch: np.ndarray, values: pa.Array) -> np.ndarray:
+    """Estimated frequencies (int64, >= true count) for ``values``."""
+    depth, width = sketch.shape
+    h = _hash_column(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        np.minimum(est, sketch[d, idx], out=est)
+    return est

@@ -165,3 +165,48 @@ def test_bloom_pruned_join_identical(ray_session):
                        on="k", how="inner", bloom_prefilter=True) \
         .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     assert base.equals(pruned)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimate_only_and_bound(ray_session):
+    from icat_lucene_ray.ops.stats import cms_build, cms_query
+
+    rng = np.random.default_rng(21)
+    # zipf-ish: hot keys plus a long tail
+    keys = np.concatenate([
+        np.repeat(np.arange(10), 5000),          # 10 hot keys x 5000
+        rng.integers(100, 2_000_000, 200_000)])  # tail
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    sk = cms_build(ds.repartition(6), "k")
+    probe = pa.array(np.arange(10), pa.int64())
+    est = cms_query(sk, probe)
+    true = np.array([(keys == i).sum() for i in range(10)])
+    assert (est >= true).all()                    # never underestimates
+    # eps = 2/width -> additive error bound 2n/width
+    bound = 2 * len(keys) / sk.shape[1]
+    assert (est - true <= bound).all(), (est, true)
+
+
+def test_cms_merge_equals_single_pass():
+    from icat_lucene_ray.ops.stats import cms_partial
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 1000, 30_000)
+    a = pa.array(keys[:11_000], pa.int64())
+    b = pa.array(keys[11_000:], pa.int64())
+    merged = cms_partial(a) + cms_partial(b)
+    single = cms_partial(pa.array(keys, pa.int64()))
+    assert np.array_equal(merged, single)
+
+
+def test_cms_string_keys(ray_session):
+    from icat_lucene_ray.ops.stats import cms_build, cms_query
+
+    vals = ["hot"] * 5000 + [f"cold{i}" for i in range(20_000)]
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.string())}))
+    sk = cms_build(ds, "k")
+    est = cms_query(sk, pa.array(["hot"], pa.string()))
+    assert 5000 <= est[0] <= 5000 + 2 * len(vals) / sk.shape[1]
