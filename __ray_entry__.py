@@ -898,6 +898,25 @@ def _stats_hll_users(sf_dir: str):
                                                     pa.float64())})
 
 
+def _stats_iqr_filter(sf_dir: str):
+    """Tukey-fence outlier filter on events.value (exact quartiles via
+    multi-pass selection, cap=100 forcing refinement); full SQL
+    oracle reproducing quantile_disc fences."""
+    from icat_lucene_ray.ops.stats import iqr_filter
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    kept, lo, hi = iqr_filter(ds, "value", cap=100)
+    n = kept.count()
+    return pa.table({
+        "n_kept": pa.array([n], pa.int64()),
+        "lo": pa.array([round(lo, 6)], pa.float64()),
+        "hi": pa.array([round(hi, 6)], pa.float64()),
+    })
+
+
 def _stats_cms_user_counts(sf_dir: str):
     """Count-min estimated event counts for users 0-9 (rows-only:
     overestimate-only sketch; exactness bound + merge tests in
@@ -1255,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_quantiles": _stats_quantiles,
         "stats_hll_users": _stats_hll_users,
         "stats_cms_user_counts": _stats_cms_user_counts,
+        "stats_iqr_filter": _stats_iqr_filter,
         "rel_hash_join": _rel_hash_join,
         "sessionize_events": _sessionize_events,
         "asof_last_order": _asof_last_order,
@@ -1718,6 +1738,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.99, round(quantile_disc(value, 0.99), 6)
               FROM events
             ORDER BY q""",
+        "stats_iqr_filter": """
+            WITH q AS (
+              SELECT quantile_disc(value, 0.25) AS q1,
+                     quantile_disc(value, 0.75) AS q3
+              FROM events),
+            f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo,
+                         q3 + 1.5 * (q3 - q1) AS hi FROM q)
+            SELECT (SELECT count(*) FROM events, f
+                    WHERE value >= f.lo AND value <= f.hi) AS n_kept,
+                   round(f.lo, 6) AS lo, round(f.hi, 6) AS hi
+            FROM f""",
         "rel_hash_join": """
             SELECT d.doc_id, d.lang, e.label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id

@@ -338,3 +338,27 @@ def cms_query(sketch: np.ndarray, values: pa.Array) -> np.ndarray:
         idx = (hd % np.uint64(width)).astype(np.int64)
         np.minimum(est, sketch[d, idx], out=est)
     return est
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier filter — composition of the exact quantiles
+# ---------------------------------------------------------------------------
+
+def iqr_filter(ds: "ray.data.Dataset", col: str, *, factor: float = 1.5,
+               cap: int = 100_000) -> "tuple[ray.data.Dataset, float, float]":
+    """Tukey's fences: keep rows with ``col`` in [q1 - factor*IQR,
+    q3 + factor*IQR] where q1/q3 are EXACT discrete quartiles from
+    :func:`distributed_quantile` (multi-pass selection — no sort).
+    Returns (filtered dataset, lo, hi); the filter itself is one
+    stateless streamed pass. Nulls/NaNs are dropped (they compare
+    false)."""
+    qs = distributed_quantile(ds, col, [0.25, 0.75], cap=cap)
+    q1, q3 = qs[0.25], qs[0.75]
+    iqr = q3 - q1
+    lo, hi = q1 - factor * iqr, q3 + factor * iqr
+
+    def _keep(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow"), lo, hi

@@ -210,3 +210,26 @@ def test_cms_string_keys(ray_session):
     sk = cms_build(ds, "k")
     est = cms_query(sk, pa.array(["hot"], pa.string()))
     assert 5000 <= est[0] <= 5000 + 2 * len(vals) / sk.shape[1]
+
+
+def test_iqr_filter(ray_session):
+    """Tukey fences vs a numpy reference, outliers planted on both
+    sides."""
+    from icat_lucene_ray.ops.stats import iqr_filter
+
+    rng = np.random.default_rng(31)
+    body = rng.normal(50, 5, 5000)
+    vals = np.concatenate([body, [1e6, -1e6, 500.0, -400.0]])
+    t = pa.table({"id": pa.array(np.arange(len(vals)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    kept, lo, hi = iqr_filter(ray.data.from_arrow(t), "v", cap=50)
+    import math
+
+    s = np.sort(vals)
+    q1 = s[max(0, math.ceil(0.25 * len(s)) - 1)]
+    q3 = s[max(0, math.ceil(0.75 * len(s)) - 1)]
+    assert lo == q1 - 1.5 * (q3 - q1) and hi == q3 + 1.5 * (q3 - q1)
+    got = np.sort(kept.to_pandas()["v"].to_numpy())
+    want = np.sort(vals[(vals >= lo) & (vals <= hi)])
+    assert np.array_equal(got, want)
+    assert 1e6 not in got and -1e6 not in got
