@@ -262,7 +262,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     res = minhash_lsh_dedup(docs, threshold=0.8)
     queries["q_minhash"] = round(time.perf_counter() - t0, 3)
-    extras["minhash_dropped"] = len(res["drop"])
+    extras["minhash_dropped"] = res["n_drop"]
 
     # ---- q_ann: cosine top-k over embeddings -------------------------
     from icat_lucene_ray.ops.similarity import brute_force_topk

@@ -40,18 +40,57 @@ def _mod_p31(x: np.ndarray) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def keep_min_per_fp(g: pa.Table, id_col: str,
+                    drop_cols: tuple[str, ...] = ("_dbkt",)) -> pa.Table:
+    """One hash BUCKET of content groups: sort by (fp_md5, id), keep the
+    first row of each fp run — vectorized, one Python call per bucket
+    (NOT per content group; at web scale almost every group has size 1,
+    so per-group map_groups would mean O(rows) Python calls)."""
+    order = pc.sort_indices(
+        pa.table({"f": g["fp_md5"], "i": g[id_col]}),
+        sort_keys=[("f", "ascending"), ("i", "ascending")])
+    g = g.take(order)
+    keys = g["fp_md5"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        first[1:] = keys[1:] != keys[:-1]
+    return g.filter(pa.array(first)).drop_columns(list(drop_cols))
+
+
+def add_fp_bucket(b: pa.Table, num_buckets: int,
+                  out: str = "_dbkt") -> pa.Table:
+    """Coarse shuffle key from the md5 hex prefix: ``int(fp[:8], 16) %
+    num_buckets``. Bucket COUNT (not content-hash cardinality ~ n rows)
+    is the groupby key space, so the exchange stays coarse at any
+    corpus size."""
+    fps = b["fp_md5"].to_pylist()
+    bkt = np.fromiter((int(f[:8], 16) % num_buckets for f in fps),
+                      dtype=np.int64, count=len(fps))
+    return b.append_column(out, pa.array(bkt))
+
+
 def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the lowest-id row per distinct content (hash-partitioned
-    ``groupby`` over a content hash ≈ D1 upsert keep-one,
-    ``Lucene.java:327-330``). Returns (fp_md5, doc_id) keepers."""
+                id_col: str = "doc_id",
+                num_buckets: int = 256) -> ray.data.Dataset:
+    """Keep the lowest-id row per distinct content (≈ D1 upsert
+    keep-one, ``Lucene.java:327-330``). Returns (fp_md5, doc_id)
+    keepers.
+
+    BUCKETED shuffle (same form as the curate pipeline's dedup stage):
+    rows group by ``hash(fp_md5) % num_buckets`` — a bounded key space —
+    and each group call keeps the lowest id per fp run vectorized. A
+    ``groupby(fp_md5)`` would key the exchange on ~n distinct hashes;
+    the combiner keeps it from hanging, but the coarse bucket key is
+    strictly cheaper and one partitioning rule shared across the
+    engine's dedup paths."""
     hashed = ds.map_batches(
-        lambda b: add_md5_fingerprint(b, text_col).select(["fp_md5", id_col]),
+        lambda b: add_fp_bucket(
+            add_md5_fingerprint(b, text_col).select(["fp_md5", id_col]),
+            num_buckets),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Min
-
-    return hashed.groupby("fp_md5").aggregate(Min(id_col, alias_name=id_col))
+    return hashed.groupby("_dbkt").map_groups(
+        keep_min_per_fp, batch_format="pyarrow", fn_args=(id_col,))
 
 
 # ---------------------------------------------------------------------------
@@ -851,13 +890,17 @@ def minhash_lsh_dedup(
       forces the cluster path (driver then holds O(nodes) drop ids and
       ONE convergence scalar per round — never the pair set, which can
       be quadratic in cluster size);
-    - the full corpus is never materialized: the result carries the
-      ``drop`` id list plus a lazy ``keep_ds`` Dataset.
+    - the full corpus is never materialized: the result carries a lazy
+      ``drop_ds`` Dataset and a lazy ``keep_ds`` Dataset; the ``drop``
+      *list* is materialized on the driver only below ``cc_driver_cap``
+      (web-scale dup rates make it billions of ids — it must never be
+      required for the keep path, which is a distributed anti-join).
 
     Returns ``{"pairs": [(a, b, jaccard)...] | None, "pairs_ds": Dataset,
     "clusters": {doc: root} | None, "labels_ds": Dataset | None,
-    "drop": [ids], "keep_ds": Dataset[id_col], "cc_mode": str}``
-    ("pairs"/"clusters" are materialized only on the driver CC path).
+    "drop": [ids] | None, "drop_ds": Dataset[id_col], "n_drop": int,
+    "keep_ds": Dataset[id_col], "cc_mode": str}``
+    ("pairs"/"clusters"/"drop" are materialized only when small).
     """
     if num_buckets is None:
         n_rows = ds.count()  # parquet metadata count — no scan
@@ -891,12 +934,22 @@ def _finish_dedup(ds: ray.data.Dataset, verified_ds: ray.data.Dataset, *,
                   cc_driver_cap: int) -> dict:
     """Shared tail of the near-dup ops: connected components over the
     verified-pair Dataset + keep/drop construction. ``cc`` ∈ {'auto',
-    'driver', 'distributed'} (see :func:`minhash_lsh_dedup`)."""
+    'driver', 'distributed'} (see :func:`minhash_lsh_dedup`).
+
+    The keep path NEVER routes the drop set through the driver: on the
+    distributed-CC path ``keep_ds`` is a bucketed anti-join of the
+    corpus ids against the (still-distributed) drop-id Dataset — at
+    web-typical 30-50% dup rates the drop set is O(corpus), far past
+    any driver/broadcast budget. The convenience ``drop`` list is
+    materialized only when its count ≤ ``cc_driver_cap``."""
     n_pairs = verified_ds.count()
+    empty_ids = ray.data.from_arrow(
+        pa.table({id_col: pa.array([], pa.int64())}))
     if n_pairs == 0:
         return {"pairs": [], "pairs_ds": verified_ds, "clusters": {},
-                "labels_ds": None, "drop": [],
-                "keep_ds": ds.select_columns([id_col]), "cc_mode": "driver"}
+                "labels_ds": None, "drop": [], "drop_ds": empty_ids,
+                "n_drop": 0, "keep_ds": ds.select_columns([id_col]),
+                "cc_mode": "driver"}
     use_driver = cc == "driver" or (cc == "auto" and n_pairs <= cc_driver_cap)
     if use_driver:
         tbl = verified_ds.to_pandas()
@@ -905,18 +958,28 @@ def _finish_dedup(ds: ray.data.Dataset, verified_ds: ray.data.Dataset, *,
             zip(tbl["id_a"], tbl["id_b"], tbl[score_col]))
         clusters = _driver_union_find(verified)
         drop = sorted(d for d, r in clusters.items() if r != d)
+        drop_ds = ray.data.from_arrow(
+            pa.table({id_col: pa.array(drop, pa.int64())})) \
+            if drop else empty_ids
         keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
         return {"pairs": verified, "pairs_ds": verified_ds,
                 "clusters": clusters, "labels_ds": None, "drop": drop,
+                "drop_ds": drop_ds, "n_drop": len(drop),
                 "keep_ds": keep_ds, "cc_mode": "driver"}
     labels_ds = connected_components_labels(verified_ds)
-    drop = sorted(int(r["node"]) for r in labels_ds.map_batches(
+    drop_ds = labels_ds.map_batches(
         lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
-        .select(["node"]),
-        batch_format="pyarrow").take_all())  # O(dropped nodes), not pairs
-    keep_ds = filter_out_ids(ds.select_columns([id_col]), drop, id_col)
+        .select(["node"]).rename_columns([id_col]),
+        batch_format="pyarrow").materialize()  # O(dropped nodes), not pairs
+    n_drop = drop_ds.count()
+    # distributed anti-join: the drop ids never transit the driver
+    keep_ds = anti_join_ids_ds(ds.select_columns([id_col]), drop_ds,
+                               id_col=id_col)
+    drop = sorted(int(r[id_col]) for r in drop_ds.take_all()) \
+        if n_drop <= cc_driver_cap else None
     return {"pairs": None, "pairs_ds": verified_ds, "clusters": None,
-            "labels_ds": labels_ds, "drop": drop, "keep_ds": keep_ds,
+            "labels_ds": labels_ds, "drop": drop, "drop_ds": drop_ds,
+            "n_drop": n_drop, "keep_ds": keep_ds,
             "cc_mode": "distributed"}
 
 
@@ -934,10 +997,73 @@ def _isin_batch(batch: pa.Table, *, want_ref, cols, id_col, invert=False):
     return batch.select(cols).filter(m)
 
 
+def anti_join_ids_ds(ds: ray.data.Dataset, drop_ds: ray.data.Dataset, *,
+                     id_col: str = "doc_id",
+                     num_buckets: int | None = None,
+                     target_drop_rows: int = 262_144) -> ray.data.Dataset:
+    """Distributed anti-join: rows of ``ds`` survive unless their
+    ``id_col`` appears in ``drop_ds`` (one int64 ``id_col`` column).
+
+    Contrast :func:`filter_out_ids`, which broadcasts a DRIVER-side
+    list — fine for thousands of ids, fatal at web-scale dup rates
+    (billions of ids = tens of GB on the driver and in every broadcast
+    copy). Here the drop side stays a Dataset end-to-end: both sides
+    are tagged, unioned, hash-bucketed on the id, and each bucket group
+    applies one vectorized ``is_in`` (same reduce-side shape as
+    :func:`icat_lucene_ray.ops.relations.hash_join`). Shuffle volume is
+    O(left rows + drop ids); driver state is O(1).
+
+    Partitioning assumption: one bucket's left rows fit a worker —
+    ``num_buckets`` defaults from the drop-side count (already
+    materialized by callers); raise it with corpus size."""
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return ds
+    if num_buckets is None:
+        num_buckets = max(64, -(-n_drop // target_drop_rows) * 64)
+    l_schema = ds.schema().base_schema
+    cols = l_schema.names
+    if id_col not in cols:
+        raise ValueError(f"{id_col!r} not in left columns {cols}")
+    fields = [pa.field(c, l_schema.field(c).type) for c in cols]
+    fields += [pa.field("__side", pa.int8())]
+    schema = pa.schema(fields)
+
+    def _tag(b: pa.Table, is_left: bool) -> pa.Table:
+        n = b.num_rows
+        out = {}
+        for c in cols:
+            out[c] = b[c] if (is_left or c == id_col) else pa.nulls(n)
+        out["__side"] = pa.array(
+            np.zeros(n, np.int8) if is_left else np.ones(n, np.int8))
+        t = pa.table(out).cast(schema)
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((k * 2654435761) & 0x7FFFFFFF) % num_buckets
+        return t.append_column("_abkt", pa.array(bkt.astype(np.int64)))
+
+    tagged = ds.map_batches(lambda b: _tag(b, True),
+                            batch_format="pyarrow") \
+        .union(drop_ds.map_batches(lambda b: _tag(b, False),
+                                   batch_format="pyarrow"))
+
+    def _anti_group(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        bad = g.filter(pa.array(side == 1))[id_col]
+        if isinstance(bad, pa.ChunkedArray):
+            bad = bad.combine_chunks()
+        keep = pc.invert(pc.is_in(left[id_col], value_set=bad))
+        return left.filter(keep).drop_columns(["__side", "_abkt"])
+
+    return tagged.groupby("_abkt").map_groups(_anti_group,
+                                              batch_format="pyarrow")
+
+
 def filter_out_ids(ds: ray.data.Dataset, drop_ids, id_col: str = "doc_id"
                    ) -> ray.data.Dataset:
     """Lazy cluster-side anti-filter: broadcast the (small) drop set via
-    ``ray.put`` and drop matching rows in ``map_batches``."""
+    ``ray.put`` and drop matching rows in ``map_batches``. For drop sets
+    past driver/broadcast budget use :func:`anti_join_ids_ds`."""
     import ray as _ray
 
     if not len(drop_ids):

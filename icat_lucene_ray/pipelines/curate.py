@@ -18,8 +18,9 @@ standard pre-training scrub over a documents table —
    nearly every group has size 1, so per-group calls would be O(rows)
    Python overhead; no driver id sets either way), then
    MinHash+LSH near-dup (cluster-side pair verify + connected
-   components; only the drop-id set — O(near-dup clusters), not
-   O(rows) — transits the driver as a broadcast anti-filter).
+   components; small drop sets broadcast as an anti-filter, large ones
+   stay a Dataset and anti-join distributed — the drop ids never
+   transit the driver at web-scale dup rates).
    Streaming write to ``{out}/deduped/``.
 3. **decontam** — benchmark n-gram overlap scrub (broadcast shingle
    set, shuffle-free membership filter). Streaming write to
@@ -128,20 +129,18 @@ def _scrub_stage(cfg: CurateConfig):
     return _scrub
 
 
-def _keep_min_per_key(g: pa.Table, id_col: str) -> pa.Table:
-    """One BUCKET of content groups: sort by (fp_md5, id), keep the
-    first row of each fp run — vectorized, one Python call per bucket
-    (NOT per content group; at web scale almost every group has size 1,
-    so per-group map_groups would mean O(rows) Python calls)."""
-    order = pc.sort_indices(
-        pa.table({"f": g["fp_md5"], "i": g[id_col]}),
-        sort_keys=[("f", "ascending"), ("i", "ascending")])
-    g = g.take(order)
-    keys = g["fp_md5"].to_numpy(zero_copy_only=False)
-    first = np.ones(len(keys), dtype=bool)
-    if len(keys) > 1:
-        first[1:] = keys[1:] != keys[:-1]
-    return g.filter(pa.array(first)).drop_columns(["fp_md5", "_dbkt"])
+def _clear_stage(stage_dir: str) -> None:
+    """A stage directory without ``_DONE.json`` is a mid-write crash
+    leftover: Ray's ``write_parquet`` appends files under fresh per-run
+    uuids, so re-running into the same directory would leave the stale
+    partial files alongside the new full copy and every downstream
+    ``count_rows``/read would see duplicated rows. Clear it first —
+    stage writes are atomic at the granularity of the ``_DONE.json``
+    marker, never of individual parquet files."""
+    import shutil
+
+    if os.path.isdir(stage_dir) and not _done(stage_dir):
+        shutil.rmtree(stage_dir)
 
 
 def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
@@ -166,30 +165,30 @@ def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
 
 def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig
                     ) -> "ray.data.Dataset":
-    """Stage 2 as a lazy transform: exact content dedup (one hash
-    shuffle carrying full rows, keep lowest id per group) + optional
-    MinHash near-dup anti-filter."""
-    from icat_lucene_ray.ops.dedup import filter_out_ids, minhash_lsh_dedup
+    """Stage 2 as a lazy transform: exact content dedup (one bucketed
+    hash shuffle carrying full rows, keep lowest id per group) +
+    optional MinHash near-dup anti-filter."""
+    from icat_lucene_ray.ops.dedup import (
+        add_fp_bucket, anti_join_ids_ds, filter_out_ids, keep_min_per_fp,
+        minhash_lsh_dedup)
     from icat_lucene_ray.ops.text import add_md5_fingerprint
 
     B = cfg.dedup_buckets
-
-    def _hash_stage(b: pa.Table) -> pa.Table:
-        b = add_md5_fingerprint(b, cfg.text_col)
-        fps = b["fp_md5"].to_pylist()
-        bkt = np.fromiter((int(f[:8], 16) % B for f in fps),
-                          dtype=np.int64, count=len(fps))
-        return b.append_column("_dbkt", pa.array(bkt))
-
-    hashed = ds.map_batches(_hash_stage, batch_format="pyarrow")
+    hashed = ds.map_batches(
+        lambda b: add_fp_bucket(add_md5_fingerprint(b, cfg.text_col), B),
+        batch_format="pyarrow")
     exact = hashed.groupby("_dbkt").map_groups(
-        _keep_min_per_key, batch_format="pyarrow",
-        fn_args=(cfg.id_col,))
+        keep_min_per_fp, batch_format="pyarrow",
+        fn_args=(cfg.id_col, ("fp_md5", "_dbkt")))
     if cfg.near_dup_threshold is not None:
         res = minhash_lsh_dedup(
             exact, threshold=cfg.near_dup_threshold,
             text_col=cfg.text_col, id_col=cfg.id_col)
-        exact = filter_out_ids(exact, res["drop"], cfg.id_col)
+        if res["drop"] is not None:  # small set: broadcast anti-filter
+            exact = filter_out_ids(exact, res["drop"], cfg.id_col)
+        elif res["n_drop"]:  # web-scale drop set: distributed anti-join
+            exact = anti_join_ids_ds(exact, res["drop_ds"],
+                                     id_col=cfg.id_col)
     return exact
 
 
@@ -224,6 +223,7 @@ def curate(src: str, out_dir: str, *,
     # ---- stage 1: scrub ---------------------------------------------
     t0 = time.perf_counter()
     if not _done(scrubbed):
+        _clear_stage(scrubbed)
         cols = None
         if cfg.drop_cols:
             names = pads.dataset(src, format="parquet").schema.names
@@ -238,6 +238,7 @@ def curate(src: str, out_dir: str, *,
     # ---- stage 2: dedup ---------------------------------------------
     t0 = time.perf_counter()
     if not _done(deduped):
+        _clear_stage(deduped)
         dedup_transform(ray.data.read_parquet(scrubbed), cfg) \
             .write_parquet(deduped)
         _mark_done(deduped, {"sec": round(time.perf_counter() - t0, 3)})
@@ -248,6 +249,7 @@ def curate(src: str, out_dir: str, *,
     # ---- stage 3: decontaminate -------------------------------------
     t0 = time.perf_counter()
     if not _done(curated):
+        _clear_stage(curated)
         bench_in: "ray.data.Dataset | list[str] | None"
         if isinstance(bench, str):
             bench_in = ray.data.read_parquet(bench)

@@ -1,7 +1,7 @@
 """Driver-gate simulator: run queries() vs oracle_sql() via DuckDB and
 compare row count + schema + order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [only=name1,name2]
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ def value_hash(df: pd.DataFrame) -> str:
         df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -63,6 +63,8 @@ def main(sf_dir: str):
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             mine = canon(to_pandas(fn(sf_dir)))
@@ -104,4 +106,7 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    raise SystemExit(1 if main(sf) else 0)
+    only = None
+    if len(sys.argv) > 2 and sys.argv[2].startswith("only="):
+        only = set(sys.argv[2][len("only="):].split(","))
+    raise SystemExit(1 if main(sf, only) else 0)

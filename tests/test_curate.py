@@ -105,3 +105,22 @@ def test_no_bench_keeps_contaminated(ray_session, tmp_path):
                     cfg=CurateConfig(near_dup_threshold=None))
     # scrub drops 3; exact dedup still removes the doc-0 duplicate
     assert report["curated_rows"] == 4
+
+
+def test_resume_after_midstage_crash(ray_session, tmp_path):
+    """Partial parquet files left by a crashed stage (present dir, no
+    _DONE.json) must not duplicate rows on rerun: the stage dir is
+    cleared before the rewrite."""
+    src = _write_corpus(tmp_path)
+    out = str(tmp_path / "out_crash")
+    scrubbed = os.path.join(out, "scrubbed")
+    os.makedirs(scrubbed)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([999], pa.int64()),
+        "text": pa.array(["stale partial row"], pa.string())}),
+        os.path.join(scrubbed, "partial.parquet"))
+    report = curate(src, out, bench=BENCH,
+                    cfg=CurateConfig(near_dup_threshold=0.8, decontam_n=5))
+    assert report["stages"]["scrub"]["rows"] == 5  # not 6: stale file gone
+    final = pq.read_table(os.path.join(out, "curated"))
+    assert sorted(final["doc_id"].to_pylist()) == [0, 5, 6]

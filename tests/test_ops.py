@@ -494,3 +494,43 @@ def test_connected_components_labels_chain(ray_session):
               for r in connected_components_labels(edges).take_all()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                       10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_anti_join_ids_ds(ray_session):
+    """Distributed anti-join: full left schema survives, drop ids are
+    removed, unknown drop ids are harmless, empty drop short-circuits."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import anti_join_ids_ds
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(100)], pa.string())}))
+    drop = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([3, 7, 99, 1234], pa.int64())}))
+    out = anti_join_ids_ds(ds, drop).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [i for i in range(100)
+                                   if i not in (3, 7, 99)]
+    assert sorted(out.columns) == ["doc_id", "text"]
+    assert out.loc[out["doc_id"] == 0, "text"].iloc[0] == "t0"
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64())}))
+    assert anti_join_ids_ds(ds, empty) is ds
+
+
+def test_dedup_distributed_drop_never_on_driver(dup_ds):
+    """Above cc_driver_cap the drop list is NOT materialized on the
+    driver (drop=None, the 100-TB contract); keep_ds comes from the
+    distributed anti-join and still matches the driver-path survivors."""
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    drv = minhash_lsh_dedup(dup_ds, threshold=0.7, cc="driver")
+    dist = minhash_lsh_dedup(dup_ds, threshold=0.7, cc="distributed",
+                             cc_driver_cap=0)
+    assert dist["drop"] is None
+    assert dist["n_drop"] == len(drv["drop"])
+    assert sorted(dist["drop_ds"].to_pandas()["doc_id"].astype(int)) \
+        == drv["drop"]
+    keep_drv = sorted(drv["keep_ds"].to_pandas()["doc_id"].astype(int))
+    keep_dist = sorted(dist["keep_ds"].to_pandas()["doc_id"].astype(int))
+    assert keep_dist == keep_drv
