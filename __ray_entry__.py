@@ -1295,6 +1295,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """Independent SQL restatement of the LangId heuristic
+    (``ops/text.py``): stopword-marker hit counts per language over the
+    first 2000 chars, winner = first language in declaration order with
+    the max count (numpy argmax tie rule), 'und' below 2 hits. Marker
+    lists are pulled from the engine so the two sides cannot drift."""
+    from icat_lucene_ray.ops.text import LangId, _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)  # declaration order == argmax priority
+    hit_cols = ",\n".join(
+        "count(*) FILTER (WHERE tok IN ({})) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])), lang)
+        for lang in langs)
+    min_hits = LangId().min_hits
+    # argmax-first-wins: lang i beats every later lang on >=
+    cases = " ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"{lang} >= {other}"
+                         for other in langs[i + 1:]) or "TRUE", lang)
+        for i, lang in enumerate(langs))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(
+                   lower(substr(coalesce(text, ''), 1, 2000)),
+                   '[^a-zäöüßéèêàçñ]+')) AS tok
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, {hit_cols}
+          FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(CASE WHEN greatest({", ".join(langs)}) < {min_hits}
+                             THEN 'und' {cases} END, 'und') AS lang_pred
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id"""
+
+
+_LANGID_SQL = _langid_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     topk = ("SELECT doc_id, round(s, 6) AS score FROM agg "
             "ORDER BY s DESC, doc_id LIMIT 10")
@@ -1471,9 +1511,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(a.sh || b.sh)) >= 0.5
             ORDER BY id_a, id_b""",
-        # dedup_minhash / dedup_simhash / text_langid / ann_ivf_topk:
-        # not SQL-expressible (signatures / heuristic / approximate) —
-        # rows-only checks.
+        # dedup_minhash: not SQL-expressible end-to-end (LSH banding) —
+        # rows-only check; the signature hash space IS SQL-recomputable
+        # (see dedup_simhash) and pytest holds the brute-force oracle.
+        # dedup_simhash: full INDEPENDENT recompute — the engine's token
+        # hash is the first 8 md5 bytes little-endian == DuckDB's
+        # md5_number_upper, so the whole 64-bit bit-vote runs in SQL.
+        "dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS w FROM (
+                SELECT doc_id, unnest(list_filter(
+                         string_split_regex(coalesce(text, ''), '\\s+'),
+                         x -> x != '')) AS tok
+                FROM documents) GROUP BY doc_id, tok
+            ), votes AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (md5_number_upper(tok) >> b.bit) & 1 = 1
+                         THEN w ELSE -w END) AS v
+              FROM tok, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v <= 0 THEN 0::HUGEINT
+                              ELSE 1::HUGEINT << bit END) AS u
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(CASE WHEN sh.u >= 9223372036854775808::HUGEINT
+                       THEN sh.u - 18446744073709551616::HUGEINT
+                       ELSE sh.u END, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+            ORDER BY d.doc_id""",
+        "text_langid": _LANGID_SQL,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(sim, 6) AS cosine

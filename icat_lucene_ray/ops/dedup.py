@@ -97,8 +97,16 @@ def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
 # vectorized token / shingle hashing
 # ---------------------------------------------------------------------------
 
+def _md5_64(token: bytes) -> int:
+    """First 8 md5 bytes, little-endian — chosen because it is
+    recomputable OUTSIDE the engine: DuckDB's ``md5_number_upper(t)``
+    returns exactly this value, so every signature derived from it
+    (simhash, shingle hashes) has an independent SQL oracle."""
+    return int.from_bytes(hashlib.md5(token).digest()[:8], "little")
+
+
 class _TokenHasher:
-    """Per-worker memoized token→31-bit-hash table. Python's blake2b runs
+    """Per-worker memoized token→64-bit-hash table. Python's md5 runs
     once per *unique* token per batch (Zipf text: ~10× fewer calls than
     per-occurrence); the memo carries across batches."""
 
@@ -107,18 +115,7 @@ class _TokenHasher:
         self._cap = cap
 
     def hash31(self, uniques: list[str]) -> np.ndarray:
-        memo = self._memo
-        out = np.empty(len(uniques), dtype=np.uint64)
-        for i, t in enumerate(uniques):
-            h = memo.get(t)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "big")
-                if len(memo) < self._cap:
-                    memo[t] = h
-            out[i] = h
-        return out % _P31
+        return self.hash64(uniques) % _P31
 
     def hash64(self, uniques: list[str]) -> np.ndarray:
         memo = self._memo
@@ -126,9 +123,7 @@ class _TokenHasher:
         for i, t in enumerate(uniques):
             h = memo.get(t)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "big")
+                h = _md5_64(t.encode())
                 if len(memo) < self._cap:
                     memo[t] = h
             out[i] = h
@@ -1106,8 +1101,7 @@ class SimHasher:
         from collections import Counter
 
         for t, w in Counter(toks).items():
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            h = _md5_64(t.encode())
             bits = np.unpackbits(
                 np.frombuffer(h.to_bytes(8, "little"), np.uint8),
                 bitorder="little").astype(np.int64)
