@@ -1545,9 +1545,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(a.sh || b.sh)) >= 0.5
             ORDER BY id_a, id_b""",
-        # dedup_minhash: not SQL-expressible end-to-end (LSH banding) —
-        # rows-only check; the signature hash space IS SQL-recomputable
-        # (see dedup_simhash) and pytest holds the brute-force oracle.
+        # dedup_minhash: independent ground-truth recompute — the engine
+        # verifies every LSH candidate with EXACT shingle-set Jaccard, so
+        # its survivors equal exact-Jaccard connected components whenever
+        # LSH recall is 1 (banding miss prob ≤ (1-t^r)^b ≈ 5e-8 at the
+        # 0.8 threshold). The SQL builds the same k=5 shingle sets, takes
+        # pairs ≥ 0.8 via a shared-shingle prefilter, and runs CC as a
+        # recursive transitive closure with min-root labels.
+        "dedup_minhash": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> x != '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(toks) <= 5
+                THEN [array_to_string(toks, chr(31))]
+                ELSE list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], chr(31)))
+              END) AS sh FROM t
+            ), sh_ex AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh_ex a JOIN sh_ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), p AS (
+              SELECT id_a, id_b FROM cand
+              JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+              WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ), comp AS (
+              SELECT a AS node, least(a, min(b)) AS root FROM reach GROUP BY a
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != root)
+            ORDER BY doc_id""",
         # dedup_simhash: full INDEPENDENT recompute — the engine's token
         # hash is the first 8 md5 bytes little-endian == DuckDB's
         # md5_number_upper, so the whole 64-bit bit-vote runs in SQL.
