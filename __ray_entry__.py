@@ -1042,23 +1042,26 @@ def _asof_last_order(sf_dir: str):
 
 
 def _mm_image_features(sf_dir: str):
-    """Multimodal plumbing: attach deterministic fake image blobs to the
-    documents table, run the ImageDecoder actor-pool stage (small batch
-    size — binary payloads are MBs/row in production), emit per-image
-    metadata + feature vector. Real decode is stubbed (no PIL/ffmpeg in
-    this container); the Ray-side schema/actor/batch plumbing is real."""
+    """Multimodal image stage with REAL decode: attach true PNG payloads
+    (closed-form pixels) to the documents table, run the ImageDecoder
+    actor pool (small batch size — binary payloads are MBs/row in
+    production) through the pure-Python PNG reader, emit per-image
+    metadata + channel-mean features. The SQL oracle recomputes the
+    means from the pixel formula, verifying the decode chain
+    end-to-end."""
     import ray.data
-    from icat_lucene_ray.ops.multimodal import ImageDecoder, make_fake_image
+    from icat_lucene_ray.ops.multimodal import ImageDecoder, make_png_image
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id"])
 
     def attach(b: pa.Table) -> pa.Table:
-        blobs = [make_fake_image(int(d)) for d in b["doc_id"].to_pylist()]
+        blobs = [make_png_image(int(d)) for d in b["doc_id"].to_pylist()]
         return b.append_column("image", pa.array(blobs, pa.binary()))
 
     out = (ds.map_batches(attach, batch_format="pyarrow")
              .map_batches(ImageDecoder, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(use_fake=False),
                           batch_size=64, concurrency=2)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["width"] = [m["width"] for m in out["image_meta"]]
@@ -1069,12 +1072,13 @@ def _mm_image_features(sf_dir: str):
 
 
 def _mm_video_frames(sf_dir: str):
-    """Video frame-sampling plumbing (flat-map: one row per sampled
-    frame): deterministic fake containers attached to a doc subset,
+    """Video frame-sampling with REAL frame decode (flat-map: one row
+    per sampled frame): PNG-frame containers attached to a doc subset,
     FrameSampler actor pool with a small batch size (video payloads are
-    the corpus's largest rows)."""
+    the corpus's largest rows). Frame pixels are closed-form, so the
+    SQL oracle recomputes every sampled frame's feature."""
     import ray.data
-    from icat_lucene_ray.ops.multimodal import FrameSampler, make_fake_video
+    from icat_lucene_ray.ops.multimodal import FrameSampler, make_png_video
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id"])
@@ -1082,12 +1086,14 @@ def _mm_video_frames(sf_dir: str):
     def attach(b: pa.Table) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0)  # 1/8 of docs
         b = b.filter(keep)
-        blobs = [make_fake_video(int(d), n_frames=24)
+        blobs = [make_png_video(int(d), n_frames=24)
                  for d in b["doc_id"].to_pylist()]
         return b.append_column("video", pa.array(blobs, pa.binary()))
 
     out = (ds.map_batches(attach, batch_format="pyarrow")
-             .map_batches(FrameSampler, fn_constructor_kwargs=dict(stride=10),
+             .map_batches(FrameSampler,
+                          fn_constructor_kwargs=dict(stride=10,
+                                                     use_fake=False),
                           batch_format="pyarrow", batch_size=32,
                           concurrency=2)
              .to_pandas().sort_values(["doc_id", "frame_idx"])
@@ -1101,11 +1107,12 @@ def _mm_video_frames(sf_dir: str):
 
 
 def _mm_audio_features(sf_dir: str):
-    """Audio plumbing: fake waveforms through the AudioFeaturizer actor
-    pool (metadata + per-window RMS features; torchaudio/ffmpeg decode
-    stubbed, Ray-side plumbing real)."""
+    """Audio stage with REAL decode: true PCM WAV payloads (closed-form
+    samples) through the AudioFeaturizer actor pool's stdlib wave-reader
+    path (metadata + per-window RMS features). The SQL oracle recomputes
+    the first window's RMS from the sample formula."""
     import ray.data
-    from icat_lucene_ray.ops.multimodal import AudioFeaturizer, make_fake_audio
+    from icat_lucene_ray.ops.multimodal import AudioFeaturizer, make_wav_audio
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id"])
@@ -1113,11 +1120,12 @@ def _mm_audio_features(sf_dir: str):
     def attach(b: pa.Table) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(b["doc_id"], 3), 0)  # 1/4 of docs
         b = b.filter(keep)
-        blobs = [make_fake_audio(int(d)) for d in b["doc_id"].to_pylist()]
+        blobs = [make_wav_audio(int(d)) for d in b["doc_id"].to_pylist()]
         return b.append_column("audio", pa.array(blobs, pa.binary()))
 
     out = (ds.map_batches(attach, batch_format="pyarrow")
              .map_batches(AudioFeaturizer, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(use_fake=False),
                           batch_size=64, concurrency=2)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.table({
@@ -1911,6 +1919,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(10)) AS user_id) u
             LEFT JOIN events e ON e.user_id = u.user_id
             GROUP BY u.user_id ORDER BY u.user_id""",
+        # multimodal: payloads are REAL PNG/WAV whose decoded content is
+        # a closed-form function of doc_id (see make_png_image /
+        # make_wav_audio) — the oracle recomputes the features from the
+        # formula, independently verifying the whole decode chain.
+        "mm_image_features": """
+            SELECT d.doc_id, 32 AS width,
+                   round(avg(((d.doc_id * 1009 + 93 * k.k) % 256)::DOUBLE),
+                         6) AS feat0
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(768)) AS k) k
+            GROUP BY d.doc_id ORDER BY d.doc_id""",
+        "mm_video_frames": """
+            SELECT d.doc_id, f.f AS frame_idx,
+                   round(avg((((d.doc_id * 1000 + f.f) * 1009 + 93 * k.k)
+                              % 256)::DOUBLE), 6) AS feat0
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 10, 20]) AS f) f
+            CROSS JOIN (SELECT unnest(range(48)) AS k) k
+            WHERE d.doc_id % 8 = 0
+            GROUP BY d.doc_id, f.f ORDER BY d.doc_id, f.f""",
+        "mm_audio_features": """
+            SELECT d.doc_id, 0.3 AS duration_s,
+                   round(sqrt(avg(pow(((d.doc_id * 7919 + 631 * i.i) % 65536
+                                       - 32768) / 32768.0, 2))), 6) AS rms0
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(600)) AS i) i
+            WHERE d.doc_id % 4 = 0
+            GROUP BY d.doc_id ORDER BY d.doc_id""",
         "stats_iqr_filter": """
             WITH q AS (
               SELECT quantile_disc(value, 0.25) AS q1,

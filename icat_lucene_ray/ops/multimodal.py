@@ -39,17 +39,123 @@ def make_fake_image(doc_id: int, width: int = 32, height: int = 24,
     return _HDR.pack(_MAGIC, width, height, channels) + body
 
 
+# ---------------------------------------------------------------------------
+# pure-Python PNG codec — REAL image decode with no external library
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: colortype -> channels (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal standards-compliant PNG writer: 8-bit grayscale/RGB/RGBA,
+    filter 0 on every scanline, one zlib IDAT. Output opens in any PNG
+    reader — used to synthesize REAL image payloads for the multimodal
+    pipeline tests/queries."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    colortype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = px.astype(np.uint8).reshape(h, w * c)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-Python PNG reader: 8-bit grayscale / RGB / RGBA,
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Returns (h, w, c) uint8. Small-image oriented (the filter
+    reconstruction walks scanlines in Python with numpy row ops) —
+    exactly the thumbnail/feature-extract regime of the multimodal
+    stages; production containers with PIL take the compiled path."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(blob):
+        (length,), tag = struct.unpack_from(">I", blob, pos), \
+            blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, colortype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or colortype not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} colortype={colortype} "
+                    f"interlace={interlace} beyond the pure-Python reader")
+            meta = (w, h, _PNG_CHANNELS[colortype])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, c = meta
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    stride = 1 + w * c
+    raw = raw[: h * stride].reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(w * c, np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.empty(w * c, dtype=np.int64)
+            for i in range(w * c):
+                a = rec[i - c] if i >= c else 0
+                if ftype == 1:
+                    rec[i] = line[i] + a
+                elif ftype == 3:
+                    rec[i] = line[i] + (a + prev[i]) // 2
+                else:
+                    cc = prev[i - c] if i >= c else 0
+                    rec[i] = line[i] + _paeth(int(a), int(prev[i]), int(cc))
+                rec[i] &= 0xFF  # mod-256 BEFORE feeding the next prediction
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec & 0xFF
+    return out.reshape(h, w, c)
+
+
 def _decode_image_real(blob: bytes) -> np.ndarray:
-    """Decode a real image payload (PNG/JPEG/…) via PIL when the library
-    is present; otherwise raise so callers fall back to the fake-format
-    path (tests) or fail loudly (production misconfiguration)."""
+    """Decode a real image payload: PIL when importable (JPEG/PNG/…,
+    compiled); else the pure-Python PNG reader for PNG payloads — real
+    decode works in this container with no external library. Other
+    formats without PIL raise."""
     try:
         from PIL import Image
-    except ImportError as e:  # pragma: no cover - container lacks PIL
+    except ImportError:
+        if blob[:8] == _PNG_SIG:
+            return decode_png(blob)
         raise NotImplementedError(
-            "real image decode needs PIL/libjpeg — not installed in this "
-            "container; the fake-format decoder exercises the pipeline"
-        ) from e
+            "real decode of non-PNG images needs PIL/libjpeg — not "
+            "installed in this container (PNG decodes via the built-in "
+            "pure-Python reader)")
     import io
 
     img = Image.open(io.BytesIO(blob))
@@ -104,20 +210,66 @@ def _wrap_real():
 
 
 def have_image_decoder() -> bool:
-    """True when real image decode (PIL) is importable here."""
-    try:
-        from PIL import Image  # noqa: F401
+    """True when real image decode is available — always in this engine:
+    PIL when importable, else the built-in pure-Python PNG reader."""
+    return True
 
-        return True
-    except ImportError:
-        return False
+
+def make_png_image(doc_id: int, width: int = 32, height: int = 24,
+                   channels: int = 3) -> bytes:
+    """REAL PNG payload with closed-form pixels: flat byte ``i`` is
+    ``(doc_id*1009 + i*31) % 256``. The formula lets an independent SQL
+    oracle recompute any feature of the DECODED image (e.g. channel
+    means) without a PNG reader — verifying the whole
+    encode→zlib→unfilter chain, not just the plumbing."""
+    n = width * height * channels
+    i = np.arange(n, dtype=np.int64)
+    px = ((doc_id * 1009 + i * 31) % 256).astype(np.uint8)
+    return encode_png(px.reshape(height, width, channels))
 
 
 def have_video_decoder() -> bool:
-    """True when an ffmpeg binary is on PATH for real video decode."""
+    """True when real video-container decode is possible: the built-in
+    PNG-frame container always is; external containers (mp4/webm) need
+    BOTH ffmpeg and ffprobe on PATH (probing only ffmpeg would pass on
+    hosts lacking ffprobe and then crash mid-decode)."""
+    return True
+
+
+def have_ffmpeg() -> bool:
     import shutil
 
-    return shutil.which("ffmpeg") is not None
+    return (shutil.which("ffmpeg") is not None
+            and shutil.which("ffprobe") is not None)
+
+
+_VMAGIC = b"FVID"
+
+
+def make_png_video(doc_id: int, n_frames: int = 24, width: int = 8,
+                   height: int = 6, channels: int = 3) -> bytes:
+    """REAL-decode video container: ``FVID`` + frame count + length-
+    prefixed PNG frames (frame ``f`` keyed by ``doc_id*1000 + f`` with
+    the closed-form pixels of :func:`make_png_image`). Container
+    parsing is trivially ours; FRAME decode exercises the real PNG
+    path."""
+    frames = [encode_png(
+        (((doc_id * 1000 + f) * 1009
+          + np.arange(width * height * channels, dtype=np.int64) * 31) % 256)
+        .astype(np.uint8).reshape(height, width, channels))
+        for f in range(n_frames)]
+    return (_VMAGIC + struct.pack("<I", n_frames)
+            + b"".join(struct.pack("<I", len(p)) + p for p in frames))
+
+
+def iter_png_video(blob: bytes):
+    """Yield decoded (h, w, c) frames of a ``FVID`` container."""
+    n_frames = struct.unpack_from("<I", blob, 4)[0]
+    off = 8
+    for _ in range(n_frames):
+        ln = struct.unpack_from("<I", blob, off)[0]
+        yield decode_png(blob[off + 4:off + 4 + ln])
+        off += 4 + ln
 
 
 def make_fake_video(doc_id: int, n_frames: int = 24, width: int = 8,
@@ -131,13 +283,15 @@ def make_fake_video(doc_id: int, n_frames: int = 24, width: int = 8,
 
 
 def _decode_video_real(blob: bytes) -> np.ndarray:
-    """All frames of a real container (mp4/webm/…) as (n, h, w, 3)
-    uint8, via an ffmpeg rawvideo pipe — used only when the binary
-    probe passes (no ffmpeg in this test container)."""
-    if not have_video_decoder():
+    """All frames of a real external container (mp4/webm/…) as
+    (n, h, w, 3) uint8, via an ffmpeg rawvideo pipe — used only when
+    BOTH ffmpeg and ffprobe are on PATH (``FVID`` PNG containers decode
+    via :func:`iter_png_video` without either)."""
+    if not have_ffmpeg():
         raise NotImplementedError(
-            "real video decode needs ffmpeg — not on PATH in this "
-            "container; the fake-container decoder exercises the pipeline"
+            "decode of external video containers needs ffmpeg+ffprobe — "
+            "not on PATH in this container; FVID PNG containers decode "
+            "via the built-in pure-Python path"
         )
     import json
     import subprocess
@@ -175,6 +329,11 @@ class FrameSampler:
     def _sampled_frames(self, blob: bytes):
         """(frame_idx, pixels) pairs at every ``stride``-th frame."""
         if not self.use_fake:
+            if blob[:4] == _VMAGIC:  # PNG-frame container: real decode
+                for f, px in enumerate(iter_png_video(blob)):
+                    if f % self.stride == 0:
+                        yield f, px
+                return
             px = _decode_video_real(blob)
             for f in range(0, px.shape[0], self.stride):
                 yield f, px[f]
@@ -222,6 +381,27 @@ def make_fake_audio(doc_id: int, n_samples: int = 4800,
     reps = -(-n_samples * 2 // 8)
     body = (seed * reps)[: n_samples * 2]
     return _AHDR.pack(_AMAGIC, sample_rate, n_samples) + body
+
+
+def make_wav_audio(doc_id: int, n_samples: int = 4800,
+                   sample_rate: int = 16000) -> bytes:
+    """REAL PCM WAV payload (stdlib ``wave`` writer) with closed-form
+    int16 samples ``s[i] = (doc_id*7919 + i*631) % 65536 - 32768`` —
+    like :func:`make_png_image`, the formula lets a SQL oracle
+    recompute features of the DECODED waveform (window RMS) and so
+    verify the real wave-reader path end-to-end."""
+    import io
+    import wave
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((doc_id * 7919 + i * 631) % 65536 - 32768).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
 
 
 def _decode_audio_real(blob: bytes) -> tuple[np.ndarray, int]:
