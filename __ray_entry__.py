@@ -560,7 +560,9 @@ def _with_pii(batch: pa.Table) -> pa.Table:
     """Deterministic PII suffix per doc (mirrors _PII_SQL exactly):
     an email, a NNN-555-0199 phone, and an IPv4 on every 6th doc."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    email = np.char.add(np.char.add(" contact user", ids.astype("U6")),
+    # U20 covers any int64 doc_id — U6 would truncate ids >= 10^6 and
+    # diverge from the SQL mirror's full CAST(doc_id AS VARCHAR)
+    email = np.char.add(np.char.add(" contact user", ids.astype("U20")),
                         "@Mail.example.COM")
     phone = np.char.add(np.char.add(" or ", (ids % 900 + 100).astype("U3")),
                         "-555-0199")

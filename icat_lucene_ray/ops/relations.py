@@ -213,6 +213,11 @@ def hash_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left supported")
+    if bloom_prefilter and how == "left":
+        # a bloom prefilter DROPS non-matching probe rows — it would
+        # silently turn a left join into an inner join
+        raise ValueError("bloom_prefilter cannot preserve left-join "
+                         "semantics; use how='inner' or drop the filter")
     if bloom_prefilter and how == "inner":
         from icat_lucene_ray.ops.stats import bloom_build, bloom_filter_ds
 
@@ -227,6 +232,11 @@ def hash_join(
     dup = set(lcols) & set(rcols)
     if dup:
         raise ValueError(f"colliding output columns: {sorted(dup)}")
+    if on in lcols or on in rcols:
+        # a payload column named like the output key would silently
+        # overwrite the joined key values in the output dict
+        raise ValueError(f"payload column {on!r} collides with the join "
+                         "key output; rename it upstream")
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema

@@ -63,36 +63,44 @@ def distributed_quantile(
         return {q: float("nan") for q in qs}
     glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
 
-    # state per quantile: (lo, hi, rank_within_interval)
-    state = {}
+    # Per-quantile state: (lo, hi, rank_within_selection, preds) where
+    # preds is the CHAIN of (plo, pw, pj) bin predicates accumulated so
+    # far. Selection membership is evaluated with the exact same rule
+    # that built each histogram (clipped floor-bin index == pj), never
+    # with recomputed interval endpoints — float rounding can put a
+    # value in bin j yet outside [lo + j*w, lo + (j+1)*w], which would
+    # desync the rank bookkeeping from the next pass's row selection.
+    state: dict[float, list] = {}
     for q in qs:
         rank = max(0, math.ceil(q * n) - 1)
-        state[q] = [glo, ghi, rank]
+        state[q] = [glo, ghi, rank, []]
     done: dict[float, float] = {}
+
+    def _select(v: np.ndarray, preds) -> np.ndarray:
+        m = (v >= glo) & (v <= ghi)
+        for plo, pw, pj in preds:
+            idx = np.clip(((v - plo) / pw).astype(np.int64), 0, bins - 1)
+            m &= idx == pj
+        return v[m]
 
     for _ in range(max_passes):
         open_qs = [q for q in state if q not in done]
         if not open_qs:
             break
-        # collapsed intervals resolve immediately
-        for q in open_qs:
-            lo, hi, _r = state[q]
-            if lo == hi or (hi - lo) / bins == 0.0:
-                done[q] = lo
-        open_qs = [q for q in open_qs if q not in done]
-        if not open_qs:
+        # zero-width intervals can't be binned further — exact-fetch them
+        ivals = [(q, *state[q]) for q in open_qs
+                 if (state[q][1] - state[q][0]) / bins > 0.0]
+        if not ivals:
             break
-        ivals = [(q, *state[q]) for q in open_qs]
 
         def _hist(b: pa.Table, ivals=ivals) -> pa.Table:
             v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
             sids, bvec, cvec = [], [], []
-            for sid, (_q, lo, hi, _r) in enumerate(ivals):
+            for sid, (_q, lo, hi, _r, preds) in enumerate(ivals):
                 w = (hi - lo) / bins
-                sel = v[(v >= lo) & (v <= hi)]
-                idx = np.minimum((
-                    (sel - lo) / w).astype(np.int64), bins - 1)
+                sel = _select(v, preds)
+                idx = np.clip(((sel - lo) / w).astype(np.int64), 0, bins - 1)
                 h = np.bincount(idx, minlength=bins)
                 nz = np.flatnonzero(h)
                 sids += [sid] * len(nz)
@@ -105,7 +113,7 @@ def distributed_quantile(
         parts = ds.map_batches(_hist, batch_format="pyarrow").to_pandas()
         agg = parts.groupby(["sid", "bin"])["c"].sum()
         all_resolved_small = True
-        for sid, (q, lo, hi, rank) in enumerate(ivals):
+        for sid, (q, lo, hi, rank, preds) in enumerate(ivals):
             h = np.zeros(bins, dtype=np.int64)
             if sid in agg.index.get_level_values(0):
                 sub = agg.loc[sid]
@@ -114,9 +122,11 @@ def distributed_quantile(
             j = int(np.searchsorted(cum, rank + 1))
             below = int(cum[j - 1]) if j > 0 else 0
             w = (hi - lo) / bins
+            # nlo/nhi only steer the NEXT histogram's bin width; row
+            # membership is the appended predicate, not the endpoints
             nlo = lo + j * w
             nhi = hi if j == bins - 1 else lo + (j + 1) * w
-            state[q] = [nlo, nhi, rank - below]
+            state[q] = [nlo, nhi, rank - below, preds + [(lo, w, j)]]
             if h[j] > cap:
                 all_resolved_small = False
         if all_resolved_small:
@@ -131,15 +141,15 @@ def distributed_quantile(
             v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
             sids, vals = [], []
-            for sid, (_q, lo, hi, _r) in enumerate(ivals):
-                sel = v[(v >= lo) & (v <= hi)]
+            for sid, (_q, _lo, _hi, _r, preds) in enumerate(ivals):
+                sel = _select(v, preds)
                 sids += [sid] * len(sel)
                 vals += sel.tolist()
             return pa.table({"sid": pa.array(sids, pa.int64()),
                              "v": pa.array(vals, pa.float64())})
 
         got = ds.map_batches(_fetch, batch_format="pyarrow").to_pandas()
-        for sid, (q, lo, hi, rank) in enumerate(ivals):
+        for sid, (q, _lo, _hi, rank, _preds) in enumerate(ivals):
             vals = np.sort(got.loc[got["sid"] == sid, "v"].to_numpy())
             done[q] = float(vals[rank])
     return done

@@ -194,3 +194,24 @@ def test_hash_join_right_on(ray_session):
     got = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
                     on="a", right_on="b", how="inner").to_pandas()
     assert got.to_dict("records") == [{"a": 2, "x": 6, "y": 7}]
+
+
+def test_hash_join_guards(ray_session):
+    """Key-name collisions with payload columns and bloom+left are
+    rejected loudly instead of silently corrupting the output."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from icat_lucene_ray.ops.relations import hash_join
+
+    lt = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                       "x": pa.array([5], pa.int64())}))
+    rt = ray.data.from_arrow(pa.table({"b": pa.array([1], pa.int64()),
+                                       "k": pa.array([9], pa.int64())}))
+    # right payload column named like the join key output
+    with pytest.raises(ValueError, match="collides with the join key"):
+        hash_join(lt, rt, on="k", right_on="b")
+    with pytest.raises(ValueError, match="left-join"):
+        hash_join(lt, rt, on="k", right_on="b", how="left",
+                  right_cols=["b"], bloom_prefilter=True)

@@ -48,6 +48,28 @@ def test_exact_single_pass_big_cap(vals_ds):
         assert got[q] == _disc(v, q), q
 
 
+def test_boundary_values_never_desync(ray_session):
+    """Adversarial values ON refinement-bin boundaries: selection uses
+    the exact binning predicate of the previous pass, never recomputed
+    interval endpoints (float rounding can place a value in bin j yet
+    outside [lo + j*w, lo + (j+1)*w]). Tiny cap/bins force many passes;
+    clusters sit exactly at lo + j*w for awkward widths."""
+    rng = np.random.default_rng(3)
+    lo, hi, bins = 0.1, 0.1 + 0.7 / 3, 16  # non-dyadic width
+    w = (hi - lo) / bins
+    edges = lo + np.arange(bins + 1) * w
+    v = np.concatenate([
+        np.repeat(edges, 40),                      # exactly on boundaries
+        edges + np.finfo(np.float64).eps * edges,  # one ulp above
+        edges - np.finfo(np.float64).eps * edges,  # one ulp below
+        rng.uniform(lo, hi, 2000),
+    ])
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v, pa.float64())}))
+    got = distributed_quantile(ds, "value", QS, cap=20, bins=8)
+    for q in QS:
+        assert got[q] == _disc(v, q), q
+
+
 def test_constant_column(ray_session):
     t = pa.table({"value": pa.array([3.5] * 1000, pa.float64())})
     got = distributed_quantile(ray.data.from_arrow(t), "value",
