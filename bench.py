@@ -292,6 +292,61 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def run_insession(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """End-to-end build at BOTH parallelism levels inside ONE Ray
+    session (``build_index(cpu_budget=...)`` emulates the smaller
+    cluster by inflating per-task num_cpus). Two fresh sessions land in
+    different host memory-fault regimes — identical 8-CPU builds have
+    measured 6.4k-21.0k docs/s across rounds — so only a same-session
+    pair (after one untimed warm-up build that pays the cold fault tax)
+    measures the ENGINE's end-to-end scaling. BASELINE.md caveat has the
+    full attribution."""
+    import pyarrow.parquet as pq2
+
+    import ray
+
+    _quiet()
+    ray.init(address="local", num_cpus=hi, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.index.build import build_index
+
+    n_docrows = pq2.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_pages = n_docrows * PAGES_PER_DOCROW
+    pages = _ensure_pages_corpus(n_pages)
+    cfg = EngineConfig(num_segments=32, tokenize_batch_size=2048,
+                       analyzed_rows_per_file=16384)
+
+    def one(budget: int, tag: str) -> float:
+        idx_dir = f"/tmp/ilr_bench/idx_insession_{tag}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(pages, idx_dir, meta_cols=["lang", "warc_ts"],
+                    config=cfg, cpu_budget=budget)
+        return time.perf_counter() - t0
+
+    one(hi, "warm")  # untimed: pays the session's cold fault tax
+    sec_lo = one(lo, "lo")
+    sec_hi = one(hi, "hi")
+    probe = _compute_probe(pages, hi)
+    ray.shutdown()
+    dps_lo, dps_hi = n_pages / sec_lo, n_pages / sec_hi
+    return {
+        "in_session_cpus_lo": lo, "in_session_cpus_hi": hi,
+        "in_session_build_sec_lo": round(sec_lo, 3),
+        "in_session_build_sec_hi": round(sec_hi, 3),
+        "in_session_build_docs_per_sec_lo": round(dps_lo, 1),
+        "in_session_build_docs_per_sec_hi": round(dps_hi, 1),
+        "in_session_scaling_efficiency": round((dps_hi / dps_lo)
+                                               / (hi / lo), 3),
+        "in_session_probe_docs_per_sec": probe["probe_docs_per_sec"],
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md
     scaling criterion: efficiency ≥ 0.8 between N and 4N)."""
@@ -323,7 +378,17 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     r2 = json.loads(probe2.strip().splitlines()[-1])
     p_eff_2_8 = (r_lo["probe_docs_per_sec"] / r2["probe_docs_per_sec"]) \
         / (lo / 2)
+    # in-session end-to-end pair: same Ray session for both levels, so
+    # the host's per-session fault-regime swing cancels (fresh process
+    # so its plasma store starts clean)
+    ins_out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--insession"],
+        capture_output=True, text=True, check=True,
+        env=dict(os.environ),
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".").stdout
+    ins = json.loads(ins_out.strip().splitlines()[-1])
     return {
+        **ins,
         "metric": "scaling efficiency (same input, fresh ray sessions)",
         "cpus_lo": lo, "cpus_hi": hi,
         "build_sec_lo": t_lo, "build_sec_hi": t_hi,
@@ -346,6 +411,8 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--insession" in sys.argv:
+        print(json.dumps(run_insession(sf_dir)))
     elif "--probe" in sys.argv:
         n = int(sys.argv[sys.argv.index("--probe") + 1])
         print(json.dumps(run_probe_only(n)))

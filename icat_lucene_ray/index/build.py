@@ -857,6 +857,7 @@ def build_index(
     num_segments: int | None = None,
     checkpoint_shards: int = 1,
     resume: bool = False,
+    cpu_budget: int | None = None,
 ) -> IndexManifest:
     """Build an immutable inverted index at ``out_dir``.
 
@@ -872,6 +873,13 @@ def build_index(
     input shards; ``resume=True`` skips shards whose lineage marker
     matches (≈ the reference's populate lock-range protocol,
     ``Lucene.java:1155-1212``).
+    ``cpu_budget`` emulates an N-CPU cluster inside a wider session:
+    pool/task counts derive from the budget and every task/actor
+    reserves ``cluster_cpus // budget`` CPUs, so at most ~budget CPUs
+    run concurrently. Used by the in-session scaling measurement
+    (``bench.py --scaling``), where two fresh sessions would otherwise
+    land in different host memory-fault regimes and the ratio would
+    measure the host, not the engine (BASELINE.md caveat).
     """
     analyzer = analyzer or config.analyzer
     meta_cols = list(meta_cols or [])
@@ -896,7 +904,11 @@ def build_index(
     # a pool reserving every CPU starves the other stages; measured, a
     # full-width pool also pays spawn cost that never amortizes on
     # short jobs)
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cluster_ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ncpu = min(cpu_budget, cluster_ncpu) if cpu_budget else cluster_ncpu
+    #: CPUs each task/actor reserves — 1 normally; cluster/budget under
+    #: cpu_budget so stage concurrency shrinks proportionally
+    task_cpus = max(1, cluster_ncpu // ncpu) if cpu_budget else 1
     pool = config.tokenize_concurrency or max(2, ncpu * 3 // 4)
 
     read_cols = tcols + meta_cols
@@ -938,7 +950,9 @@ def build_index(
 
                 shutil.rmtree(shard_dir)
             os.makedirs(shard_dir, exist_ok=True)
-            ds = ray.data.read_parquet(shard_files, columns=read_cols)
+            ds = ray.data.read_parquet(
+                shard_files, columns=read_cols,
+                ray_remote_args={"num_cpus": task_cpus})
             ds = ds.map_batches(
                 Tokenizer,
                 fn_constructor_kwargs=dict(
@@ -949,6 +963,7 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=config.tokenize_batch_size,
                 concurrency=pool,
+                num_cpus=task_cpus,
             )
             stats_rows = ds.map_batches(
                 _write_analyzed_batch,
@@ -957,6 +972,7 @@ def build_index(
                                compression=config.analyzed_compression),
                 batch_format="pyarrow",
                 batch_size=config.analyzed_rows_per_file,
+                num_cpus=task_cpus,
             ).take_all()
             st = _fold_stats(stats_rows)
             shard_stats.append(st)
@@ -1034,6 +1050,8 @@ def build_index(
         groups = _rowgroup_units(an_files, target_tasks=ncpu * 3)
         metrics["phase_c_encode_tasks"] = len(groups)
         opts = {"num_returns": S} if S > 1 else {}
+        if task_cpus > 1:
+            opts["num_cpus"] = task_cpus
         enc_refs = [
             _encode_split_task.options(**opts).remote(
                 g, S, hot_salt, min_doc, max_doc,
@@ -1051,7 +1069,8 @@ def build_index(
             for s in range(S):
                 col = [r[s] for r in enc_refs]
                 combined.append([
-                    _combine_pieces.remote(*col[i:i + fanin])
+                    _combine_pieces.options(num_cpus=task_cpus)
+                    .remote(*col[i:i + fanin])
                     for i in range(0, len(col), fanin)
                 ])
             piece_refs = [list(row) for row in zip(*combined)] \
@@ -1062,7 +1081,7 @@ def build_index(
             piece_refs = enc_refs
         n_writers = config.num_writers or min(S, max(2, ncpu // 4))
         writers = [
-            _SegmentWriterActor.remote(
+            _SegmentWriterActor.options(num_cpus=task_cpus).remote(
                 out_dir, config.k1, config.b, avgdl, config.codec_block,
                 field_avgdl=field_avgdl or None,
                 chunk_postings=config.writer_chunk_postings,
