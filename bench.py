@@ -412,7 +412,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     elif "--insession" in sys.argv:
-        print(json.dumps(run_insession(sf_dir)))
+        i = sys.argv.index("--insession")
+        lo, hi = (int(sys.argv[i + 1]), int(sys.argv[i + 2])) \
+            if len(sys.argv) > i + 2 else (8, 32)
+        print(json.dumps(run_insession(sf_dir, lo, hi)))
     elif "--probe" in sys.argv:
         n = int(sys.argv[sys.argv.index("--probe") + 1])
         print(json.dumps(run_probe_only(n)))

@@ -239,7 +239,11 @@ class FacetState:
             os.path.join(sc_dir, f) for f in os.listdir(sc_dir)
             if f.endswith(".parquet")) if os.path.isdir(sc_dir) else []
         if parts:
-            t = pa.concat_tables([pq.read_table(p) for p in parts])
+            # one threaded scan across all parts — serial per-file
+            # read_table was the bulk of facet_first_ms on wide indexes
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(parts, format="parquet").to_table()
         else:
             # older index / merged output: build the state in memory once
             m = self._idx.manifest
