@@ -909,7 +909,12 @@ def build_index(
     #: CPUs each task/actor reserves — 1 normally; cluster/budget under
     #: cpu_budget so stage concurrency shrinks proportionally
     task_cpus = max(1, cluster_ncpu // ncpu) if cpu_budget else 1
-    pool = config.tokenize_concurrency or max(2, ncpu * 3 // 4)
+    # cap at ncpu-1 so the fixed actor pool can never reserve EVERY
+    # CPU: on a 2-CPU cluster (or cpu_budget=2) a full-width pool
+    # starves the read/write task operators outright — deadlock, not
+    # just contention
+    pool = config.tokenize_concurrency or max(
+        1, min(ncpu - 1, ncpu * 3 // 4))
 
     read_cols = tcols + meta_cols
     if id_col:
