@@ -1084,7 +1084,11 @@ def build_index(
                 len(c) for c in combined)
         else:
             piece_refs = enc_refs
-        n_writers = config.num_writers or min(S, max(2, ncpu // 4))
+        # writer actors are placed while encode tasks still run; cap
+        # them at ncpu-1 so idle writers can never absorb every CPU and
+        # starve the encode stage they wait on (deadlock at tiny ncpu)
+        n_writers = config.num_writers or min(
+            S, max(1, min(ncpu - 1, max(2, ncpu // 4))))
         writers = [
             _SegmentWriterActor.options(num_cpus=task_cpus).remote(
                 out_dir, config.k1, config.b, avgdl, config.codec_block,
