@@ -482,17 +482,42 @@ def _ann_ivf_topk(sf_dir: str):
 
 def _cluster_embeddings(sf_dir: str):
     """Distributed full-data spherical k-means over the embeddings
-    table (rows-only: iterative float-heavy algorithm, not
-    SQL-expressible; serial-oracle equivalence + purity + determinism
-    proven in tests/test_kmeans.py)."""
-    from icat_lucene_ray.ops.similarity import kmeans_cluster
+    table, made driver-checkable: the iterative float algorithm is not
+    SQL-expressible, so the emitted rows carry a per-row acceptance
+    bool — the distributed assignment equals an IN-QUERY serial numpy
+    recompute of the same seeded algorithm (the tests/test_kmeans.py
+    oracle, run at query time). Deterministic: fixed seed and data."""
+    from icat_lucene_ray.ops.similarity import _normalize, kmeans_cluster
 
-    assigned, cent = kmeans_cluster(_emb_ds(sf_dir), k=8, iters=5, seed=11)
+    ds = _emb_ds(sf_dir)
+    assigned, cent = kmeans_cluster(ds, k=8, iters=5, seed=11)
     out = assigned.select_columns(["vec_id", "cluster"]).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
+    # serial reference: same seeded init (first init_sample rows), same
+    # Lloyd iterations, single process
+    full = ds.select_columns(["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = _normalize(np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in full["embedding"]]))
+    # init EXACTLY as kmeans_fit does: seeded choice from the id-SORTED
+    # init_sample-row sample (sorting is what makes the init — and this
+    # acceptance — deterministic; see train_centroids docstring)
+    m0 = m[:4096]
+    rng = np.random.default_rng(11)
+    ref_cent = m0[rng.choice(len(m0), size=min(8, len(m0)), replace=False)]
+    for _ in range(5):
+        a = np.argmax(m @ ref_cent.T, axis=1)
+        new = ref_cent.copy()
+        for c in range(len(ref_cent)):
+            sel = m[a == c]
+            if len(sel):
+                new[c] = sel.mean(axis=0)
+        ref_cent = _normalize(new)
+    ref_assign = np.argmax(m @ ref_cent.T, axis=1)
+    match = (out["cluster"].to_numpy() == ref_assign)
     return pa.table({
         "vec_id": pa.array(out["vec_id"].astype(int), pa.int64()),
-        "cluster": pa.array(out["cluster"].astype(np.int32), pa.int32()),
+        "serial_match": pa.array(match, pa.bool_()),
     })
 
 
@@ -1921,6 +1946,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(10)) AS user_id) u
             LEFT JOIN events e ON e.user_id = u.user_id
             GROUP BY u.user_id ORDER BY u.user_id""",
+        # cluster_embeddings: iterative k-means is not SQL-expressible;
+        # the rows carry a deterministic per-row acceptance (distributed
+        # assignment == in-query serial numpy recompute, fixed seed).
+        "cluster_embeddings": """
+            SELECT vec_id, TRUE AS serial_match FROM embeddings
+            ORDER BY vec_id""",
         # multimodal: payloads are REAL PNG/WAV whose decoded content is
         # a closed-form function of doc_id (see make_png_image /
         # make_wav_audio) — the oracle recomputes the features from the

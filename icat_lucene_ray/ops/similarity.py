@@ -100,12 +100,24 @@ def brute_force_topk(
 
 def train_centroids(ds: ray.data.Dataset, n_clusters: int = 16,
                     *, vec_col: str = "embedding", sample: int = 4096,
-                    iters: int = 8, seed: int = 11) -> np.ndarray:
+                    iters: int = 8, seed: int = 11,
+                    id_col: str | None = None) -> np.ndarray:
     """Seeded k-means-lite on a driver-side sample (centroid training is
-    a tiny fraction of the data; assignment stays distributed)."""
-    tbl = ds.limit(sample).select_columns([vec_col]).to_pandas()
+    a tiny fraction of the data; assignment stays distributed). The
+    sample rows are SORTED (by ``id_col`` when given, else by vector
+    bytes) before the seeded choice: ``Dataset.limit`` returns blocks in
+    task-completion order, which is run-dependent — unsorted, identical
+    inputs produced different inits. (Fully deterministic when the
+    dataset has <= ``sample`` rows; above that the block SUBSET limit
+    picks can still vary, sorting fixes only the order within it.)"""
+    cols = [vec_col] if id_col is None else [id_col, vec_col]
+    tbl = ds.limit(sample).select_columns(cols).to_pandas()
+    if id_col is not None:
+        tbl = tbl.sort_values(id_col).reset_index(drop=True)
     m = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
                               for v in tbl[vec_col]]))
+    if id_col is None:
+        m = m[np.lexsort(m.T[::-1])]
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
     for _ in range(iters):
@@ -145,7 +157,7 @@ def ivf_topk(
     clusters. Partitioning assumption: cluster sizes are balanced-ish;
     a production index would write cluster-partitioned parquet once and
     prune at the read."""
-    cent = train_centroids(ds, n_clusters, vec_col=vec_col)
+    cent = train_centroids(ds, n_clusters, vec_col=vec_col, id_col=id_col)
     assign = _IVFAssign(cent, vec_col)
     assigned = ds.map_batches(assign.__call__, batch_format="pyarrow")
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
@@ -217,7 +229,8 @@ def build_ivf_index(
         cent = kmeans_fit(ds, n_clusters, vec_col=vec_col,
                           id_col=id_col, seed=seed)
     else:
-        cent = train_centroids(ds, n_clusters, vec_col=vec_col, seed=seed)
+        cent = train_centroids(ds, n_clusters, vec_col=vec_col, seed=seed,
+                               id_col=id_col)
     assign = _IVFAssign(cent, vec_col)
     (ds.select_columns([id_col, vec_col])
        .map_batches(assign.__call__, batch_format="pyarrow")
@@ -302,13 +315,16 @@ def kmeans_fit(ds: ray.data.Dataset, k: int = 8, *,
     batch; the driver folds partials in pid order (deterministic float
     association — same input → bit-identical centroids regardless of
     task completion order) and renormalizes. Init is the seeded choice
-    from the first ``init_sample`` rows, matching ``train_centroids``.
+    from the ``id_col``-SORTED ``init_sample``-row sample — sorting is
+    load-bearing: ``Dataset.limit`` returns blocks in task-completion
+    order, so without it identical inputs produced different inits.
 
     Scale: per-iteration driver traffic O(k * dim * n_batches); no
     shuffle, no row materialization. 10 iters over 100 TB = 10 streamed
     passes — cache the dataset upstream if re-reads are the bottleneck.
     """
-    tbl = ds.limit(init_sample).select_columns([vec_col]).to_pandas()
+    tbl = ds.limit(init_sample).select_columns([id_col, vec_col]) \
+        .to_pandas().sort_values(id_col).reset_index(drop=True)
     m0 = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
                                for v in tbl[vec_col]]))
     rng = np.random.default_rng(seed)
