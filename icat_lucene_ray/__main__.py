@@ -79,6 +79,27 @@ def cmd_search(args):
     }, default=str))
 
 
+def cmd_facet(args):
+    """Facet verb — the reference's dedicated facet surface
+    (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
+    verb: parse the query string, count string dims (or all string
+    meta columns when none given) and optional numeric ranges."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    ranges = json.loads(args.ranges) if args.ranges else None
+    if ranges:
+        ranges = {f: [(str(lbl), float(lo), float(hi))
+                      for lbl, lo, hi in rs] for f, rs in ranges.items()}
+    dims = args.dims.split(",") if args.dims else None
+    print(json.dumps(idx.facets(q, dims=dims, ranges=ranges,
+                                max_labels=args.max_labels),
+                     default=str))
+
+
 def cmd_modify(args):
     """Apply a JSON op array (the reference's POST /modify payload,
     Lucene.java:481-513) and commit."""
@@ -181,6 +202,21 @@ def main(argv=None):
     s.add_argument("--actors", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    fc = sub.add_parser("facet", help="facet counts for a query "
+                        "(string dims + numeric ranges)")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--query", required=True,
+                    help="query string ('' = match-all)")
+    fc.add_argument("--dims", default=None,
+                    help="comma-separated string dims (default: all "
+                         "string meta columns)")
+    fc.add_argument("--ranges", default=None,
+                    help='JSON {"field": [["label", lo, hi], ...]}')
+    fc.add_argument("--max-labels", type=int, default=10)
+    fc.add_argument("--actors", action="store_true")
+    fc.add_argument("--num-cpus", type=int, default=None)
+    fc.set_defaults(fn=cmd_facet)
 
     mo = sub.add_parser("modify", help="apply create/update/delete ops + commit")
     mo.add_argument("--index", required=True)

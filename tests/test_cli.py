@@ -60,6 +60,25 @@ def test_cli_build_search_stats(cli_env, capsys):
     assert st["meta_cols"] == ["lang"] and st["deltas"] == []
 
 
+def test_cli_facet(cli_env, capsys):
+    cli, src, tmp = cli_env
+    idx = str(tmp / "idx_facet")
+    cli.main(["build", "--input", src, "--out", idx,
+              "--id-col", "doc_id", "--meta", "lang",
+              "--analyzer", "simple", "--segments", "2"])
+    _json_out(capsys)
+    # default dims = all string meta columns; '' = match-all
+    cli.main(["facet", "--index", idx, "--query", ""])
+    assert _json_out(capsys) == {"lang": {"en": 4}}
+    cli.main(["facet", "--index", idx, "--query", '"fast join"',
+              "--dims", "lang",
+              "--ranges", '{"doc_id": [["lo", 0, 2], ["hi", 2, 9]]}'])
+    out = _json_out(capsys)
+    assert out["lang"] == {"en": 2}
+    assert out["doc_id"]["lo"]["doc_count"] == 1
+    assert out["doc_id"]["hi"]["doc_count"] == 1
+
+
 def test_cli_modify_stats_merge_clear(cli_env, capsys, tmp_path):
     cli, src, tmp = cli_env
     idx = str(tmp / "idx2")
