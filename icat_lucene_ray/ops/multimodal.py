@@ -143,19 +143,25 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def _decode_image_real(blob: bytes) -> np.ndarray:
-    """Decode a real image payload: PIL when importable (JPEG/PNG/…,
-    compiled); else the pure-Python PNG reader for PNG payloads — real
-    decode works in this container with no external library. Other
-    formats without PIL raise."""
+    """Decode a real image payload: PIL when importable (compiled, any
+    format); else the built-in pure-Python readers — PNG
+    (:func:`decode_png`) and baseline JPEG
+    (:func:`icat_lucene_ray.ops.jpeg.decode_jpeg`) — so real decode of
+    the two dominant web formats works in this container with no
+    external library. Other formats without PIL raise."""
     try:
         from PIL import Image
     except ImportError:
         if blob[:8] == _PNG_SIG:
             return decode_png(blob)
+        if blob[:2] == b"\xff\xd8":
+            from icat_lucene_ray.ops.jpeg import decode_jpeg
+
+            return decode_jpeg(blob)
         raise NotImplementedError(
-            "real decode of non-PNG images needs PIL/libjpeg — not "
-            "installed in this container (PNG decodes via the built-in "
-            "pure-Python reader)")
+            "real decode of non-PNG/JPEG images needs PIL — not "
+            "installed in this container (PNG and baseline JPEG decode "
+            "via the built-in pure-Python readers)")
     import io
 
     img = Image.open(io.BytesIO(blob))
