@@ -564,6 +564,15 @@ def _text_langid(sf_dir: str):
                      "lang_pred": pa.array(pdf["lang_pred"], pa.string())})
 
 
+def _text_repeated_ngrams(sf_dir: str):
+    """Cross-document repeated 8-grams (memorization-risk audit):
+    verbatim spans shared by >= 2 distinct documents, top-100 by doc
+    count. Bucketed groupby over n-gram hash; full SQL oracle."""
+    from icat_lucene_ray.ops.text import repeated_ngrams
+
+    return repeated_ngrams(_docs_ds(sf_dir), n=8, min_docs=2, top_k=100)
+
+
 def _text_repetition(sf_dir: str):
     from icat_lucene_ray.ops.text import add_repetition_metrics
 
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _mm_image_features,
         "mm_video_frames": _mm_video_frames,
         "mm_audio_features": _mm_audio_features,
+        "text_repeated_ngrams": _text_repeated_ngrams,  # new in round 4
         # --- green in CORRECTNESS_r03.json -----------------------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
@@ -1723,6 +1733,22 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_frac
             FROM uni u LEFT JOIN bimax b ON u.doc_id = b.doc_id
             ORDER BY u.doc_id""",
+        "text_repeated_ngrams": """
+            WITH t AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> x != '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' ')))) AS ngram
+              FROM t WHERE len(toks) >= 8
+            )
+            SELECT ngram, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM g GROUP BY ngram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, ngram LIMIT 100""",
         "text_unigram_logprob": """
             WITH w AS (SELECT doc_id,
                               unnest(string_split(text, ' ')) AS w

@@ -463,3 +463,111 @@ def top_tfidf_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated n-grams — memorization-risk audit
+# ---------------------------------------------------------------------------
+
+def repeated_ngrams(ds, *, n: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 256, top_k: int = 100):
+    """Token n-grams that repeat across >= ``min_docs`` DISTINCT
+    documents — the standard memorization-risk audit over a training
+    corpus (verbatim spans shared by many documents are what models
+    memorize; boilerplate, licenses, templates).
+
+    Vectorized n-gram construction (one Arrow ``binary_join`` of n
+    shifted takes of the flat token stream; no per-row Python), distinct
+    per doc, then a BUCKETED groupby on ``hash(ngram) % num_buckets`` —
+    the exchange key space is the bucket count, never the ~O(corpus)
+    distinct-n-gram cardinality — with one vectorized value_counts per
+    bucket call. Returns (ngram, n_docs) for survivors, sorted
+    (n_docs DESC, ngram) LIMIT ``top_k`` — scale note: survivors are
+    rare by construction (cross-doc repeats), so the driver-side sort
+    input is small; raise ``min_docs`` with corpus size."""
+    import ray
+
+    def _emit(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.coalesce(texts, ""), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_all = toks.flatten()
+        keep = pc.not_equal(pc.utf8_length(flat_all), 0)
+        lens_all = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), lens_all)
+        doc_rep = doc_rep[keep_np]
+        flat = flat_all.filter(keep)
+        lens = np.bincount(doc_rep, minlength=len(ids))
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        # window starts: docs with >= n tokens contribute len-n+1 windows
+        m = np.maximum(lens - n + 1, 0)
+        M = int(m.sum())
+        if M == 0:
+            return pa.table({"_nbkt": pa.array([], pa.int64()),
+                             "ngram": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64())})
+        woff = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(m, out=woff[1:])
+        within = np.arange(M, dtype=np.int64) - np.repeat(woff[:-1], m)
+        start = np.repeat(offs[:-1], m) + within
+        cols = [flat.take(pa.array(start + j)) for j in range(n)]
+        # interleave explicit space columns (join_element_wise has one
+        # global separator, we want tok1 ' ' tok2 ' ' ... tokn)
+        parts: list = []
+        space = pa.array([" "] * M)
+        for j in range(n):
+            parts.append(cols[j])
+            if j < n - 1:
+                parts.append(space)
+        ngram = pc.binary_join_element_wise(*parts, pa.array([""] * M))
+        # distinct per doc: dictionary-encode + unique on (doc, code)
+        enc = ngram.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(1, len(enc.dictionary))
+        pos = np.arange(len(ids))
+        drep = np.repeat(pos, m)
+        uniq = np.unique(drep * K + codes)
+        u_doc, u_code = uniq // K, uniq % K
+        out_ng = enc.dictionary.take(pa.array(u_code))
+        # bucket via md5 of the ngram (python per UNIQUE ngram only)
+        bkt = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "little") % num_buckets
+             for s in out_ng.to_pylist()),
+            dtype=np.int64, count=len(out_ng))
+        return pa.table({
+            "_nbkt": pa.array(bkt),
+            "ngram": out_ng.cast(pa.string()),
+            id_col: pa.array(ids[u_doc], pa.int64()),
+        })
+
+    def _count(g: pa.Table) -> pa.Table:
+        ng = g["ngram"]
+        if isinstance(ng, pa.ChunkedArray):
+            ng = ng.combine_chunks()
+        enc = ng.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        ok = np.flatnonzero(cnt >= min_docs)
+        return pa.table({
+            "ngram": enc.dictionary.take(pa.array(ok)).cast(pa.string()),
+            "n_docs": pa.array(cnt[ok], pa.int64()),
+        })
+
+    survivors = (ds.map_batches(_emit, batch_format="pyarrow")
+                   .groupby("_nbkt")
+                   .map_groups(_count, batch_format="pyarrow"))
+    t = survivors.to_pandas()
+    t = t.sort_values(["n_docs", "ngram"],
+                      ascending=[False, True]).head(top_k)
+    return pa.table({
+        "ngram": pa.array(t["ngram"], pa.string()),
+        "n_docs": pa.array(t["n_docs"].astype(int), pa.int64()),
+    })

@@ -534,3 +534,30 @@ def test_dedup_distributed_drop_never_on_driver(dup_ds):
     keep_drv = sorted(drv["keep_ds"].to_pandas()["doc_id"].astype(int))
     keep_dist = sorted(dist["keep_ds"].to_pandas()["doc_id"].astype(int))
     assert keep_dist == keep_drv
+
+
+def test_repeated_ngrams(ray_session):
+    """Cross-doc repeated n-gram audit: spans in >= min_docs distinct
+    docs survive; within-doc repeats don't inflate the doc count."""
+    import ray.data
+
+    from icat_lucene_ray.ops.text import repeated_ngrams
+
+    shared = "alpha beta gamma delta"
+    docs = [
+        f"x {shared} y",
+        f"p q {shared}",
+        f"{shared} {shared} tail",   # repeats INSIDE one doc: counts once
+        "totally unrelated words here now",
+        "",                            # empty doc: no windows
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = repeated_ngrams(ds, n=4, min_docs=2, top_k=10).to_pandas()
+    got = dict(zip(out["ngram"], out["n_docs"]))
+    assert got[shared] == 3
+    assert all(v >= 2 for v in got.values())
+    assert "totally unrelated words here" not in got
+    # ordering: n_docs DESC then ngram ASC
+    assert list(out["n_docs"]) == sorted(out["n_docs"], reverse=True)
