@@ -206,6 +206,16 @@ def _ft_wildcard(sf_dir: str):
     return _hits(_idx(sf_dir).search(Wildcard("jo*"), k=10))
 
 
+def _ft_fuzzy_topk(sf_dir: str):
+    """Fuzzy term query (Lucene ``term~1``): 'joyn' expands to every
+    dictionary term within 1 plain-Levenshtein edit; OR-sum scoring
+    like wildcards. Exercised through the query-STRING parser so the
+    ``~`` syntax is covered end-to-end."""
+    from icat_lucene_ray.query import parse_query
+
+    return _hits(_idx(sf_dir).search(parse_query("joyn~1"), k=10))
+
+
 def _ft_numeric_range(sf_dir: str):
     from icat_lucene_ray.query import And, RangeFilter, Term
 
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_video_frames": _mm_video_frames,
         "mm_audio_features": _mm_audio_features,
         "text_repeated_ngrams": _text_repeated_ngrams,  # new in round 4
+        "ft_fuzzy_topk": _ft_fuzzy_topk,                # new in round 4
         # --- green in CORRECTNESS_r03.json -----------------------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
@@ -1467,6 +1478,13 @@ def oracle_sql() -> dict[str, str]:
             , agg AS (
               SELECT doc_id, sum(s) AS s FROM scored
               WHERE term LIKE 'jo%' GROUP BY doc_id)
+            """ + topk,
+        # the oracle recomputes the fuzzy expansion independently:
+        # DuckDB's levenshtein == the engine's plain-Levenshtein DP
+        "ft_fuzzy_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE levenshtein(term, 'joyn') <= 1 GROUP BY doc_id)
             """ + topk,
         "ft_numeric_range": _BM25_CTE + """
             SELECT count(DISTINCT s.doc_id) AS n_docs FROM scored s

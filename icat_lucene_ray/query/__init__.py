@@ -1,5 +1,5 @@
 from icat_lucene_ray.query.ast import (  # noqa: F401
-    And, Boost, Filter, MatchAll, Not, Or, Phrase, RangeFilter, Term,
+    And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, RangeFilter, Term,
     Wildcard,
 )
 from icat_lucene_ray.query.engine import Index, SearchResult  # noqa: F401

@@ -56,6 +56,21 @@ class Wildcard(Query):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Query):
+    """Lucene FuzzyQuery analog (``term~`` / ``term~1`` via the
+    reference's StandardQueryParser surface,
+    ``DocumentMapping.java:120-146``): expands to every dictionary term
+    within ``max_edits`` edit distance, scored as the OR-sum of the
+    expanded term queries exactly like :class:`Wildcard`. Distance is
+    PLAIN Levenshtein (documented divergence: Lucene counts
+    transpositions as one Damerau edit) so an independent SQL oracle
+    can recompute the expansion with ``levenshtein()``."""
+    text: str
+    max_edits: int = 2
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class And(Query):
     clauses: tuple
     filters: tuple = ()

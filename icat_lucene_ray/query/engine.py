@@ -40,8 +40,8 @@ from icat_lucene_ray.config import EngineConfig
 from icat_lucene_ray.index.docids import term_shard
 from icat_lucene_ray.index.manifest import IndexManifest
 from icat_lucene_ray.query.ast import (
-    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term,
-    Wildcard,
+    And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
+    RangeFilter, Term, Wildcard,
 )
 from icat_lucene_ray.query.segment import SegmentGroupReader
 
@@ -620,6 +620,62 @@ class Index:
                         return out
         return out
 
+    def expand_fuzzy(self, text: str, max_edits: int = 2,
+                     field: str | None = None) -> list[str]:
+        """Dictionary terms within ``max_edits`` PLAIN Levenshtein
+        distance of ``text`` (lowercased like wildcards, M11; bypasses
+        the analyzer as Lucene fuzzy terms do). The DP is vectorized
+        over the candidate axis — one (n_cands,) numpy row per query
+        char x candidate position, after a length-difference prefilter
+        — so the dictionary scan stays batch-at-a-time."""
+        if self.manifest.analyzer != "path_hierarchy":
+            text = text.lower()
+        pref = self._field_prefix(field)
+        qc = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        ds = pads.dataset(self.manifest.termstats_dir())
+        expr = None
+        if pref:
+            hi = pref[:-1] + chr(ord(pref[-1]) + 1)
+            expr = (pads.field("term") >= pref) & (pads.field("term") < hi)
+        seen: set[str] = set()
+        out: list[str] = []
+        for batch in ds.to_batches(columns=["term"], filter=expr):
+            terms = [t for t in batch["term"].to_pylist() if t not in seen]
+            # strip the field prefix: lev(P+a, P+b) == lev(a, b)
+            bares = [t[len(pref):] for t in terms] if pref else terms
+            keep = [i for i, b in enumerate(bares)
+                    if abs(len(b) - len(qc)) <= max_edits]
+            if not keep:
+                continue
+            cand = [bares[i] for i in keep]
+            L = max(len(c) for c in cand)
+            codes = np.zeros((len(cand), L), dtype=np.uint32)
+            lens = np.empty(len(cand), dtype=np.int64)
+            for i, c in enumerate(cand):
+                lens[i] = len(c)
+                codes[i, :len(c)] = np.frombuffer(
+                    c.encode("utf-32-le"), dtype=np.uint32)
+            prev = np.tile(np.arange(L + 1, dtype=np.int64),
+                           (len(cand), 1))
+            for ch in qc:
+                cur = np.empty_like(prev)
+                cur[:, 0] = prev[:, 0] + 1
+                sub_cost = (codes != ch).astype(np.int64)
+                for j in range(1, L + 1):
+                    cur[:, j] = np.minimum(
+                        np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                        prev[:, j - 1] + sub_cost[:, j - 1])
+                prev = cur
+            dist = prev[np.arange(len(cand)), lens]
+            for i, ok in zip(keep, dist <= max_edits):
+                if ok:
+                    seen.add(terms[i])
+                    out.append(terms[i])
+                    if len(out) >= self.cfg.max_wildcard_terms:
+                        return out
+            seen.update(terms[i] for i in keep)
+        return out
+
     # ---------------- evaluator ---------------------------------------
     def _check_deadline(self, deadline: float | None):
         if deadline is not None and time.monotonic() > deadline:
@@ -653,6 +709,9 @@ class Index:
                               doc_range)
         if isinstance(q, Wildcard):
             stems = self.expand_wildcard(q.pattern, field=q.field)
+            return self._eval_stems(stems, doc_range)
+        if isinstance(q, Fuzzy):
+            stems = self.expand_fuzzy(q.text, q.max_edits, field=q.field)
             return self._eval_stems(stems, doc_range)
         if isinstance(q, MatchAll):
             docs = self.all_doc_ids()

@@ -12,6 +12,8 @@ field lists (``SearchBucket.java:217-222,250-255,283-298``; field lists
 - ``"quoted phrases"`` → :class:`Phrase` (phrase-lite per north_rule);
 - ``*`` / ``?`` in a term → :class:`Wildcard` (lowercased by the
   engine, M11);
+- trailing ``~`` / ``~N`` → :class:`Fuzzy` (edit-distance expansion
+  against the term dictionary, N capped at Lucene's 2);
 - ``AND`` binds tighter than ``OR``; bare adjacency is ``OR`` (the
   Lucene default operator); ``NOT x`` / ``-x`` are MUST_NOT and ``+x``
   is MUST within their group.
@@ -31,8 +33,12 @@ from __future__ import annotations
 import re
 
 from icat_lucene_ray.query.ast import (
-    And, Boost, MatchAll, Not, Or, Phrase, Query, Term, Wildcard,
+    And, Boost, Fuzzy, MatchAll, Not, Or, Phrase, Query, Term, Wildcard,
 )
+
+#: trailing ``~`` / ``~N`` marks a fuzzy term (Lucene StandardQueryParser
+#: syntax); Lucene caps maxEdits at 2 and so do we
+_FUZZY_RE = re.compile(r"^(.+?)~([0-2])?$")
 
 
 class QueryParseError(ValueError):
@@ -190,7 +196,12 @@ class _Parser:
                    else Term(words[0], field=f) for f in fields]
         elif k == "term":
             tok = _unescape_term(tok)
-            if "*" in tok or "?" in tok:
+            fz = _FUZZY_RE.match(tok)
+            if fz:
+                base, edits = fz.group(1), int(fz.group(2) or 2)
+                per = [Fuzzy(base, max_edits=edits, field=f)
+                       for f in fields]
+            elif "*" in tok or "?" in tok:
                 per = [Wildcard(tok, field=f) for f in fields]
             else:
                 per = [Term(tok, field=f) for f in fields]

@@ -135,3 +135,44 @@ def test_search_text_convenience(engine, oracle):
 
     b = engine.search(And([Term(mid[0]), Term(mid[1])]), k=10)
     assert a.table.equals(b.table)
+
+
+def test_fuzzy_syntax():
+    from icat_lucene_ray.query.ast import Fuzzy
+
+    assert parse_query("joyn~1") == Fuzzy("joyn", max_edits=1)
+    assert parse_query("joyn~") == Fuzzy("joyn", max_edits=2)
+    q = parse_query("lang:joyn~1")
+    assert q == Fuzzy("joyn", max_edits=1, field="lang")
+    # '~' not in trailing fuzzy position stays part of the term
+    assert parse_query("a~b") == Term("a~b")
+    assert parse_query("x~3") == Term("x~3")  # Lucene caps edits at 2
+
+
+def test_fuzzy_rank_matches_expansion(engine, oracle):
+    """Fuzzy == OR-sum over the independently-computed edit-distance
+    expansion (the same contract the SQL oracle checks)."""
+    from icat_lucene_ray.query.ast import Fuzzy
+
+    def lev(a: str, b: str) -> int:
+        import numpy as _np
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(d[-1])
+
+    terms = _terms_by_df(oracle)[1][:1]  # any mid-df term
+    base = terms[0]
+    typo = base[:-1] + ("x" if base[-1] != "x" else "y")
+    got = engine.search(Fuzzy(typo, max_edits=1), k=10)
+    exp_terms = engine.expand_fuzzy(typo, 1)
+    assert all(lev(t, typo) <= 1 for t in exp_terms)
+    assert base in exp_terms
+    from icat_lucene_ray.query.ast import Or as _Or
+
+    ref = engine.search(_Or([Term(t) for t in exp_terms]), k=10)
+    assert got.table.to_pydict() == ref.table.to_pydict()
+    assert got.total_hits == ref.total_hits
