@@ -216,6 +216,26 @@ def _ft_fuzzy_topk(sf_dir: str):
     return _hits(_idx(sf_dir).search(parse_query("joyn~1"), k=10))
 
 
+def _ft_weighted_or(sf_dir: str):
+    """Inline Lucene boost syntax through the parser: 'data^2 OR spark'
+    — the boosted clause's BM25 doubles before the OR-sum."""
+    from icat_lucene_ray.query import parse_query
+
+    return _hits(_idx(sf_dir).search(parse_query("data^2 OR spark"), k=10))
+
+
+def _ft_range_syntax(sf_dir: str):
+    """Bracket range syntax through the parser: 'data AND
+    n_chars:[100 TO 300]' — same semantics as the programmatic
+    RangeFilter (ft_numeric_range) but exercised as query-string
+    surface."""
+    from icat_lucene_ray.query import parse_query
+
+    q = parse_query("data AND n_chars:[100 TO 300]")
+    n = _idx(sf_dir).count(q)
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 def _ft_numeric_range(sf_dir: str):
     from icat_lucene_ray.query import And, RangeFilter, Term
 
@@ -1331,6 +1351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features": _mm_audio_features,
         "text_repeated_ngrams": _text_repeated_ngrams,  # new in round 4
         "ft_fuzzy_topk": _ft_fuzzy_topk,                # new in round 4
+        "ft_weighted_or": _ft_weighted_or,              # new in round 4
+        "ft_range_syntax": _ft_range_syntax,            # new in round 4
         # --- green in CORRECTNESS_r03.json -----------------------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
@@ -1479,6 +1501,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, sum(s) AS s FROM scored
               WHERE term LIKE 'jo%' GROUP BY doc_id)
             """ + topk,
+        "ft_weighted_or": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN term = 'data' THEN 2 * s ELSE s END) AS s
+              FROM scored WHERE term IN ('data', 'spark') GROUP BY doc_id)
+            """ + topk,
+        "ft_range_syntax": _BM25_CTE + """
+            SELECT count(DISTINCT s.doc_id) AS n_docs FROM scored s
+            JOIN documents d ON s.doc_id = d.doc_id
+            WHERE s.term = 'data' AND d.n_chars BETWEEN 100 AND 300""",
         # the oracle recomputes the fuzzy expansion independently:
         # DuckDB's levenshtein == the engine's plain-Levenshtein DP
         "ft_fuzzy_topk": _BM25_CTE + """

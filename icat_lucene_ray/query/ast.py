@@ -129,5 +129,14 @@ class Boost(Query):
 
 
 @dataclass(frozen=True)
+class Weight(Query):
+    """Lucene inline boost (``term^2`` / ``"phrase"^1.5`` via
+    StandardQueryParser): multiplies the wrapped query's scores by
+    ``factor``. Matching set is unchanged."""
+    query: Query
+    factor: float
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
     pass

@@ -41,7 +41,7 @@ from icat_lucene_ray.index.docids import term_shard
 from icat_lucene_ray.index.manifest import IndexManifest
 from icat_lucene_ray.query.ast import (
     And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
-    RangeFilter, Term, Wildcard,
+    RangeFilter, Term, Weight, Wildcard,
 )
 from icat_lucene_ray.query.segment import SegmentGroupReader
 
@@ -713,6 +713,9 @@ class Index:
         if isinstance(q, Fuzzy):
             stems = self.expand_fuzzy(q.text, q.max_edits, field=q.field)
             return self._eval_stems(stems, doc_range)
+        if isinstance(q, Weight):
+            docs, sc = self._eval(q.query, deadline, doc_range)
+            return docs, (sc * q.factor if sc is not None else None)
         if isinstance(q, MatchAll):
             docs = self.all_doc_ids()
             return docs, None

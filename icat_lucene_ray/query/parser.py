@@ -14,6 +14,9 @@ field lists (``SearchBucket.java:217-222,250-255,283-298``; field lists
   engine, M11);
 - trailing ``~`` / ``~N`` → :class:`Fuzzy` (edit-distance expansion
   against the term dictionary, N capped at Lucene's 2);
+- ``term^2`` / ``"phrase"^1.5`` → :class:`Weight` (score multiplier);
+- ``field:[lo TO hi]`` / ``field:{lo TO hi}`` → :class:`RangeFilter`
+  (inclusive / exclusive bounds, ``*`` = open);
 - ``AND`` binds tighter than ``OR``; bare adjacency is ``OR`` (the
   Lucene default operator); ``NOT x`` / ``-x`` are MUST_NOT and ``+x``
   is MUST within their group.
@@ -62,7 +65,8 @@ _SCANNER = re.compile(
     r"""\s*(?:
     (?P<lparen>\()
   | (?P<rparen>\))
-  | (?P<quoted>"[^"]*")
+  | (?P<range>[\[{]\s*\S+\s+TO\s+\S+\s*[\]}](?:\^[0-9.]+)?)
+  | (?P<quoted>"[^"]*"(?:\^[0-9.]+)?)
   | (?P<kw_and>AND\b)
   | (?P<kw_or>OR\b)
   | (?P<kw_not>NOT\b)
@@ -73,6 +77,14 @@ _SCANNER = re.compile(
     )""",
     re.VERBOSE,
 )
+
+_BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
+
+
+def _split_boost(tok: str) -> tuple[str, float | None]:
+    """Strip a trailing Lucene ``^weight`` from a token."""
+    m = _BOOST_RE.match(tok)
+    return (m.group(1), float(m.group(2))) if m else (tok, None)
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -180,22 +192,57 @@ class _Parser:
                     raise QueryParseError("missing ')'")
                 self._next()
                 return q
+            if nxt == "range":  # field:[lo TO hi] / {lo TO hi}
+                return self._range(field)
             return self._atom([field])
+        if k == "range":
+            raise QueryParseError("range needs a field: 'field:[a TO b]'")
         if k in ("quoted", "term"):
             return self._atom(fields)
         raise QueryParseError(f"unexpected {self.toks[self.i][1]!r}")
+
+    def _range(self, field: str) -> Query:
+        """Lucene range syntax: ``[`` / ``]`` inclusive, ``{`` / ``}``
+        exclusive, ``*`` for an open bound. Numeric bounds (the engine's
+        RangeFilter is numeric/timestamp); a trailing ^boost parses but
+        is dropped — ranges are non-scoring FILTER clauses."""
+        from icat_lucene_ray.query.ast import RangeFilter
+
+        _, rtok = self._next()
+        rtok, _boost = _split_boost(rtok)
+        include_lo, include_hi = rtok[0] == "[", rtok[-1] == "]"
+        parts = re.split(r"\s+TO\s+", rtok[1:-1].strip())
+        if len(parts) != 2:
+            raise QueryParseError(f"bad range {rtok!r}")
+
+        def _bound(s: str):
+            if s == "*":
+                return None
+            try:
+                return int(s)
+            except ValueError:
+                try:
+                    return float(s)
+                except ValueError:
+                    raise QueryParseError(
+                        f"range bound {s!r} is not numeric or '*'")
+
+        return RangeFilter(field, _bound(parts[0]), _bound(parts[1]),
+                           include_lo=include_lo, include_hi=include_hi)
 
     def _atom(self, fields) -> Query:
         if self._peek() is None:
             raise QueryParseError("unexpected end of query (dangling "
                                   "'field:' or operator)")
         k, tok = self._next()
+        weight = None
         if k == "quoted":
+            tok, weight = _split_boost(tok)
             words = tok[1:-1].split()
             per = [Phrase(words, field=f) if len(words) != 1
                    else Term(words[0], field=f) for f in fields]
         elif k == "term":
-            tok = _unescape_term(tok)
+            tok, weight = _split_boost(_unescape_term(tok))
             fz = _FUZZY_RE.match(tok)
             if fz:
                 base, edits = fz.group(1), int(fz.group(2) or 2)
@@ -207,7 +254,12 @@ class _Parser:
                 per = [Term(tok, field=f) for f in fields]
         else:
             raise QueryParseError(f"expected a term, got {tok!r}")
-        return per[0] if len(per) == 1 else Or(per)
+        q = per[0] if len(per) == 1 else Or(per)
+        if weight is not None:
+            from icat_lucene_ray.query.ast import Weight
+
+            q = Weight(q, weight)
+        return q
 
 
 def _build_group(clauses: list[tuple[str, Query]]) -> Query:

@@ -176,3 +176,40 @@ def test_fuzzy_rank_matches_expansion(engine, oracle):
     ref = engine.search(_Or([Term(t) for t in exp_terms]), k=10)
     assert got.table.to_pydict() == ref.table.to_pydict()
     assert got.total_hits == ref.total_hits
+
+
+def test_range_syntax():
+    from icat_lucene_ray.query.ast import RangeFilter
+
+    assert parse_query("n_chars:[100 TO 300]") == RangeFilter(
+        "n_chars", 100, 300, include_lo=True, include_hi=True)
+    assert parse_query("n_chars:{1.5 TO *}") == RangeFilter(
+        "n_chars", 1.5, None, include_lo=False, include_hi=False)
+    with pytest.raises(QueryParseError):
+        parse_query("[1 TO 2]")  # range needs a field
+    with pytest.raises(QueryParseError):
+        parse_query("n_chars:[a TO b]")  # non-numeric bounds
+
+
+def test_inline_boost_syntax():
+    from icat_lucene_ray.query.ast import Weight
+
+    assert parse_query("data^2") == Weight(Term("data"), 2.0)
+    assert parse_query('"fast join"^1.5') == Weight(
+        Phrase(("fast", "join")), 1.5)
+    assert parse_query("a^b2") == Term("a^b2")  # non-numeric tail
+
+
+def test_weight_multiplies_scores(engine, oracle):
+    from icat_lucene_ray.query.ast import Weight
+
+    head, mid, rare = _terms_by_df(oracle)
+    base = engine.search(Term(mid[0]), k=10)
+    boosted = engine.search(Weight(Term(mid[0]), 2.0), k=10)
+    assert boosted.table["doc_id"].to_pylist() \
+        == base.table["doc_id"].to_pylist()
+    import numpy as _np
+
+    assert _np.allclose(
+        _np.asarray(boosted.table["score"].to_pylist()),
+        2.0 * _np.asarray(base.table["score"].to_pylist()))
