@@ -291,6 +291,18 @@ def _ft_phrase_positional(sf_dir: str):
     return _hits(idx.search(Phrase(["fast", "join"]), k=10))
 
 
+def _ft_phrase_slop(sf_dir: str):
+    """Proximity phrase (Lucene '"fast join"~2' through the parser):
+    in-order window with stretch <= 2 over the positional index —
+    wider than the adjacent-match set, narrower than the
+    conjunction."""
+    from icat_lucene_ray.pipelines import get_cached_positional_index
+    from icat_lucene_ray.query import parse_query
+
+    idx = get_cached_positional_index(sf_dir)
+    return _hits(idx.search(parse_query('"fast join"~2'), k=10))
+
+
 def _ft_querystring_topk(sf_dir: str):
     """Q2 free-text query-string parse over the default field:
     AND / OR / grouping / negation in one user string
@@ -1353,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_topk": _ft_fuzzy_topk,                # new in round 4
         "ft_weighted_or": _ft_weighted_or,              # new in round 4
         "ft_range_syntax": _ft_range_syntax,            # new in round 4
+        "ft_phrase_slop": _ft_phrase_slop,              # new in round 4
         # --- green in CORRECTNESS_r03.json -----------------------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
@@ -1500,6 +1513,25 @@ def oracle_sql() -> dict[str, str]:
             , agg AS (
               SELECT doc_id, sum(s) AS s FROM scored
               WHERE term LIKE 'jo%' GROUP BY doc_id)
+            """ + topk,
+        # in-order window: b strictly after a, stretch (gap) <= slop=2
+        "ft_phrase_slop": _BM25_CTE + """
+            , ptok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     unnest(generate_series(1, len(string_split(text, ' '))))
+                       AS pos
+              FROM documents),
+            pmatch AS (
+              SELECT DISTINCT a.doc_id FROM ptok a
+              JOIN ptok b ON a.doc_id = b.doc_id
+                AND b.pos > a.pos AND b.pos <= a.pos + 3
+              WHERE a.term = 'fast' AND b.term = 'join'),
+            agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('fast', 'join')
+                AND doc_id IN (SELECT doc_id FROM pmatch)
+              GROUP BY doc_id)
             """ + topk,
         "ft_weighted_or": _BM25_CTE + """
             , agg AS (

@@ -41,12 +41,21 @@ class Term(Query):
 
 @dataclass(frozen=True)
 class Phrase(Query):
+    """``slop`` (Lucene ``"a b"~N`` proximity) loosens exact adjacency
+    to an IN-ORDER window: the phrase matches when occurrences
+    q_0 < q_1 < ... exist with total stretch (q_last - q_0) - (n-1)
+    <= slop (SpanNearQuery inOrder=true semantics — a documented
+    divergence from Lucene's moves-based unordered sloppy matching,
+    chosen because an independent SQL oracle can recompute it).
+    slop=0 is exact adjacency. Requires a positions index."""
     terms: tuple[str, ...]
     field: str | None = None
+    slop: int = 0
 
-    def __init__(self, terms, field=None):
+    def __init__(self, terms, field=None, slop=0):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "field", field)
+        object.__setattr__(self, "slop", int(slop))
 
 
 @dataclass(frozen=True)

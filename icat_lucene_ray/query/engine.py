@@ -691,13 +691,19 @@ class Index:
             stems = self._term_stems(q)
             return self._eval_stems(stems, doc_range) if stems else _EMPTY
         if isinstance(q, Phrase):
+            if q.slop and not self.cfg.positions:
+                raise ValueError(
+                    "sloppy phrases need a positions index "
+                    "(EngineConfig(positions=True)); the phrase-lite "
+                    "profile has no positional streams to widen")
             if self.cfg.positions:
                 groups = self._phrase_groups(q)
                 if not groups:
                     return _EMPTY
                 if len(groups) > 1:
                     return self._eval_phrase_positional(groups, deadline,
-                                                        doc_range)
+                                                        doc_range,
+                                                        slop=q.slop)
                 # one position: a SynonymQuery-style OR of its stems
                 return self._eval_stems(groups[0], doc_range)
             stems = self._term_stems(q)
@@ -764,16 +770,17 @@ class Index:
 
     # ---------------- positional phrases (Q4) --------------------------
     def _eval_phrase_positional(self, groups: list[list[str]], deadline,
-                                doc_range):
+                                doc_range, slop: int = 0):
         """True phrase matching (reference ``TestLucene.java:147-171``
         semantics): the candidate set is the positions' conjunction (same
         block-skipped path as phrase-lite; a multi-stem position — a
         synonym class — contributes an OR clause), then the positional
         streams of the candidates verify adjacency — position i must
-        hold SOME stem of group i at p+i for one common p. Scores stay
-        the BM25 sum of the member terms over the ADJACENT matches
-        (documented divergence from Lucene's phrase-frequency scoring;
-        SQL-oracle-expressible)."""
+        hold SOME stem of group i at p+i for one common p (``slop`` > 0
+        loosens this to the in-order window documented on
+        :class:`Phrase`). Scores stay the BM25 sum of the member terms
+        over the matching docs (documented divergence from Lucene's
+        phrase-frequency scoring; SQL-oracle-expressible)."""
         docs, scores = self._eval(
             And([_Stem(g[0]) if len(g) == 1 else Or([_Stem(s) for s in g])
                  for g in groups]), deadline, doc_range)
@@ -781,7 +788,8 @@ class Index:
             return _EMPTY
         if scores is None:
             scores = np.ones(len(docs))
-        keep = self._phrase_adjacency_mask(groups, docs)
+        keep = self._phrase_adjacency_mask(groups, docs) if slop == 0 \
+            else self._phrase_sloppy_mask(groups, docs, slop)
         return docs[keep], scores[keep]
 
     def _term_positions(self, stem: str, cand: np.ndarray):
@@ -873,6 +881,46 @@ class Index:
                 return np.zeros(len(cand), dtype=bool)
         mask = np.zeros(len(cand), dtype=bool)
         mask[np.unique(valid // M)] = True
+        return mask
+
+    def _phrase_sloppy_mask(self, groups: list[list[str]],
+                            cand: np.ndarray, slop: int) -> np.ndarray:
+        """Boolean mask over ``cand`` for the IN-ORDER sloppy window
+        (see :class:`Phrase`): per candidate doc, a greedy
+        earliest-successor chain from each occurrence of group 0 finds
+        the minimal window; accept when stretch <= slop. The candidate
+        set is already the terms' conjunction, so the per-doc loop runs
+        over few docs with short position lists."""
+        n = len(groups)
+        per_doc: list[dict[int, np.ndarray]] = []
+        for group in groups:
+            d, p = self._group_positions(group, cand)
+            if not len(d):
+                return np.zeros(len(cand), dtype=bool)
+            order = np.lexsort((p, d))
+            d, p = d[order], p[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ends = np.append(starts[1:], len(d))
+            per_doc.append({int(d[s]): p[s:e]
+                            for s, e in zip(starts, ends)})
+        mask = np.zeros(len(cand), dtype=bool)
+        for ci, doc in enumerate(cand):
+            lists = [per_doc[i].get(int(doc)) for i in range(n)]
+            if any(ls is None for ls in lists):
+                continue
+            for a in lists[0]:
+                q = int(a)
+                ok = True
+                for i in range(1, n):
+                    nxt = lists[i]
+                    j = int(np.searchsorted(nxt, q + 1))
+                    if j == len(nxt):
+                        ok = False
+                        break
+                    q = int(nxt[j])
+                if ok and (q - int(a)) - (n - 1) <= slop:
+                    mask[ci] = True
+                    break
         return mask
 
     def _df_estimate(self, q: Query) -> int:

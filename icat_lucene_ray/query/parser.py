@@ -66,7 +66,7 @@ _SCANNER = re.compile(
     (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<range>[\[{]\s*\S+\s+TO\s+\S+\s*[\]}](?:\^[0-9.]+)?)
-  | (?P<quoted>"[^"]*"(?:\^[0-9.]+)?)
+  | (?P<quoted>"[^"]*"(?:~[0-9]+)?(?:\^[0-9.]+)?)
   | (?P<kw_and>AND\b)
   | (?P<kw_or>OR\b)
   | (?P<kw_not>NOT\b)
@@ -238,8 +238,12 @@ class _Parser:
         weight = None
         if k == "quoted":
             tok, weight = _split_boost(tok)
+            slop = 0
+            m = re.match(r'^(".*")~([0-9]+)$', tok, re.DOTALL)
+            if m:  # "a b"~N proximity (slop)
+                tok, slop = m.group(1), int(m.group(2))
             words = tok[1:-1].split()
-            per = [Phrase(words, field=f) if len(words) != 1
+            per = [Phrase(words, field=f, slop=slop) if len(words) != 1
                    else Term(words[0], field=f) for f in fields]
         elif k == "term":
             tok, weight = _split_boost(_unescape_term(tok))

@@ -233,3 +233,53 @@ def test_phrase_positional_actor_mode(pos_index, pos_oracle):
     b = idx_ac.search(Phrase([s1, s2]), k=20)
     assert a.table.equals(b.table)
     assert a.total_hits == b.total_hits
+
+
+def test_sloppy_phrase_window(ray_session, tmp_path):
+    """Hand corpus with known gaps: slop N matches exactly the docs
+    whose in-order window stretch is <= N; slop on a phrase-lite index
+    raises instead of silently approximating."""
+    import pyarrow.parquet as pq2
+
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.query import Index, Phrase, parse_query
+
+    docs = [
+        "alpha beta x",            # adjacent: stretch 0
+        "alpha x beta",            # one gap: stretch 1
+        "alpha x y beta",          # stretch 2
+        "beta x alpha",            # wrong order: never matches
+        "alpha x y z w beta",      # stretch 4
+    ]
+    src = str(tmp_path / "sloppy.parquet")
+    pq2.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}), src)
+    from icat_lucene_ray.config import EngineConfig
+
+    out = str(tmp_path / "sloppy_idx")
+    build_index(src, out, text_col="text", id_col="doc_id",
+                config=EngineConfig(analyzer="simple", num_segments=2,
+                                    positions=True))
+    idx = Index(out)
+
+    def ids(slop):
+        r = idx.search(Phrase(["alpha", "beta"], slop=slop), k=10)
+        return sorted(r.table["doc_id"].to_pylist())
+
+    assert ids(0) == [0]
+    assert ids(1) == [0, 1]
+    assert ids(2) == [0, 1, 2]
+    assert ids(4) == [0, 1, 2, 4]
+    # parser round-trip
+    r = idx.search(parse_query('"alpha beta"~1'), k=10)
+    assert sorted(r.table["doc_id"].to_pylist()) == [0, 1]
+
+    # phrase-lite index: slop must raise
+    out2 = str(tmp_path / "lite_idx")
+    build_index(src, out2, text_col="text", id_col="doc_id",
+                config=EngineConfig(analyzer="simple", num_segments=2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positions"):
+        Index(out2).search(Phrase(["alpha", "beta"], slop=1), k=10)
