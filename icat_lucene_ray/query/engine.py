@@ -676,6 +676,17 @@ class Index:
             seen.update(terms[i] for i in keep)
         return out
 
+    def _require_doc_field(self, name: str) -> None:
+        """Clear error for filters on columns the doc store doesn't
+        carry (otherwise Arrow raises a raw FieldRef error mid-scan)."""
+        if name not in self._doc_ds.schema.names:
+            have = [c for c in self._doc_ds.schema.names
+                    if c not in ("terms", "tfs")]
+            raise ValueError(
+                f"filter field {name!r} is not a stored column of this "
+                f"index (have: {', '.join(have)}); pass it via --meta / "
+                "meta_cols at build time")
+
     # ---------------- evaluator ---------------------------------------
     def _check_deadline(self, deadline: float | None):
         if deadline is not None and time.monotonic() > deadline:
@@ -726,11 +737,13 @@ class Index:
             docs = self.all_doc_ids()
             return docs, None
         if isinstance(q, Filter):
+            self._require_doc_field(q.field_name)
             expr = self._filter_expr(q)
             if expr is None:
                 return np.empty(0, np.int64), None
             return self._doc_ids_where(expr, (q.field_name,)), None
         if isinstance(q, RangeFilter):
+            self._require_doc_field(q.field_name)
             expr = self._range_expr(q)
             docs = self.all_doc_ids() if expr is None else \
                 self._doc_ids_where(expr, (q.field_name,))
