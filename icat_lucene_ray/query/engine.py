@@ -640,14 +640,20 @@ class Index:
         seen: set[str] = set()
         out: list[str] = []
         for batch in ds.to_batches(columns=["term"], filter=expr):
-            terms = [t for t in batch["term"].to_pylist() if t not in seen]
-            # strip the field prefix: lev(P+a, P+b) == lev(a, b)
-            bares = [t[len(pref):] for t in terms] if pref else terms
-            keep = [i for i, b in enumerate(bares)
-                    if abs(len(b) - len(qc)) <= max_edits]
-            if not keep:
+            col = batch["term"]
+            # Arrow-side length band: only |len - len(q)| <= max_edits
+            # can match, and the Python string conversion below is the
+            # scan's dominant cost on web-scale dictionaries
+            ln = pc.utf8_length(col)
+            lo = len(pref) + len(qc) - max_edits
+            hi = len(pref) + len(qc) + max_edits
+            m = pc.and_(pc.greater_equal(ln, lo), pc.less_equal(ln, hi))
+            col = col.filter(m)
+            if not len(col):
                 continue
-            cand = [bares[i] for i in keep]
+            terms = col.to_pylist()
+            # strip the field prefix: lev(P+a, P+b) == lev(a, b)
+            cand = [t[len(pref):] for t in terms] if pref else terms
             L = max(len(c) for c in cand)
             codes = np.zeros((len(cand), L), dtype=np.uint32)
             lens = np.empty(len(cand), dtype=np.int64)
@@ -667,13 +673,14 @@ class Index:
                         prev[:, j - 1] + sub_cost[:, j - 1])
                 prev = cur
             dist = prev[np.arange(len(cand)), lens]
-            for i, ok in zip(keep, dist <= max_edits):
-                if ok:
-                    seen.add(terms[i])
-                    out.append(terms[i])
+            for t, ok in zip(terms, dist <= max_edits):
+                # `seen` dedups salted terms (hot terms appear once per
+                # slice in the dictionary)
+                if ok and t not in seen:
+                    seen.add(t)
+                    out.append(t)
                     if len(out) >= self.cfg.max_wildcard_terms:
                         return out
-            seen.update(terms[i] for i in keep)
         return out
 
     def _require_doc_field(self, name: str) -> None:
