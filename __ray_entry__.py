@@ -303,6 +303,15 @@ def _ft_phrase_slop(sf_dir: str):
     return _hits(idx.search(parse_query('"fast join"~2'), k=10))
 
 
+def _ft_meta_field_filter(sf_dir: str):
+    """Field-scoped query-string term on a stored META column routes to
+    an exact non-scoring Filter (reference StringField semantics):
+    'lang:en AND data' = BM25('data') restricted to lang = 'en'."""
+    from icat_lucene_ray.query import parse_query
+
+    return _hits(_idx(sf_dir).search(parse_query("lang:en AND data"), k=10))
+
+
 def _ft_querystring_topk(sf_dir: str):
     """Q2 free-text query-string parse over the default field:
     AND / OR / grouping / negation in one user string
@@ -1366,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_weighted_or": _ft_weighted_or,              # new in round 4
         "ft_range_syntax": _ft_range_syntax,            # new in round 4
         "ft_phrase_slop": _ft_phrase_slop,              # new in round 4
+        "ft_meta_field_filter": _ft_meta_field_filter,  # new in round 4
         # --- green in CORRECTNESS_r03.json -----------------------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
@@ -1513,6 +1523,12 @@ def oracle_sql() -> dict[str, str]:
             , agg AS (
               SELECT doc_id, sum(s) AS s FROM scored
               WHERE term LIKE 'jo%' GROUP BY doc_id)
+            """ + topk,
+        "ft_meta_field_filter": _BM25_CTE + """
+            , agg AS (
+              SELECT s.doc_id, sum(s.s) AS s FROM scored s
+              JOIN documents d ON s.doc_id = d.doc_id
+              WHERE s.term = 'data' AND d.lang = 'en' GROUP BY s.doc_id)
             """ + topk,
         # in-order window: b strictly after a, stretch (gap) <= slop=2
         "ft_phrase_slop": _BM25_CTE + """

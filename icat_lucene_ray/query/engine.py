@@ -683,6 +683,55 @@ class Index:
                         return out
         return out
 
+    def _rewrite_meta_fields(self, q: Query) -> Query:
+        """Normalize field-scoped Term/Phrase nodes whose field is a
+        stored META column into exact Filters (reference StringField
+        semantics) BEFORE any fast path runs — the BM25 top-k shortcut
+        and field-sorted paths never enter the recursive evaluator, so
+        _eval's own routing can't cover them. Unknown fields raise."""
+        if isinstance(q, (Term, Phrase)) and q.field is not None \
+                and q.field not in self.text_fields:
+            if q.field in self.manifest.meta_cols:
+                text = q.text if isinstance(q, Term) else " ".join(q.terms)
+                return Filter(q.field, self._coerce_meta(q.field, text))
+            raise ValueError(
+                f"unknown query field {q.field!r}: text fields are "
+                f"{self.text_fields}, filterable meta columns are "
+                f"{list(self.manifest.meta_cols)}")
+        if isinstance(q, And):
+            members = [self._rewrite_meta_fields(c) for c in q.clauses]
+            extra = [m for m in members
+                     if isinstance(m, (Filter, RangeFilter))]
+            scored = [m for m in members
+                      if not isinstance(m, (Filter, RangeFilter))]
+            filters = [self._rewrite_meta_fields(f) for f in q.filters]
+            return And(scored, filters=tuple(filters) + tuple(extra))
+        if isinstance(q, Or):
+            return Or([self._rewrite_meta_fields(c) for c in q.clauses])
+        if isinstance(q, Not):
+            return Not(self._rewrite_meta_fields(q.positive),
+                       self._rewrite_meta_fields(q.negative))
+        if isinstance(q, Boost):
+            return Boost(self._rewrite_meta_fields(q.required),
+                         self._rewrite_meta_fields(q.optional))
+        if isinstance(q, Weight):
+            return Weight(self._rewrite_meta_fields(q.query), q.factor)
+        return q
+
+    def _coerce_meta(self, name: str, text: str):
+        """Parse a query-string literal to the meta column's type."""
+        t = self._doc_ds.schema.field(name).type
+        try:
+            if pa.types.is_integer(t):
+                return int(text)
+            if pa.types.is_floating(t):
+                return float(text)
+        except ValueError:
+            raise ValueError(
+                f"filter value {text!r} is not valid for numeric "
+                f"column {name!r}")
+        return text
+
     def _require_doc_field(self, name: str) -> None:
         """Clear error for filters on columns the doc store doesn't
         carry (otherwise Arrow raises a raw FieldRef error mid-scan)."""
@@ -705,6 +754,24 @@ class Index:
         self._check_deadline(deadline)
         if isinstance(q, _Stem):
             return self._score_stem(q.stem, doc_range)
+        if isinstance(q, (Term, Phrase)) and q.field is not None \
+                and q.field not in self.text_fields:
+            # field-scoped query on a NON-text field: stored meta
+            # columns match exactly as non-scoring filters (reference
+            # StringField semantics — meta fields are indexed verbatim,
+            # not analyzed); anything else is an unmapped field and
+            # raises, mirroring DocumentMapping's per-entity field
+            # lists. Without this, a single-field index silently
+            # DROPPED the field name and searched the text instead.
+            if q.field in self.manifest.meta_cols:
+                text = q.text if isinstance(q, Term) else " ".join(q.terms)
+                return self._eval(
+                    Filter(q.field, self._coerce_meta(q.field, text)),
+                    deadline, doc_range)
+            raise ValueError(
+                f"unknown query field {q.field!r}: text fields are "
+                f"{self.text_fields}, filterable meta columns are "
+                f"{list(self.manifest.meta_cols)}")
         if isinstance(q, Term):
             stems = self._term_stems(q)
             return self._eval_stems(stems, doc_range) if stems else _EMPTY
@@ -947,6 +1014,9 @@ class Index:
         """Cheap selectivity estimate for conjunction ordering."""
         if isinstance(q, _Stem):
             return self.term_df(q.stem)
+        if isinstance(q, (Term, Phrase)) and q.field is not None \
+                and q.field not in self.text_fields:
+            return self.N  # meta-column filter in disguise: assume wide
         if isinstance(q, Term):
             stems = self._term_stems(q)
             return sum(self.term_df(s) for s in stems) if stems else 0
@@ -1074,6 +1144,7 @@ class Index:
         identical top-k, but ``total_hits`` becomes a LOWER BOUND (≈
         Lucene's TotalHits.Relation.GREATER_THAN_OR_EQUAL under WAND)."""
         deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
+        q = self._rewrite_meta_fields(q)
         if sort:
             return self._search_field_sorted(
                 q, k, sort, fields, search_after, deadline,
@@ -1464,7 +1535,7 @@ class Index:
     def count(self, q: Query) -> int:
         if isinstance(q, MatchAll):
             return self.live_count()  # A7 without the O(N) arange
-        docs, _ = self._eval(q)
+        docs, _ = self._eval(self._rewrite_meta_fields(q))
         return len(docs)
 
     def facets(
@@ -1489,6 +1560,7 @@ class Index:
         (dense-id indexes): the candidate set is implicit ("all") and
         only the (small) EXCLUSION set — base tombstones + delta-shadowed
         ids — is built."""
+        q = self._rewrite_meta_fields(q)
         docs = None if (isinstance(q, MatchAll) and self._implicit) \
             else self._eval(q)[0]
         if dims is None and ranges is None:

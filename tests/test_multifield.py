@@ -126,7 +126,7 @@ def test_parsed_multifield_strings(mf_engine, mf_oracle):
 
 
 def test_unknown_field_rejected(mf_engine):
-    with pytest.raises(ValueError, match="unknown text field"):
+    with pytest.raises(ValueError, match="unknown query field"):
         mf_engine.search(Term("x", field="nope"), k=5)
 
 

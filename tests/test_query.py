@@ -214,3 +214,25 @@ def test_field_sorted_never_materializes_candidates(engine, monkeypatch):
     r = engine.search(MatchAll(), k=7, sort=[("warc_ts", True)])
     assert len(r.table) == 7
     assert seen and max(seen) <= 7
+
+
+def test_meta_field_term_routes_to_filter(engine, oracle):
+    """field:term on a stored META column is an exact non-scoring
+    filter (reference StringField semantics); before the rewrite a
+    single-field index silently dropped the field name and searched
+    the text. Unknown fields raise on every search path."""
+    from icat_lucene_ray.query import parse_query
+
+    q = parse_query("lang:en")
+    r = engine.search(q, k=5)
+    assert engine.count(q) == r.total_hits
+    # restriction composes with scoring clauses
+    head, mid, rare = _terms_by_df(oracle)
+    both = engine.search(parse_query(f"lang:en AND {mid[0]}"), k=50)
+    solo = engine.search(Term(mid[0]), k=50)
+    assert both.total_hits <= solo.total_hits
+    import pytest as _pytest
+
+    for bad in ("bogus:x", "bogus:[1 TO 2]"):
+        with _pytest.raises(ValueError):
+            engine.search(parse_query(bad), k=5)
