@@ -24,15 +24,21 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    import os as _os
+
     import ray
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     if not ray.is_initialized():
         kw = dict(include_dashboard=False, ignore_reinit_error=True,
                   logging_level="ERROR")
-        if num_cpus:
+        # under `ray job submit` RAY_ADDRESS points at the cluster —
+        # hard-coding "local" would silently ignore it (and per-session
+        # num_cpus is a local-mode-only knob)
+        addr = _os.environ.get("RAY_ADDRESS", "local")
+        if num_cpus and addr == "local":
             kw["num_cpus"] = num_cpus
-        ray.init(address="local", **kw)
+        ray.init(address=addr, **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
