@@ -897,6 +897,7 @@ def minhash_lsh_dedup(
     "keep_ds": Dataset[id_col], "cc_mode": str}``
     ("pairs"/"clusters"/"drop" are materialized only when small).
     """
+    _require_int_ids(ds, id_col)
     if num_buckets is None:
         n_rows = ds.count()  # parquet metadata count — no scan
         num_buckets = max(64, -(-n_rows * bands // target_bucket_rows))
@@ -1072,6 +1073,19 @@ def filter_out_ids(ds: ray.data.Dataset, drop_ids, id_col: str = "doc_id"
     )
 
 
+def _require_int_ids(ds: ray.data.Dataset, id_col: str) -> None:
+    """The near-dup machinery keys its shuffles/CC on int64 ids; a
+    string key column would die deep in a signature batch with a
+    cryptic cast error. Fail at the API with the fix."""
+    t = ds.schema().base_schema.field(id_col).type
+    if not pa.types.is_integer(t):
+        raise TypeError(
+            f"id column {id_col!r} must be integer (got {t}); hash "
+            "string keys to stable int64 first (index.docids."
+            "hash_ids_from_strings — pipelines.curate.dedup_transform "
+            "does this automatically)")
+
+
 def _pool_size() -> int:
     import ray
 
@@ -1233,6 +1247,7 @@ def simhash_dedup(ds: ray.data.Dataset, *, max_hamming: int = 3,
     corpus size."""
     from ray.data.aggregate import Min
 
+    _require_int_ids(ds, id_col)
     if num_buckets is None:
         n_rows = ds.count()
         num_buckets = max(64, -(-n_rows * 4 // target_bucket_rows))

@@ -181,14 +181,31 @@ def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig
         keep_min_per_fp, batch_format="pyarrow",
         fn_args=(cfg.id_col, ("fp_md5", "_dbkt")))
     if cfg.near_dup_threshold is not None:
+        # the near-dup machinery keys on int64 ids; string-keyed corpora
+        # (CC-style url keys — the flagship input schema) get stable
+        # 63-bit hash ids, exactly like the index build's doc ids
+        nd_id = cfg.id_col
+        id_type = exact.schema().base_schema.field(cfg.id_col).type
+        if not pa.types.is_integer(id_type):
+            from icat_lucene_ray.index.docids import hash_ids_from_strings
+
+            nd_id = "_nid64"
+
+            def _add_nid(b: pa.Table) -> pa.Table:
+                return b.append_column(nd_id, pa.array(
+                    hash_ids_from_strings(b[cfg.id_col]), pa.int64()))
+
+            exact = exact.map_batches(_add_nid, batch_format="pyarrow")
         res = minhash_lsh_dedup(
             exact, threshold=cfg.near_dup_threshold,
-            text_col=cfg.text_col, id_col=cfg.id_col)
+            text_col=cfg.text_col, id_col=nd_id)
         if res["drop"] is not None:  # small set: broadcast anti-filter
-            exact = filter_out_ids(exact, res["drop"], cfg.id_col)
+            exact = filter_out_ids(exact, res["drop"], nd_id)
         elif res["n_drop"]:  # web-scale drop set: distributed anti-join
-            exact = anti_join_ids_ds(exact, res["drop_ds"],
-                                     id_col=cfg.id_col)
+            exact = anti_join_ids_ds(exact, res["drop_ds"], id_col=nd_id)
+        if nd_id != cfg.id_col:
+            exact = exact.map_batches(
+                lambda b: b.drop_columns([nd_id]), batch_format="pyarrow")
     return exact
 
 

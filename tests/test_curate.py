@@ -124,3 +124,27 @@ def test_resume_after_midstage_crash(ray_session, tmp_path):
     assert report["stages"]["scrub"]["rows"] == 5  # not 6: stale file gone
     final = pq.read_table(os.path.join(out, "curated"))
     assert sorted(final["doc_id"].to_pylist()) == [0, 5, 6]
+
+
+def test_string_id_near_dup(ray_session, tmp_path):
+    """CC-style url-keyed corpora (no int id) run the full near-dup
+    stage: string keys hash to stable 63-bit ids internally, the output
+    keeps the original key column and drops the helper."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 5,
+        "alpha beta gamma delta epsilon zeta eta theta " * 5 + "tail",
+        "completely different words in this one document here now",
+    ]
+    src = str(tmp_path / "urls.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://h{i}.example/p" for i in range(3)]),
+        "text": pa.array(texts, pa.string())}), src)
+    out = str(tmp_path / "out_url")
+    report = curate(src, out, bench=None,
+                    cfg=CurateConfig(id_col="url", min_tokens=3,
+                                     near_dup_threshold=0.8))
+    final = pq.read_table(os.path.join(out, "curated"))
+    assert sorted(final.column_names) == ["fp_md5", "text", "url"] or \
+        "url" in final.column_names and "_nid64" not in final.column_names
+    # the two near-identical docs collapse to one survivor
+    assert report["curated_rows"] == 2
