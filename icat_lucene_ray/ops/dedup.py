@@ -223,6 +223,8 @@ class MinHasher:
         self.text_col, self.id_col = text_col, id_col
         self.num_buckets = num_buckets
         self.hasher = _TokenHasher()
+        self._scratch: np.ndarray | None = None  # reused (chunk, M) buffers
+        self._tmp: np.ndarray | None = None
         # band combine coefficients (poly over the r in-band values)
         self.band_coef = np.empty(self.rows, dtype=np.uint64)
         acc = np.uint64(1)
@@ -231,7 +233,14 @@ class MinHasher:
             acc = np.uint64((int(acc) * int(_POLY_C)) % int(_P31))
 
     def signatures(self, texts: pa.Array | list[str]) -> np.ndarray:
-        """(n_docs, num_perm) uint64 MinHash signature matrix."""
+        """(n_docs, num_perm) uint64 MinHash signature matrix.
+
+        The permutation pass writes into per-actor REUSED scratch
+        (out= kernels, in-place Mersenne folds): the naive expression
+        allocates ~1 GB of fresh temporaries per 4096-doc batch, and on
+        hosts with serialized page-fault service (BASELINE.md caveat)
+        first-touch faults — not arithmetic — dominated the signature
+        stage. Output is bit-identical to the expression form."""
         if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
             texts = pa.array(list(texts), pa.string())
         offs, th = _tokenize_flat(texts, self.hasher)
@@ -239,12 +248,26 @@ class MinHasher:
         n = len(sh_off) - 1
         sig = np.empty((n, self.num_perm), dtype=np.uint64)
         starts = sh_off[:-1]
-        # chunk the permutations so the (chunk, M) temp stays ~64 MB
-        chunk = max(1, min(self.num_perm, (8 << 20) // max(1, len(sh))))
+        M = len(sh)
+        # chunk the permutations so the (chunk, M) scratch stays ~64 MB
+        chunk = max(1, min(self.num_perm, (8 << 20) // max(1, M)))
+        need = chunk * max(1, M)
+        if self._scratch is None or len(self._scratch) < need:
+            self._scratch = np.empty(need, dtype=np.uint64)
+            self._tmp = np.empty(need, dtype=np.uint64)
         for c0 in range(0, self.num_perm, chunk):
             c1 = min(self.num_perm, c0 + chunk)
-            hv = _mod_p31(self.a[c0:c1, None] * sh[None, :]
-                          + self.b[c0:c1, None])  # (c, M)
+            c = c1 - c0
+            hv = self._scratch[:c * M].reshape(c, M)
+            tmp = self._tmp[:c * M].reshape(c, M)
+            np.multiply(self.a[c0:c1, None], sh[None, :], out=hv)
+            np.add(hv, self.b[c0:c1, None], out=hv)
+            # x mod (2^31-1) via two in-place Mersenne folds + subtract
+            for _ in range(2):
+                np.right_shift(hv, np.uint64(31), out=tmp)
+                np.bitwise_and(hv, _P31, out=hv)
+                np.add(hv, tmp, out=hv)
+            np.subtract(hv, _P31, out=hv, where=hv >= _P31)
             sig[:, c0:c1] = np.minimum.reduceat(hv, starts, axis=1).T
         return sig
 
