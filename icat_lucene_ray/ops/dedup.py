@@ -1152,13 +1152,21 @@ class SimHasher:
         out = np.zeros(n, dtype=np.uint64)
         if len(th) == 0:
             return out
-        # ±1 bit matrix per occurrence, per-doc sum via reduceat
+        # Per-doc bit-vote WITHOUT the ±1 sign expansion: with k = doc's
+        # token count and s = per-bit sum of raw bits, the vote
+        # sum(2*bit - 1) > 0 ⟺ 2*s > k — so the reduceat runs straight
+        # over the uint8 unpacked bits (int64-typed accumulator) and the
+        # two (M, 64) int16 temporaries the sign form needed (~220 MB
+        # per 4096-doc batch — fault-tax dominated, BASELINE.md caveat)
+        # never exist. Bit-identical to the scalar simhash64 reference.
         b8 = th.view(np.uint8).reshape(-1, 8)
-        bits = np.unpackbits(b8, axis=1, bitorder="little").astype(np.int16)
-        signs = (2 * bits - 1)  # (M, 64)
-        nonempty = np.flatnonzero(np.diff(offs) > 0)
-        acc = np.add.reduceat(signs, offs[nonempty], axis=0)  # (#nonempty, 64)
-        sh = np.packbits((acc > 0).astype(np.uint8), axis=1,
+        bits = np.unpackbits(b8, axis=1, bitorder="little")  # (M, 64) u8
+        lens = np.diff(offs)
+        nonempty = np.flatnonzero(lens > 0)
+        acc = np.add.reduceat(bits, offs[nonempty], axis=0,
+                              dtype=np.int64)  # (#nonempty, 64) bit sums
+        cnt = lens[nonempty][:, None]
+        sh = np.packbits((2 * acc > cnt).astype(np.uint8), axis=1,
                          bitorder="little").view(np.uint64).ravel()
         out[nonempty] = sh
         return out
