@@ -1349,34 +1349,38 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so entries the driver has never checked come FIRST (its
-    # checked window is a prefix): the 17 added late in round 3 lead,
-    # then the 50 that were fully green in CORRECTNESS_r03.json.
+    # checked window is a 50-entry prefix). Round 5 rotation: the 23
+    # entries outside r04's window lead (incl. the four whose full
+    # oracles landed in r04: dedup_simhash, ann_ivf_topk,
+    # cluster_embeddings, text_langid), then r04-green entries fill
+    # the rest of the window.
     return {
-        # --- never driver-checked before round 4 -----------------------
-        "stats_quantiles": _stats_quantiles,
-        "stats_hll_users": _stats_hll_users,
-        "stats_cms_user_counts": _stats_cms_user_counts,
-        "stats_iqr_filter": _stats_iqr_filter,
-        "rel_hash_join": _rel_hash_join,
-        "sessionize_events": _sessionize_events,
-        "agg_window_sum": _agg_window_sum,
-        "asof_last_order": _asof_last_order,
-        "keep_latest_event": _keep_latest_event,
-        "rel_denorm_update": _rel_denorm_update,
-        "rel_cascade_delete": _rel_cascade_delete,
-        "ft_path_segment": _ft_path_segment,
-        "ft_path_prefix": _ft_path_prefix,
-        "ft_path_filename": _ft_path_filename,
-        "mm_image_features": _mm_image_features,
-        "mm_video_frames": _mm_video_frames,
-        "mm_audio_features": _mm_audio_features,
-        "text_repeated_ngrams": _text_repeated_ngrams,  # new in round 4
-        "ft_fuzzy_topk": _ft_fuzzy_topk,                # new in round 4
-        "ft_weighted_or": _ft_weighted_or,              # new in round 4
-        "ft_range_syntax": _ft_range_syntax,            # new in round 4
-        "ft_phrase_slop": _ft_phrase_slop,              # new in round 4
-        "ft_meta_field_filter": _ft_meta_field_filter,  # new in round 4
-        # --- green in CORRECTNESS_r03.json -----------------------------
+        # --- never driver-confirmed (oracles added/verified in r04) ----
+        "dedup_simhash": _dedup_simhash,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "cluster_embeddings": _cluster_embeddings,
+        "text_langid": _text_langid,
+        # --- outside r04's window; green in CORRECTNESS_r03.json -------
+        "dedup_embedding": _dedup_embedding,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "text_token_count": _text_token_count,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_repetition": _text_repetition,
+        "text_pii_redact": _text_pii_redact,
+        "text_unigram_logprob": _text_unigram_logprob,
+        "text_decontam": _text_decontam,
+        "text_top_terms": _text_top_terms,
+        "pipeline_curate": _pipeline_curate,
+        "web_canon_url": _web_canon_url,
+        "web_host_topk": _web_host_topk,
+        "dedup_url": _dedup_url,
+        "sample_stratified": _sample_stratified,
+        "sample_group_topk": _sample_group_topk,
+        "pack_chunks": _pack_chunks,
+        "agg_rollup_sum": _agg_rollup_sum,
+        "units_convert_si": _units_convert_si,
+        # --- green in CORRECTNESS_r04.json (window fill) ---------------
         "ft_term_topk": _ft_term_topk,
         "ft_and_topk": _ft_and_topk,
         "ft_or_topk": _ft_or_topk,
@@ -1404,29 +1408,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram": _dedup_ngram,
         "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "cluster_embeddings": _cluster_embeddings,
-        "text_token_count": _text_token_count,
-        "text_quality": _text_quality,
-        "text_fingerprint": _text_fingerprint,
-        "text_langid": _text_langid,
-        "text_repetition": _text_repetition,
-        "text_pii_redact": _text_pii_redact,
-        "text_unigram_logprob": _text_unigram_logprob,
-        "text_decontam": _text_decontam,
-        "text_top_terms": _text_top_terms,
-        "pipeline_curate": _pipeline_curate,
-        "web_canon_url": _web_canon_url,
-        "web_host_topk": _web_host_topk,
-        "dedup_url": _dedup_url,
-        "sample_stratified": _sample_stratified,
-        "sample_group_topk": _sample_group_topk,
-        "pack_chunks": _pack_chunks,
-        "agg_rollup_sum": _agg_rollup_sum,
-        "units_convert_si": _units_convert_si,
+        # --- green in r04; below the 50-entry window this round --------
+        "ft_fuzzy_topk": _ft_fuzzy_topk,
+        "ft_weighted_or": _ft_weighted_or,
+        "ft_range_syntax": _ft_range_syntax,
+        "ft_phrase_slop": _ft_phrase_slop,
+        "ft_meta_field_filter": _ft_meta_field_filter,
+        "text_repeated_ngrams": _text_repeated_ngrams,
+        "stats_quantiles": _stats_quantiles,
+        "stats_hll_users": _stats_hll_users,
+        "stats_cms_user_counts": _stats_cms_user_counts,
+        "stats_iqr_filter": _stats_iqr_filter,
+        "rel_hash_join": _rel_hash_join,
+        "sessionize_events": _sessionize_events,
+        "agg_window_sum": _agg_window_sum,
+        "asof_last_order": _asof_last_order,
+        "keep_latest_event": _keep_latest_event,
+        "rel_denorm_update": _rel_denorm_update,
+        "rel_cascade_delete": _rel_cascade_delete,
+        "ft_path_segment": _ft_path_segment,
+        "ft_path_prefix": _ft_path_prefix,
+        "ft_path_filename": _ft_path_filename,
+        "mm_image_features": _mm_image_features,
+        "mm_video_frames": _mm_video_frames,
+        "mm_audio_features": _mm_audio_features,
     }
 
 

@@ -268,10 +268,22 @@ def main(argv=None):
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
-    args.fn(args)
-    import ray
+    try:
+        args.fn(args)
+    except Exception as e:
+        from icat_lucene_ray.query.parser import QueryParseError
 
-    ray.shutdown()
+        if not isinstance(e, (QueryParseError, ValueError)):
+            raise
+        # user-input errors (bad query syntax, bad payloads) exit
+        # cleanly — the reference returns HTTP 400, not a stack trace
+        print(json.dumps({"error": type(e).__name__, "message": str(e)}),
+              file=sys.stderr)
+        sys.exit(2)
+    finally:
+        import ray
+
+        ray.shutdown()
 
 
 if __name__ == "__main__":

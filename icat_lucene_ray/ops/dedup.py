@@ -991,9 +991,11 @@ def _finish_dedup(ds: ray.data.Dataset, verified_ds: ray.data.Dataset, *,
         .select(["node"]).rename_columns([id_col]),
         batch_format="pyarrow").materialize()  # O(dropped nodes), not pairs
     n_drop = drop_ds.count()
-    # distributed anti-join: the drop ids never transit the driver
+    # distributed anti-join: the drop ids never transit the driver;
+    # bucket count sized from the LARGER side so corpus >> drop set
+    # can't pile ~corpus/64 rows into one worker's group
     keep_ds = anti_join_ids_ds(ds.select_columns([id_col]), drop_ds,
-                               id_col=id_col)
+                               id_col=id_col, left_rows=ds.count())
     drop = sorted(int(r[id_col]) for r in drop_ds.take_all()) \
         if n_drop <= cc_driver_cap else None
     return {"pairs": None, "pairs_ds": verified_ds, "clusters": None,
@@ -1019,7 +1021,8 @@ def _isin_batch(batch: pa.Table, *, want_ref, cols, id_col, invert=False):
 def anti_join_ids_ds(ds: ray.data.Dataset, drop_ds: ray.data.Dataset, *,
                      id_col: str = "doc_id",
                      num_buckets: int | None = None,
-                     target_drop_rows: int = 262_144) -> ray.data.Dataset:
+                     target_drop_rows: int = 262_144,
+                     left_rows: int | None = None) -> ray.data.Dataset:
     """Distributed anti-join: rows of ``ds`` survive unless their
     ``id_col`` appears in ``drop_ds`` (one int64 ``id_col`` column).
 
@@ -1033,13 +1036,16 @@ def anti_join_ids_ds(ds: ray.data.Dataset, drop_ds: ray.data.Dataset, *,
     O(left rows + drop ids); driver state is O(1).
 
     Partitioning assumption: one bucket's left rows fit a worker —
-    ``num_buckets`` defaults from the drop-side count (already
-    materialized by callers); raise it with corpus size."""
+    ``num_buckets`` defaults from max(drop-side count, ``left_rows``)
+    so a small drop set against a huge corpus still buckets the LEFT
+    side finely enough (pass ``left_rows`` when the caller knows it;
+    :func:`_finish_dedup` does)."""
     n_drop = drop_ds.count()
     if n_drop == 0:
         return ds
     if num_buckets is None:
-        num_buckets = max(64, -(-n_drop // target_drop_rows) * 64)
+        sizing_rows = max(n_drop, left_rows or 0)
+        num_buckets = max(64, -(-sizing_rows // target_drop_rows) * 64)
     l_schema = ds.schema().base_schema
     cols = l_schema.names
     if id_col not in cols:

@@ -126,8 +126,12 @@ class _BitReader:
         self.acc, self.n = 0, 0
 
     def _fill(self):
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG: entropy stream ends early")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG: dangling 0xFF at end")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -159,8 +163,12 @@ class _BitReader:
     def restart(self):
         """Consume an RST marker and realign to a byte boundary."""
         self.acc, self.n = 0, 0
-        while self.buf[self.pos] != 0xFF or not (
-                0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+        while True:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG: expected RST marker")
+            if self.buf[self.pos] == 0xFF and \
+                    0xD0 <= self.buf[self.pos + 1] <= 0xD7:
+                break
             self.pos += 1
         self.pos += 2
 
@@ -191,13 +199,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if blob[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(blob):
+            raise ValueError("truncated JPEG: dangling marker byte")
         marker = blob[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG: segment length cut off")
         (seglen,) = struct.unpack_from(">H", blob, pos)
+        if pos + seglen > len(blob):
+            raise ValueError("truncated JPEG: segment body cut off")
         seg = blob[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -268,10 +282,6 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         for mx in range(mcux):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                try:
-                    reader.read(0)
-                except Exception:
-                    pass
                 reader.restart()
                 for c in order:
                     c["pred"] = 0
@@ -301,6 +311,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                                     continue
                                 break  # EOB
                             k += r
+                            if k >= 64:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past block end")
                             blk[k] = _extend(reader.read(s), s)
                             k += 1
                         row = my * c["v"] + by

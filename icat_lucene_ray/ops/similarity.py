@@ -98,22 +98,43 @@ def brute_force_topk(
 # IVF (inverted-file) approximate path
 # ---------------------------------------------------------------------------
 
+def _init_sample_rows(ds: ray.data.Dataset, n: int, id_col: str,
+                      vec_col: str):
+    """Deterministic init sample: the ``n`` id-smallest rows, selected
+    distributed (per-batch partial top-n by id, driver fold of the
+    <= n-per-block partials). Unlike ``Dataset.limit`` — whose block
+    SUBSET is task-completion-order dependent above ``n`` rows — the
+    result is a pure function of the data, so seeded inits are
+    reproducible across runs and parallelism levels. Driver traffic is
+    O(n * n_blocks * dim); cap ``n`` (init_sample) accordingly."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= n:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.argpartition(ids, n - 1)[:n]
+        return batch.take(pa.array(np.sort(keep)))
+
+    tbl = (ds.select_columns([id_col, vec_col])
+             .map_batches(_partial, batch_format="pyarrow")
+             .to_pandas())
+    return (tbl.nsmallest(n, id_col, keep="first")
+               .sort_values(id_col).reset_index(drop=True))
+
+
 def train_centroids(ds: ray.data.Dataset, n_clusters: int = 16,
                     *, vec_col: str = "embedding", sample: int = 4096,
                     iters: int = 8, seed: int = 11,
                     id_col: str | None = None) -> np.ndarray:
     """Seeded k-means-lite on a driver-side sample (centroid training is
-    a tiny fraction of the data; assignment stays distributed). The
-    sample rows are SORTED (by ``id_col`` when given, else by vector
-    bytes) before the seeded choice: ``Dataset.limit`` returns blocks in
-    task-completion order, which is run-dependent — unsorted, identical
-    inputs produced different inits. (Fully deterministic when the
-    dataset has <= ``sample`` rows; above that the block SUBSET limit
-    picks can still vary, sorting fixes only the order within it.)"""
-    cols = [vec_col] if id_col is None else [id_col, vec_col]
-    tbl = ds.limit(sample).select_columns(cols).to_pandas()
+    a tiny fraction of the data; assignment stays distributed). With
+    ``id_col`` the sample is the ``sample`` id-smallest rows chosen
+    distributed (:func:`_init_sample_rows`) — fully deterministic at
+    any corpus size; without it, ``Dataset.limit`` + byte sort (only
+    deterministic when the dataset has <= ``sample`` rows)."""
     if id_col is not None:
-        tbl = tbl.sort_values(id_col).reset_index(drop=True)
+        tbl = _init_sample_rows(ds, sample, id_col, vec_col)
+    else:
+        tbl = ds.limit(sample).select_columns([vec_col]).to_pandas()
     m = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
                               for v in tbl[vec_col]]))
     if id_col is None:
@@ -151,12 +172,25 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 1_000_000,
 ) -> pa.Table:
     """IVF approximate top-k: assign rows to centroids (one map_batches
     pass), then brute-force only rows in each query's ``nprobe`` nearest
-    clusters. Partitioning assumption: cluster sizes are balanced-ish;
-    a production index would write cluster-partitioned parquet once and
-    prune at the read."""
+    clusters. Partitioning assumption: cluster sizes are balanced-ish.
+
+    AD HOC PATH ONLY: every call re-trains centroids and re-assigns the
+    whole corpus, so the per-query cost is a full scan — above
+    ``max_rows`` this raises and points at the persisted index
+    (:func:`build_ivf_index` once + :func:`ivf_index_topk` per query,
+    which prunes untouched cluster partitions at the read)."""
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"ivf_topk re-assigns the whole corpus per call; {n_rows} rows "
+            f"> max_rows={max_rows}. Build a persisted index once with "
+            "build_ivf_index(ds, out_dir) and query it with "
+            "ivf_index_topk(out_dir, queries) — only the nprobe probed "
+            "cluster partitions are read.")
     cent = train_centroids(ds, n_clusters, vec_col=vec_col, id_col=id_col)
     assign = _IVFAssign(cent, vec_col)
     assigned = ds.map_batches(assign.__call__, batch_format="pyarrow")
@@ -315,16 +349,16 @@ def kmeans_fit(ds: ray.data.Dataset, k: int = 8, *,
     batch; the driver folds partials in pid order (deterministic float
     association — same input → bit-identical centroids regardless of
     task completion order) and renormalizes. Init is the seeded choice
-    from the ``id_col``-SORTED ``init_sample``-row sample — sorting is
-    load-bearing: ``Dataset.limit`` returns blocks in task-completion
-    order, so without it identical inputs produced different inits.
+    from the ``init_sample`` id-smallest rows selected distributed
+    (:func:`_init_sample_rows`) — a pure function of the data, so the
+    init is reproducible at any corpus size (``Dataset.limit``'s block
+    subset is task-completion-order dependent above the sample size).
 
     Scale: per-iteration driver traffic O(k * dim * n_batches); no
     shuffle, no row materialization. 10 iters over 100 TB = 10 streamed
     passes — cache the dataset upstream if re-reads are the bottleneck.
     """
-    tbl = ds.limit(init_sample).select_columns([id_col, vec_col]) \
-        .to_pandas().sort_values(id_col).reset_index(drop=True)
+    tbl = _init_sample_rows(ds, init_sample, id_col, vec_col)
     m0 = _normalize(np.vstack([np.asarray(v, dtype=np.float64)
                                for v in tbl[vec_col]]))
     rng = np.random.default_rng(seed)

@@ -806,7 +806,13 @@ class Index:
             return self._eval_stems(stems, doc_range)
         if isinstance(q, Weight):
             docs, sc = self._eval(q.query, deadline, doc_range)
-            return docs, (sc * q.factor if sc is not None else None)
+            if sc is None:
+                # Non-scoring subquery (Filter/RangeFilter/MatchAll):
+                # Lucene's BoostQuery over a constant-score query yields
+                # factor per match, so materialize the constant here —
+                # otherwise Or() would substitute 1.0 and drop the boost.
+                return docs, np.full(len(docs), q.factor)
+            return docs, sc * q.factor
         if isinstance(q, MatchAll):
             docs = self.all_doc_ids()
             return docs, None

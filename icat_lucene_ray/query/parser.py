@@ -40,8 +40,9 @@ from icat_lucene_ray.query.ast import (
 )
 
 #: trailing ``~`` / ``~N`` marks a fuzzy term (Lucene StandardQueryParser
-#: syntax); Lucene caps maxEdits at 2 and so do we
-_FUZZY_RE = re.compile(r"^(.+?)~([0-2])?$")
+#: syntax); Lucene caps maxEdits at 2 and rejects larger values loudly
+#: (FuzzyQuery ctor IllegalArgumentException) — so do we, at parse time
+_FUZZY_RE = re.compile(r"^(.+?)~([0-9]+)?$")
 
 
 class QueryParseError(ValueError):
@@ -250,6 +251,10 @@ class _Parser:
             fz = _FUZZY_RE.match(tok)
             if fz:
                 base, edits = fz.group(1), int(fz.group(2) or 2)
+                if edits > 2:
+                    raise QueryParseError(
+                        f"fuzzy maxEdits must be 0-2, got {edits} "
+                        f"in {tok!r} (Lucene FuzzyQuery limit)")
                 per = [Fuzzy(base, max_edits=edits, field=f)
                        for f in fields]
             elif "*" in tok or "?" in tok:

@@ -66,3 +66,18 @@ def test_real_image_decoder_routes_jpeg():
     out = _decode_image_real(encode_jpeg(img))
     assert out.shape == (8, 16, 3)
     assert np.abs(out.astype(int) - 128).max() == 0
+
+
+def test_truncated_jpeg_raises_valueerror():
+    """Corrupt input fails with ValueError, not a raw IndexError —
+    the error contract actor-pool decode stages catch on."""
+    img = np.random.default_rng(1).integers(0, 256, (16, 16, 3), np.uint8)
+    blob = encode_jpeg(img)
+    # cut inside a header segment
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+    # cut inside the entropy-coded stream (past SOS, before EOI)
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: sos + 20])

@@ -561,3 +561,48 @@ def test_repeated_ngrams(ray_session):
     assert "totally unrelated words here" not in got
     # ordering: n_docs DESC then ngram ASC
     assert list(out["n_docs"]) == sorted(out["n_docs"], reverse=True)
+
+
+def test_ivf_topk_guard_points_at_persisted_index(emb_ds, tmp_path):
+    """VERDICT item: the ad hoc ivf_topk re-assigns the whole corpus per
+    call, so above max_rows it must refuse and point at the persisted
+    path — and the persisted path must answer the same query."""
+    from icat_lucene_ray.ops.similarity import (
+        build_ivf_index, ivf_index_topk, ivf_topk,
+    )
+
+    pdf = emb_ds.to_pandas()
+    q = np.asarray(pdf["embedding"][3], dtype=np.float64)
+    with pytest.raises(ValueError, match="build_ivf_index"):
+        ivf_topk(emb_ds, q, k=10, max_rows=10)
+    out = str(tmp_path / "ivf_guard")
+    build_ivf_index(emb_ds, out, n_clusters=8)
+    got = ivf_index_topk(out, q, k=10, nprobe=5)
+    assert len(got) == 10
+
+
+def test_kmeans_init_sample_deterministic(emb_ds):
+    """ADVICE regression: the init sample is the id-smallest rows —
+    a pure function of the data (Dataset.limit's block subset is
+    task-order dependent), so two fits over a SHUFFLED copy of the
+    same rows produce bit-identical centroids even when the sample cap
+    is smaller than the table."""
+    from icat_lucene_ray.ops.similarity import _init_sample_rows, kmeans_fit
+
+    n = emb_ds.count()
+    cap = max(64, n // 4)  # force the sample to be a strict subset
+    s1 = _init_sample_rows(emb_ds, cap, "vec_id", "embedding")
+    s2 = _init_sample_rows(emb_ds.random_shuffle(seed=3), cap,
+                           "vec_id", "embedding")
+    assert list(s1["vec_id"]) == sorted(s1["vec_id"])
+    assert list(s1["vec_id"]) == list(s2["vec_id"])
+
+    # same block layout -> bit-identical; shuffled layout -> same init,
+    # centroids equal up to partial-sum float association (block
+    # boundaries change the accumulation order, not the math)
+    c1 = kmeans_fit(emb_ds, k=4, iters=2, init_sample=cap)
+    c1b = kmeans_fit(emb_ds, k=4, iters=2, init_sample=cap)
+    assert np.array_equal(c1, c1b)
+    c2 = kmeans_fit(emb_ds.random_shuffle(seed=3), k=4, iters=2,
+                    init_sample=cap)
+    assert np.allclose(c1, c2, atol=1e-9)

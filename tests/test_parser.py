@@ -146,7 +146,14 @@ def test_fuzzy_syntax():
     assert q == Fuzzy("joyn", max_edits=1, field="lang")
     # '~' not in trailing fuzzy position stays part of the term
     assert parse_query("a~b") == Term("a~b")
-    assert parse_query("x~3") == Term("x~3")  # Lucene caps edits at 2
+    # Lucene FuzzyQuery rejects maxEdits > 2 loudly — so do we
+    import pytest as _pytest
+
+    from icat_lucene_ray.query.parser import QueryParseError
+    with _pytest.raises(QueryParseError, match="maxEdits"):
+        parse_query("x~3")
+    with _pytest.raises(QueryParseError, match="maxEdits"):
+        parse_query("term~10")
 
 
 def test_fuzzy_rank_matches_expansion(engine, oracle):

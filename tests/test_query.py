@@ -236,3 +236,30 @@ def test_meta_field_term_routes_to_filter(engine, oracle):
     for bad in ("bogus:x", "bogus:[1 TO 2]"):
         with _pytest.raises(ValueError):
             engine.search(parse_query(bad), k=5)
+
+
+def test_weight_over_filter_scores_factor(engine, oracle):
+    """ADVICE regression: a boost on a non-scoring clause (Filter /
+    RangeFilter / MatchAll) must materialize factor-per-match constant
+    scores — Lucene's BoostQuery over a ConstantScoreQuery — instead of
+    being silently dropped to 1.0 by Or()'s ones substitution."""
+    from icat_lucene_ray.query.ast import Weight
+
+    r = engine.search(Weight(Filter("lang", "en"), 3.0), k=5)
+    scores = r.table["score"].to_pylist()
+    assert scores and all(abs(s - 3.0) < 1e-12 for s in scores)
+
+    # inside an OR: the filter clause contributes its factor to the sum
+    _, mid, _ = _terms_by_df(oracle)
+    base = engine.search(Or([Filter("lang", "en"), Term(mid[0])]), k=10)
+    boosted = engine.search(
+        Or([Weight(Filter("lang", "en"), 2.0), Term(mid[0])]), k=10)
+    b_by_id = dict(zip(boosted.table["doc_id"].to_pylist(),
+                       boosted.table["score"].to_pylist()))
+    u_by_id = dict(zip(base.table["doc_id"].to_pylist(),
+                       base.table["score"].to_pylist()))
+    common = set(b_by_id) & set(u_by_id)
+    assert common
+    # every common doc gains exactly +1.0 (2.0 vs the unboosted 1.0)
+    for d in common:
+        assert abs((b_by_id[d] - u_by_id[d]) - 1.0) < 1e-9
