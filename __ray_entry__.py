@@ -206,6 +206,18 @@ def _ft_wildcard(sf_dir: str):
     return _hits(_idx(sf_dir).search(Wildcard("jo*"), k=10))
 
 
+def _ft_regexp_topk(sf_dir: str):
+    """Regexp term query (Lucene ``/pattern/`` RegexpQuery): the
+    pattern full-matches against the term dictionary (Q5 machinery),
+    matches scored as the OR-sum of the expanded term queries.
+    Exercised through the query-STRING parser so the ``/re/`` syntax
+    is covered end-to-end."""
+    from icat_lucene_ray.query import parse_query
+
+    return _hits(_idx(sf_dir).search(parse_query("/(dat|merg)[a-z]*/"),
+                                     k=10))
+
+
 def _ft_fuzzy_topk(sf_dir: str):
     """Fuzzy term query (Lucene ``term~1``): 'joyn' expands to every
     dictionary term within 1 plain-Levenshtein edit; OR-sum scoring
@@ -1355,6 +1367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cluster_embeddings, text_langid), then r04-green entries fill
     # the rest of the window.
     return {
+        # --- new in round 5 --------------------------------------------
+        "ft_regexp_topk": _ft_regexp_topk,
         # --- never driver-confirmed (oracles added/verified in r04) ----
         "dedup_simhash": _dedup_simhash,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1528,6 +1542,12 @@ def oracle_sql() -> dict[str, str]:
             , agg AS (
               SELECT doc_id, sum(s) AS s FROM scored
               WHERE term LIKE 'jo%' GROUP BY doc_id)
+            """ + topk,
+        "ft_regexp_topk": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE regexp_full_match(term, '(dat|merg)[a-z]*')
+              GROUP BY doc_id)
             """ + topk,
         "ft_meta_field_filter": _BM25_CTE + """
             , agg AS (

@@ -65,6 +65,20 @@ class Wildcard(Query):
 
 
 @dataclass(frozen=True)
+class Regexp(Query):
+    """Lucene RegexpQuery analog (``/pattern/`` via the reference's
+    StandardQueryParser — the classic-parser syntax escapePath guards
+    against, ``SearchBucket.java:200-204``): expands to every
+    dictionary term the pattern FULL-matches (Lucene anchors regexps
+    to the whole term), scored as the OR-sum of the expanded term
+    queries exactly like :class:`Wildcard`. Pattern syntax is Python
+    ``re`` (superset of Lucene's operators minus ``~``/``@``
+    extensions)."""
+    pattern: str
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class Fuzzy(Query):
     """Lucene FuzzyQuery analog (``term~`` / ``term~1`` via the
     reference's StandardQueryParser surface,

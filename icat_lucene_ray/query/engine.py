@@ -41,7 +41,7 @@ from icat_lucene_ray.index.docids import term_shard
 from icat_lucene_ray.index.manifest import IndexManifest
 from icat_lucene_ray.query.ast import (
     And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
-    RangeFilter, Term, Weight, Wildcard,
+    RangeFilter, Regexp, Term, Weight, Wildcard,
 )
 from icat_lucene_ray.query.segment import SegmentGroupReader
 
@@ -620,6 +620,52 @@ class Index:
                         return out
         return out
 
+    def expand_regexp(self, pattern: str, field: str | None = None
+                      ) -> list[str]:
+        """Dictionary terms the regexp FULL-matches (Lucene RegexpQuery
+        anchors the pattern to the entire term, ``RegExp`` grammar).
+        Lowercased like wildcards (M11) except on case-sensitive
+        ``.exact``-style indexes; a leading literal run of the pattern
+        prunes the sorted dictionary's row groups exactly like the
+        wildcard prefix."""
+        if self.manifest.analyzer != "path_hierarchy":
+            pattern = pattern.lower()
+        fp = self._field_prefix(field)
+        try:
+            rx = re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"bad regexp /{pattern}/: {e}")
+        # leading literal chars (stop at any metacharacter; a literal
+        # followed by a quantifier is not a guaranteed prefix, so back
+        # off one char when the stop char is a quantifier)
+        lit = []
+        meta = set("\\^$.|?*+()[]{}")
+        for i, ch in enumerate(pattern):
+            if ch in meta:
+                if ch in "?*{" and lit:
+                    lit.pop()
+                break
+            lit.append(ch)
+        prefix = fp + "".join(lit)
+        ds = pads.dataset(self.manifest.termstats_dir())
+        expr = None
+        if prefix:
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            expr = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+        elif fp:
+            hi = fp[:-1] + chr(ord(fp[-1]) + 1)
+            expr = (pads.field("term") >= fp) & (pads.field("term") < hi)
+        seen: set[str] = set()
+        out: list[str] = []
+        for batch in ds.to_batches(columns=["term"], filter=expr):
+            for t in batch["term"].to_pylist():
+                if t not in seen and rx.fullmatch(t[len(fp):] if fp else t):
+                    seen.add(t)
+                    out.append(t)
+                    if len(out) >= self.cfg.max_wildcard_terms:
+                        return out
+        return out
+
     def expand_fuzzy(self, text: str, max_edits: int = 2,
                      field: str | None = None) -> list[str]:
         """Dictionary terms within ``max_edits`` PLAIN Levenshtein
@@ -800,6 +846,9 @@ class Index:
                               doc_range)
         if isinstance(q, Wildcard):
             stems = self.expand_wildcard(q.pattern, field=q.field)
+            return self._eval_stems(stems, doc_range)
+        if isinstance(q, Regexp):
+            stems = self.expand_regexp(q.pattern, field=q.field)
             return self._eval_stems(stems, doc_range)
         if isinstance(q, Fuzzy):
             stems = self.expand_fuzzy(q.text, q.max_edits, field=q.field)

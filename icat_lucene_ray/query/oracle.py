@@ -21,8 +21,8 @@ import pyarrow as pa
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.index.docids import hash_ids_from_strings
 from icat_lucene_ray.query.ast import (
-    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter, Term,
-    Wildcard,
+    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter,
+    Regexp, Term, Wildcard,
 )
 
 
@@ -137,6 +137,16 @@ class OracleIndex:
             out: dict[int, float] = {}
             for t in self.postings:
                 if rx.match(t):
+                    for d, sc in self._score_stem(t).items():
+                        out[d] = out.get(d, 0.0) + sc
+            return out, True
+        if isinstance(q, Regexp):
+            pat = q.pattern.lower()
+            rx = re.compile(pat)
+            pref = f"{q.field or self.default_field}:" if self.multi else ""
+            out: dict[int, float] = {}
+            for t in self.postings:
+                if t.startswith(pref) and rx.fullmatch(t[len(pref):]):
                     for d, sc in self._score_stem(t).items():
                         out[d] = out.get(d, 0.0) + sc
             return out, True

@@ -14,6 +14,8 @@ field lists (``SearchBucket.java:217-222,250-255,283-298``; field lists
   engine, M11);
 - trailing ``~`` / ``~N`` → :class:`Fuzzy` (edit-distance expansion
   against the term dictionary, N capped at Lucene's 2);
+- ``/pattern/`` → :class:`Regexp` (dictionary expansion, full-match
+  anchored like Lucene RegexpQuery; ``\\/`` escapes a slash);
 - ``term^2`` / ``"phrase"^1.5`` → :class:`Weight` (score multiplier);
 - ``field:[lo TO hi]`` / ``field:{lo TO hi}`` → :class:`RangeFilter`
   (inclusive / exclusive bounds, ``*`` = open);
@@ -67,6 +69,7 @@ _SCANNER = re.compile(
     (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<range>[\[{]\s*\S+\s+TO\s+\S+\s*[\]}](?:\^[0-9.]+)?)
+  | (?P<regex>/(?:[^/\\]|\\.)+/(?:\^[0-9.]+)?)
   | (?P<quoted>"[^"]*"(?:~[0-9]+)?(?:\^[0-9.]+)?)
   | (?P<kw_and>AND\b)
   | (?P<kw_or>OR\b)
@@ -137,8 +140,8 @@ class _Parser:
             if k == "kw_or":
                 self._next()
                 clauses.append(self._and_chain(fields))
-            elif k in ("lparen", "quoted", "kw_not", "plus", "minus",
-                       "field", "term"):
+            elif k in ("lparen", "quoted", "regex", "kw_not", "plus",
+                       "minus", "field", "term"):
                 clauses.append(self._and_chain(fields))
             else:
                 break
@@ -198,7 +201,7 @@ class _Parser:
             return self._atom([field])
         if k == "range":
             raise QueryParseError("range needs a field: 'field:[a TO b]'")
-        if k in ("quoted", "term"):
+        if k in ("quoted", "term", "regex"):
             return self._atom(fields)
         raise QueryParseError(f"unexpected {self.toks[self.i][1]!r}")
 
@@ -237,7 +240,17 @@ class _Parser:
                                   "'field:' or operator)")
         k, tok = self._next()
         weight = None
-        if k == "quoted":
+        if k == "regex":
+            from icat_lucene_ray.query.ast import Regexp
+
+            tok, weight = _split_boost(tok)
+            pat = tok[1:-1].replace("\\/", "/")  # strip slashes, unescape
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise QueryParseError(f"bad regexp /{pat}/: {e}")
+            per: list[Query] = [Regexp(pat, field=f) for f in fields]
+        elif k == "quoted":
             tok, weight = _split_boost(tok)
             slop = 0
             m = re.match(r'^(".*")~([0-9]+)$', tok, re.DOTALL)

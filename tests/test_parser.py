@@ -220,3 +220,14 @@ def test_weight_multiplies_scores(engine, oracle):
     assert _np.allclose(
         _np.asarray(boosted.table["score"].to_pylist()),
         2.0 * _np.asarray(base.table["score"].to_pylist()))
+
+
+def test_regexp_syntax():
+    from icat_lucene_ray.query.ast import Regexp, Weight
+
+    assert parse_query("/jo.*/") == Regexp("jo.*")
+    assert parse_query("lang:/en|de/") == Regexp("en|de", field="lang")
+    assert parse_query("/a\\/b/") == Regexp("a/b")  # escaped slash
+    assert parse_query("/jo(in|bs)/^2") == Weight(Regexp("jo(in|bs)"), 2.0)
+    with pytest.raises(QueryParseError, match="bad regexp"):
+        parse_query("/jo(/")

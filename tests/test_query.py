@@ -263,3 +263,23 @@ def test_weight_over_filter_scores_factor(engine, oracle):
     # every common doc gains exactly +1.0 (2.0 vs the unboosted 1.0)
     for d in common:
         assert abs((b_by_id[d] - u_by_id[d]) - 1.0) < 1e-9
+
+
+def test_regexp_query(engine, oracle):
+    """Q5bis: /pattern/ full-match dictionary expansion, OR-sum scored
+    — rank-identical to the brute-force oracle, and equal to the
+    equivalent wildcard where the languages coincide."""
+    from icat_lucene_ray.query.ast import Regexp
+
+    assert_rank_identical(engine, oracle, Regexp("jo.*"))
+    assert_rank_identical(engine, oracle, Regexp("(dat|merg)[a-z]*"))
+    # full-match anchoring: a bare fragment matches nothing extra
+    assert engine.expand_regexp("jo.*") == engine.expand_wildcard("jo*")
+    assert engine.expand_regexp("o") == []  # 'o' alone full-matches no term
+
+
+def test_regexp_query_string_syntax(engine, oracle):
+    from icat_lucene_ray.query import parse_query
+
+    q = parse_query("/jo.*/")
+    assert_rank_identical(engine, oracle, q)
