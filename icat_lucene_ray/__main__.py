@@ -140,6 +140,17 @@ def cmd_merge(args):
                       "avgdl": round(m.avgdl, 2)}))
 
 
+def cmd_synonyms(args):
+    """Terminology CSV → Solr synonym rules (no Ray session needed) —
+    the reference's parse_synonyms.py utility as a CLI verb."""
+    from icat_lucene_ray.analysis.terminology import csv_to_solr_synonyms
+
+    n = csv_to_solr_synonyms(args.input, args.out,
+                             mode="w" if args.overwrite else "a",
+                             max_child_depth=args.max_child_depth)
+    print(json.dumps({"rules_written": n, "out": args.out}))
+
+
 def cmd_stats(args):
     """S7/ST5-style introspection (the reference's getVersion + shard
     doc counts, Lucene.java:755-779 status surface): manifest-only
@@ -266,6 +277,19 @@ def main(argv=None):
     cu.add_argument("--no-near-dup", action="store_true")
     cu.add_argument("--num-cpus", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    sy = sub.add_parser(
+        "synonyms", help="convert a terminology CSV (Label / Alt Label / "
+                         "Parent IRI / Equivalent columns) to Solr synonym "
+                         "rules (reference parse_synonyms.py parity)")
+    sy.add_argument("--input", required=True, help="terminology CSV")
+    sy.add_argument("--out", required=True, help="Solr synonym file")
+    sy.add_argument("--overwrite", action="store_true",
+                    help="overwrite instead of the default append")
+    sy.add_argument("--max-child-depth", type=int, default=0,
+                    help="generations of narrower terms to inject "
+                         "(0 = alternatives only, negative = unlimited)")
+    sy.set_defaults(fn=cmd_synonyms)
 
     args = p.parse_args(argv)
     try:

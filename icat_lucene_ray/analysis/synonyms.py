@@ -126,7 +126,10 @@ def parse_solr_synonyms_full(
         for src in srcs:
             add: set[str] = set()
             for t in tgts:
-                if t != src:
+                # equivalence classes skip self here and re-add below;
+                # mapping rules keep a self-target ("a => a, b" must
+                # still emit a — Solr keeps whatever the RHS lists)
+                if srcs is not tgts or t != src:
                     add.update(t)  # multi-token targets flatten (bag)
             if len(src) == 1:
                 s = src[0]
