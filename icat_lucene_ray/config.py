@@ -85,13 +85,24 @@ class EngineConfig:
     # ---- query (reference: run.properties:10, Lucene.java:1471-1514) ----
     max_search_time_s: float = 5.0
     max_wildcard_terms: int = 1024  # cap on dictionary expansion for wildcards
+    #: cache the sorted term dictionary in memory (per Index/actor)
+    #: when it has at most this many terms; fuzzy expansion then runs a
+    #: pruned column-DP over the cached codes (Lucene automaton∩FST
+    #: analog) and wildcard/regexp match in memory instead of
+    #: re-scanning parquet per query. Above the cap the streaming
+    #: dictionary scan remains (web-scale vocabularies: ~60 B/term
+    #: cached, so 4M terms ≈ 250 MB/node — raise deliberately).
+    term_dict_cache_max: int = 4_000_000
 
     def to_dict(self) -> dict:
         return asdict(self)
 
     @staticmethod
     def from_dict(d: dict) -> "EngineConfig":
-        return EngineConfig(**d)
+        # tolerate manifests written by older builds (missing keys take
+        # the current defaults) and by newer ones (unknown keys dropped)
+        known = {f for f in EngineConfig.__dataclass_fields__}
+        return EngineConfig(**{k: v for k, v in d.items() if k in known})
 
 
 DEFAULT_CONFIG = EngineConfig()

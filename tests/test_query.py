@@ -283,3 +283,46 @@ def test_regexp_query_string_syntax(engine, oracle):
 
     q = parse_query("/jo.*/")
     assert_rank_identical(engine, oracle, q)
+
+
+def test_fuzzy_wildcard_cache_equals_scan(engine):
+    """The in-memory dictionary cache (pruned column-DP / in-RAM match)
+    must produce exactly the candidate sets of the streaming parquet
+    scan, across edit distances, wildcards and regexps."""
+    import dataclasses
+
+    from icat_lucene_ray.query import Index
+
+    scan_engine = Index(engine.manifest.root)
+    # force the streaming path on the comparison engine
+    scan_engine.cfg = dataclasses.replace(scan_engine.cfg,
+                                          term_dict_cache_max=0)
+    assert scan_engine._term_cache() is None
+    assert engine._term_cache() is not None
+
+    terms = list(engine._term_cache()[0])
+    probes = []
+    for t in terms[:: max(1, len(terms) // 12)]:
+        probes.append(t)                      # exact (distance 0)
+        probes.append(t[:-1] + "x")           # substitution typo
+        probes.append(t + "q")                # insertion typo
+        if len(t) > 2:
+            probes.append(t[1:])              # deletion typo
+    for q in probes:
+        for e in (0, 1, 2):
+            a = set(engine.expand_fuzzy(q, e))
+            b = set(scan_engine.expand_fuzzy(q, e))
+            assert a == b, (q, e, a ^ b)
+    cap = engine.cfg.max_wildcard_terms
+    for pat in ["jo*", "*in", "d?ta", "*", "zz*"]:
+        a, b = engine.expand_wildcard(pat), scan_engine.expand_wildcard(pat)
+        if len(a) >= cap or len(b) >= cap:
+            # above the expansion cap the 1024-term SUBSET is
+            # order-dependent (sorted vs scan order) — only the cap
+            # itself is contractual
+            assert len(a) == len(b) == cap, pat
+        else:
+            assert set(a) == set(b), pat
+    for rx in ["jo.*", "(dat|merg)[a-z]*", ".", "x+"]:
+        assert set(engine.expand_regexp(rx)) \
+            == set(scan_engine.expand_regexp(rx)), rx
