@@ -113,3 +113,20 @@ def test_cli_modify_stats_merge_clear(cli_env, capsys, tmp_path):
     assert cl["num_docs"] == 0
     cli.main(["search", "--index", idx, "--query", "data", "--k", "5"])
     assert _json_out(capsys)["total_hits"] == 0
+
+
+def test_cli_query_error_exits_cleanly(cli_env, capsys):
+    """User-input errors (bad query syntax) exit 2 with a one-line JSON
+    error — the reference returns HTTP 400, not a stack trace."""
+    cli, src, tmp = cli_env
+    idx = str(tmp / "idx_err")
+    cli.main(["build", "--input", src, "--out", idx,
+              "--id-col", "doc_id", "--segments", "2"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["search", "--index", idx, "--query", "spark~3",
+                  "--k", "3"])
+    assert ei.value.code == 2
+    err = capsys.readouterr().err.strip().splitlines()[-1]
+    msg = json.loads(err)
+    assert msg["error"] == "QueryParseError" and "maxEdits" in msg["message"]
