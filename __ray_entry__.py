@@ -218,6 +218,18 @@ def _ft_regexp_topk(sf_dir: str):
                                      k=10))
 
 
+def _ft_meta_regexp(sf_dir: str):
+    """Regexp on a stored META column (Lucene RegexpQuery over a
+    StringField's term dict): the pattern expands against the column's
+    DISTINCT VALUES into an exact non-scoring Filter — including
+    unparenthesized top-level alternation. 'lang:/en|de/ AND data' =
+    BM25('data') restricted to lang IN (en, de)."""
+    from icat_lucene_ray.query import parse_query
+
+    return _hits(_idx(sf_dir).search(parse_query("lang:/en|de/ AND data"),
+                                     k=10))
+
+
 def _ft_fuzzy_topk(sf_dir: str):
     """Fuzzy term query (Lucene ``term~1``): 'joyn' expands to every
     dictionary term within 1 plain-Levenshtein edit; OR-sum scoring
@@ -1369,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in round 5 --------------------------------------------
         "ft_regexp_topk": _ft_regexp_topk,
+        "ft_meta_regexp": _ft_meta_regexp,
         # --- never driver-confirmed (oracles added/verified in r04) ----
         "dedup_simhash": _dedup_simhash,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1554,6 +1567,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.doc_id, sum(s.s) AS s FROM scored s
               JOIN documents d ON s.doc_id = d.doc_id
               WHERE s.term = 'data' AND d.lang = 'en' GROUP BY s.doc_id)
+            """ + topk,
+        "ft_meta_regexp": _BM25_CTE + """
+            , agg AS (
+              SELECT s.doc_id, sum(s.s) AS s FROM scored s
+              JOIN documents d ON s.doc_id = d.doc_id
+              WHERE s.term = 'data' AND regexp_full_match(d.lang, 'en|de')
+              GROUP BY s.doc_id)
             """ + topk,
         # in-order window: b strictly after a, stretch (gap) <= slop=2
         "ft_phrase_slop": _BM25_CTE + """

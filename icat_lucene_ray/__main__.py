@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 
@@ -295,12 +296,13 @@ def main(argv=None):
     try:
         args.fn(args)
     except Exception as e:
-        from icat_lucene_ray.query.parser import QueryParseError
-
-        if not isinstance(e, (QueryParseError, ValueError)):
+        # ValueError is the engine's user-input convention (bad query
+        # syntax incl. QueryParseError, unknown fields, bad payloads) —
+        # those exit cleanly, as the reference returns HTTP 400, not a
+        # stack trace. ILR_DEBUG=1 re-raises so an internal bug that
+        # happens to surface as ValueError is not masked.
+        if not isinstance(e, ValueError) or os.environ.get("ILR_DEBUG"):
             raise
-        # user-input errors (bad query syntax, bad payloads) exit
-        # cleanly — the reference returns HTTP 400, not a stack trace
         print(json.dumps({"error": type(e).__name__, "message": str(e)}),
               file=sys.stderr)
         sys.exit(2)

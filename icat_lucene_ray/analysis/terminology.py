@@ -78,7 +78,11 @@ def _read_terminology(rows) -> dict[str, _Entry]:
             int(cells[0])
         except (ValueError, IndexError):
             continue  # rows without a numeric id are headers/sections
-        label = cells[label_i]
+        # csv does not pad short rows: a truncated row with a numeric
+        # id but no Label cell is malformed data, not an IndexError
+        label = cells[label_i] if label_i < len(cells) else ""
+        if not label:
+            continue
         if label in entries:
             raise ValueError(f"duplicate terminology label {label!r}")
         e = _Entry()

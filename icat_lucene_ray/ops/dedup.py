@@ -57,6 +57,26 @@ def keep_min_per_fp(g: pa.Table, id_col: str,
     return g.filter(pa.array(first)).drop_columns(list(drop_cols))
 
 
+def drop_non_min_per_fp(g: pa.Table, id_col: str,
+                        out_col: str) -> pa.Table:
+    """One hash BUCKET of (fp, id) pairs: emit ``out_col`` for every
+    row that is NOT the lowest-``id_col`` of its fp run — the
+    complement of :func:`keep_min_per_fp`, for the pair-shuffle exact
+    dedup path where the corpus payload stays OUT of the exchange and
+    the small drop set anti-filters the corpus in a streaming second
+    pass. Assumes ``id_col`` values are unique per row (true for url /
+    doc_id keys), since the anti-filter keys on the id."""
+    order = pc.sort_indices(
+        pa.table({"f": g["fp_md5"], "i": g[id_col]}),
+        sort_keys=[("f", "ascending"), ("i", "ascending")])
+    g = g.take(order)
+    keys = g["fp_md5"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        first[1:] = keys[1:] != keys[:-1]
+    return g.filter(pa.array(~first)).select([out_col])
+
+
 def add_fp_bucket(b: pa.Table, num_buckets: int,
                   out: str = "_dbkt") -> pa.Table:
     """Coarse shuffle key from the md5 hex prefix: ``int(fp[:8], 16) %
@@ -1161,9 +1181,8 @@ class SimHasher:
     def simhash_batch(self, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
         offs, th = _tokenize_flat(texts, self.hasher, bits=64)
         n = len(offs) - 1
-        out = np.zeros(n, dtype=np.uint64)
         if len(th) == 0:
-            return out
+            return np.zeros(n, dtype=np.uint64)
         # Byte-plane histogram vote. With k = doc's token count and
         # s_b = per-bit sum of raw bits, sum(2*bit - 1) > 0 ⟺ 2*s > k,
         # and each of the hash's 8 BYTE planes contributes 8 bits:
@@ -1190,10 +1209,10 @@ class SimHasher:
             counts = np.bincount(base + b8[:, j], minlength=n * 256)
             s[:, 8 * j:8 * j + 8] = counts.reshape(n, 256) @ self._lut
         cnt = lens[:, None]
-        sh = np.packbits((2 * s > cnt).astype(np.uint8), axis=1,
-                         bitorder="little").view(np.uint64).ravel()
-        sh[lens == 0] = 0
-        return sh
+        # empty docs need no masking: with len 0 every 2*s > 0 vote is
+        # already false, so their signature packs to 0
+        return np.packbits((2 * s > cnt).astype(np.uint8), axis=1,
+                           bitorder="little").view(np.uint64).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)

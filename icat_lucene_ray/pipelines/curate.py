@@ -163,49 +163,76 @@ def scrub_transform(ds: "ray.data.Dataset", cfg: CurateConfig
     return ds
 
 
-def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig
-                    ) -> "ray.data.Dataset":
-    """Stage 2 as a lazy transform: exact content dedup (one bucketed
-    hash shuffle carrying full rows, keep lowest id per group) +
-    optional MinHash near-dup anti-filter."""
+def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig, *,
+                    left_rows: int | None = None,
+                    driver_cap: int = 200_000) -> "ray.data.Dataset":
+    """Stage 2 as a lazy transform: exact content dedup + optional
+    MinHash near-dup anti-filter.
+
+    The exact pass shuffles ONLY (fp_md5, id) pairs. The corpus payload
+    must never enter an all-to-all exchange: parquet text decompresses
+    ~5-10× into plasma, so a full-row sort shuffle of a 12M-page corpus
+    spilled >190 GB and filled the disk at the sf1 dress rehearsal.
+    The pair shuffle is O(rows × ~60 B); the resulting drop set then
+    anti-filters the corpus in a second streaming pass — broadcast
+    below ``driver_cap`` drops (same 200k budget as the near-dup CC
+    driver cap), bucketed :func:`anti_join_ids_ds` above it (pass
+    ``left_rows`` so the join buckets the LEFT side finely enough)."""
     from icat_lucene_ray.ops.dedup import (
-        add_fp_bucket, anti_join_ids_ds, filter_out_ids, keep_min_per_fp,
-        minhash_lsh_dedup)
+        add_fp_bucket, anti_join_ids_ds, drop_non_min_per_fp,
+        filter_out_ids, minhash_lsh_dedup)
     from icat_lucene_ray.ops.text import add_md5_fingerprint
 
     B = cfg.dedup_buckets
-    hashed = ds.map_batches(
-        lambda b: add_fp_bucket(add_md5_fingerprint(b, cfg.text_col), B),
+    # string-keyed corpora (CC-style url keys — the flagship input
+    # schema) get stable 63-bit hash ids ONCE, up front: the exact
+    # anti-filter and the near-dup machinery both key on int64,
+    # exactly like the index build's doc ids
+    nd_id = cfg.id_col
+    id_type = ds.schema().base_schema.field(cfg.id_col).type
+    if not pa.types.is_integer(id_type):
+        from icat_lucene_ray.index.docids import hash_ids_from_strings
+
+        nd_id = "_nid64"
+
+        def _add_nid(b: pa.Table) -> pa.Table:
+            return b.append_column(nd_id, pa.array(
+                hash_ids_from_strings(b[cfg.id_col]), pa.int64()))
+
+        ds = ds.map_batches(_add_nid, batch_format="pyarrow")
+
+    pair_cols = [cfg.id_col] + ([nd_id] if nd_id != cfg.id_col else [])
+    pairs = ds.map_batches(
+        lambda b: add_fp_bucket(
+            add_md5_fingerprint(b, cfg.text_col)
+            .select(["fp_md5"] + pair_cols), B),
         batch_format="pyarrow")
-    exact = hashed.groupby("_dbkt").map_groups(
-        keep_min_per_fp, batch_format="pyarrow",
-        fn_args=(cfg.id_col, ("fp_md5", "_dbkt")))
+    # keep = lowest cfg.id_col per fp (the SQL-oracle rule); the group
+    # call emits only the DROPPED rows' int64 ids
+    drops = pairs.groupby("_dbkt").map_groups(
+        drop_non_min_per_fp, batch_format="pyarrow",
+        fn_args=(cfg.id_col, nd_id)).materialize()
+    n_drop = drops.count()
+    if n_drop == 0:
+        exact = ds
+    elif n_drop <= driver_cap:  # small set: broadcast anti-filter
+        exact = filter_out_ids(
+            ds, drops.to_pandas()[nd_id].to_numpy(), nd_id)
+    else:  # web-scale drop set: distributed anti-join
+        exact = anti_join_ids_ds(ds, drops, id_col=nd_id,
+                                 left_rows=left_rows)
     if cfg.near_dup_threshold is not None:
-        # the near-dup machinery keys on int64 ids; string-keyed corpora
-        # (CC-style url keys — the flagship input schema) get stable
-        # 63-bit hash ids, exactly like the index build's doc ids
-        nd_id = cfg.id_col
-        id_type = exact.schema().base_schema.field(cfg.id_col).type
-        if not pa.types.is_integer(id_type):
-            from icat_lucene_ray.index.docids import hash_ids_from_strings
-
-            nd_id = "_nid64"
-
-            def _add_nid(b: pa.Table) -> pa.Table:
-                return b.append_column(nd_id, pa.array(
-                    hash_ids_from_strings(b[cfg.id_col]), pa.int64()))
-
-            exact = exact.map_batches(_add_nid, batch_format="pyarrow")
         res = minhash_lsh_dedup(
             exact, threshold=cfg.near_dup_threshold,
             text_col=cfg.text_col, id_col=nd_id)
         if res["drop"] is not None:  # small set: broadcast anti-filter
             exact = filter_out_ids(exact, res["drop"], nd_id)
         elif res["n_drop"]:  # web-scale drop set: distributed anti-join
-            exact = anti_join_ids_ds(exact, res["drop_ds"], id_col=nd_id)
-        if nd_id != cfg.id_col:
-            exact = exact.map_batches(
-                lambda b: b.drop_columns([nd_id]), batch_format="pyarrow")
+            exact = anti_join_ids_ds(exact, res["drop_ds"], id_col=nd_id,
+                                     left_rows=left_rows)
+    if nd_id != cfg.id_col:
+        exact = exact.map_batches(
+            lambda b: b.drop_columns([nd_id]), batch_format="pyarrow")
     return exact
 
 
@@ -256,7 +283,8 @@ def curate(src: str, out_dir: str, *,
     t0 = time.perf_counter()
     if not _done(deduped):
         _clear_stage(deduped)
-        dedup_transform(ray.data.read_parquet(scrubbed), cfg) \
+        dedup_transform(ray.data.read_parquet(scrubbed), cfg,
+                        left_rows=report["stages"]["scrub"]["rows"]) \
             .write_parquet(deduped)
         _mark_done(deduped, {"sec": round(time.perf_counter() - t0, 3)})
     report["stages"]["dedup"] = {

@@ -70,6 +70,76 @@ class _Stem(Query):
     stem: str
 
 
+#: cap on the fuzzy DP's padded (Lmax, T) uint32 code matrix — its size
+#: is T × the SINGLE longest term, so one pathological token (minified
+#: JS, base64 blob) must not OOM the actor. Above the cap the cached
+#: terms still serve wildcard/regexp; fuzzy keeps the streaming scan.
+_TERM_CODES_MAX_BYTES = 512 << 20
+
+
+def _regexp_lower(pattern: str) -> str:
+    """Lowercase only a regexp's literal characters: ``\\D``/``\\S``/
+    ``\\W``/``\\B`` are the COMPLEMENTS of their lowercase forms, so a
+    blanket ``.lower()`` (M11) would invert their meaning. Escapes pass
+    through untouched."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(c)
+            out.append(pattern[i + 1])
+            i += 2
+        else:
+            out.append(c.lower())
+            i += 1
+    return "".join(out)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Scalar plain-Levenshtein for SHORT value lists (meta-column
+    fuzzy expansion); the dictionary paths use the vectorized DPs."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True when an unescaped ``|`` sits at group depth 0 (outside any
+    character class) — then NO leading literal is a guaranteed prefix
+    of every match, so dictionary-range pruning must be skipped."""
+    depth = 0
+    in_cls = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_cls:
+            if c == "]":
+                in_cls = False
+        elif c == "[":
+            in_cls = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _union_sum(parts: list[tuple[np.ndarray, np.ndarray]]):
     """Union doc sets, summing scores of duplicates (OR semantics)."""
     parts = [p for p in parts if len(p[0])]
@@ -610,6 +680,12 @@ class Index:
         terms = np.unique(np.asarray(col.to_pylist(), dtype=object))
         lens = np.array([len(t) for t in terms], dtype=np.int32)
         lmax = int(lens.max()) if len(lens) else 0
+        if lmax * len(terms) * 4 > _TERM_CODES_MAX_BYTES:
+            # padded matrix too big (one long token × many terms):
+            # keep the sorted terms (wildcard/regexp stay in-memory),
+            # leave fuzzy on the streaming scan
+            self._term_cache_v = (terms, lens, None)
+            return self._term_cache_v
         # TRANSPOSED (Lmax, T) layout: the fuzzy DP gathers one char
         # position across all active terms per step — row-contiguous
         codes = np.zeros((lmax, len(terms)), dtype=np.uint32)
@@ -675,7 +751,7 @@ class Index:
         prunes the sorted dictionary's row groups exactly like the
         wildcard prefix."""
         if self.manifest.analyzer != "path_hierarchy":
-            pattern = pattern.lower()
+            pattern = _regexp_lower(pattern)
         fp = self._field_prefix(field)
         try:
             rx = re.compile(pattern)
@@ -683,15 +759,18 @@ class Index:
             raise ValueError(f"bad regexp /{pattern}/: {e}")
         # leading literal chars (stop at any metacharacter; a literal
         # followed by a quantifier is not a guaranteed prefix, so back
-        # off one char when the stop char is a quantifier)
+        # off one char when the stop char is a quantifier; a TOP-LEVEL
+        # alternation voids the prefix entirely — `en|de` matches terms
+        # that share no prefix with `en`)
         lit = []
-        meta = set("\\^$.|?*+()[]{}")
-        for i, ch in enumerate(pattern):
-            if ch in meta:
-                if ch in "?*{" and lit:
-                    lit.pop()
-                break
-            lit.append(ch)
+        if not _has_toplevel_alternation(pattern):
+            meta = set("\\^$.|?*+()[]{}")
+            for i, ch in enumerate(pattern):
+                if ch in meta:
+                    if ch in "?*{" and lit:
+                        lit.pop()
+                    break
+                lit.append(ch)
         prefix = fp + "".join(lit)
         cache = self._term_cache()
         if cache is not None:
@@ -793,7 +872,7 @@ class Index:
             text = text.lower()
         pref = self._field_prefix(field)
         cache = self._term_cache()
-        if cache is not None:
+        if cache is not None and cache[2] is not None:
             return self._fuzzy_from_cache(cache, text, max_edits, pref)
         qc = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
         ds = pads.dataset(self.manifest.termstats_dir())
@@ -847,17 +926,67 @@ class Index:
                         return out
         return out
 
+    def _meta_distinct(self, name: str) -> list:
+        """Distinct values of a stored meta column, cached per Index:
+        one pruned single-column scan across the doc-store generations.
+        This is the META column's "term dictionary" — Lucene runs
+        wildcard/regexp/fuzzy on a StringField's own terms, so those
+        nodes expand against these values, not the text dictionary.
+        Values present only in tombstoned rows are harmless: the
+        resulting Filter still respects tombstones at evaluation."""
+        cache = getattr(self, "_meta_distinct_v", None)
+        if cache is None:
+            cache = self._meta_distinct_v = {}
+        if name not in cache:
+            vals: set = set()
+            for _gen, src in self._doc_sources:
+                for batch in src.to_batches(columns=[name]):
+                    vals.update(pc.unique(batch[name]).to_pylist())
+            vals.discard(None)
+            cache[name] = sorted(vals, key=str)
+        return cache[name]
+
+    def _expand_meta_values(self, q: Query) -> tuple:
+        """Meta-column values a Wildcard/Regexp/Fuzzy node matches —
+        case-insensitive, mirroring M11's dictionary lowercasing (the
+        text dictionary is already lowercase; meta values may not be)."""
+        vals = self._meta_distinct(q.field)
+        if isinstance(q, Wildcard):
+            rx = re.compile(fnmatch.translate(q.pattern.lower()))
+            return tuple(v for v in vals if rx.match(str(v).lower()))
+        if isinstance(q, Regexp):
+            try:
+                rx = re.compile(_regexp_lower(q.pattern))
+            except re.error as e:
+                raise ValueError(f"bad regexp /{q.pattern}/: {e}")
+            return tuple(v for v in vals if rx.fullmatch(str(v).lower()))
+        probe = q.text.lower()
+        return tuple(v for v in vals
+                     if _levenshtein(str(v).lower(), probe) <= q.max_edits)
+
     def _rewrite_meta_fields(self, q: Query) -> Query:
         """Normalize field-scoped Term/Phrase nodes whose field is a
         stored META column into exact Filters (reference StringField
         semantics) BEFORE any fast path runs — the BM25 top-k shortcut
         and field-sorted paths never enter the recursive evaluator, so
-        _eval's own routing can't cover them. Unknown fields raise."""
+        _eval's own routing can't cover them. Wildcard/Regexp/Fuzzy on
+        a meta column expand against the column's distinct values (its
+        "term dictionary") into the same exact Filters — an empty
+        expansion is an empty IN-list, i.e. MatchNone. Unknown fields
+        raise."""
         if isinstance(q, (Term, Phrase)) and q.field is not None \
                 and q.field not in self.text_fields:
             if q.field in self.manifest.meta_cols:
                 text = q.text if isinstance(q, Term) else " ".join(q.terms)
                 return Filter(q.field, self._coerce_meta(q.field, text))
+            raise ValueError(
+                f"unknown query field {q.field!r}: text fields are "
+                f"{self.text_fields}, filterable meta columns are "
+                f"{list(self.manifest.meta_cols)}")
+        if isinstance(q, (Wildcard, Regexp, Fuzzy)) and q.field is not None \
+                and q.field not in self.text_fields:
+            if q.field in self.manifest.meta_cols:
+                return Filter(q.field, self._expand_meta_values(q))
             raise ValueError(
                 f"unknown query field {q.field!r}: text fields are "
                 f"{self.text_fields}, filterable meta columns are "

@@ -21,9 +21,10 @@ import pyarrow as pa
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.index.docids import hash_ids_from_strings
 from icat_lucene_ray.query.ast import (
-    And, Boost, Filter, MatchAll, Not, Or, Phrase, Query, RangeFilter,
-    Regexp, Term, Wildcard,
+    And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
+    RangeFilter, Regexp, Term, Wildcard,
 )
+from icat_lucene_ray.query.engine import _levenshtein, _regexp_lower
 
 
 class OracleIndex:
@@ -102,6 +103,25 @@ class OracleIndex:
 
     def _eval(self, q: Query):
         """-> (dict doc->score | None-score set)"""
+        if isinstance(q, (Wildcard, Regexp, Fuzzy)) and q.field is not None \
+                and q.field in self.meta and q.field not in self.field_dl:
+            # META-column expansion (engine._expand_meta_values parity):
+            # match the pattern against the column's distinct values,
+            # then filter exactly — non-scoring, like Filter
+            vals = {v for v in self.meta[q.field] if v is not None}
+            if isinstance(q, Wildcard):
+                rx = re.compile(fnmatch.translate(q.pattern.lower()))
+                hit = {v for v in vals if rx.match(str(v).lower())}
+            elif isinstance(q, Regexp):
+                rx = re.compile(_regexp_lower(q.pattern))
+                hit = {v for v in vals if rx.fullmatch(str(v).lower())}
+            else:
+                probe = q.text.lower()
+                hit = {v for v in vals
+                       if _levenshtein(str(v).lower(), probe) <= q.max_edits}
+            col = self.meta[q.field]
+            return ({int(d): 1.0 for d, v in zip(self.doc_ids, col)
+                     if v in hit}, False)
         if isinstance(q, Term):
             stems = self._stems(q)
             out: dict[int, float] = {}
@@ -141,7 +161,7 @@ class OracleIndex:
                         out[d] = out.get(d, 0.0) + sc
             return out, True
         if isinstance(q, Regexp):
-            pat = q.pattern.lower()
+            pat = _regexp_lower(q.pattern)
             rx = re.compile(pat)
             pref = f"{q.field or self.default_field}:" if self.multi else ""
             out: dict[int, float] = {}

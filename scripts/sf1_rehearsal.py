@@ -75,8 +75,12 @@ def main() -> None:
     os.makedirs(ROOT, exist_ok=True)
     report: dict = {"n_pages": N_PAGES, "num_cpus": 32, "stages": {}}
     if os.path.exists(REPORT):
-        report = json.load(open(REPORT))
-        report.setdefault("stages", {})
+        prior = json.load(open(REPORT))
+        # resume only a run of the SAME size — a different n_pages
+        # argument starts fresh rather than silently reusing old stages
+        if prior.get("n_pages") == N_PAGES:
+            report = prior
+            report.setdefault("stages", {})
 
     def save():
         with open(REPORT, "w") as f:
@@ -100,7 +104,10 @@ def main() -> None:
     from icat_lucene_ray.index.build import build_index
 
     idx_dir = os.path.join(ROOT, "idx")
-    if "build" not in report["stages"]:
+    # skip only when the index ARTIFACT exists, not just the report row
+    # (a partially-cleaned /tmp must rebuild, not crash at stage 2)
+    if "build" not in report["stages"] or not os.path.exists(
+            os.path.join(idx_dir, "manifest.json")):
         cfg = EngineConfig(num_segments=32, tokenize_batch_size=2048,
                            analyzed_rows_per_file=16384)
         t0 = time.perf_counter()

@@ -238,6 +238,37 @@ def test_meta_field_term_routes_to_filter(engine, oracle):
             engine.search(parse_query(bad), k=5)
 
 
+def test_meta_field_expansion_queries(engine, oracle):
+    """Wildcard/regexp/fuzzy on a META column expand against the
+    column's distinct values (the StringField's own "term dictionary",
+    like Lucene) into exact filters — previously they searched the
+    TEXT dictionary and silently matched nothing."""
+    from icat_lucene_ray.query import parse_query
+    from icat_lucene_ray.query.ast import Fuzzy, Regexp
+
+    langs = sorted({v for v in oracle.meta["lang"] if v is not None})
+    assert len(langs) >= 2
+    some = langs[:2]
+    # regexp alternation over meta values == union of exact filters
+    q = Regexp("|".join(some), field="lang")
+    assert engine.count(q) == sum(
+        engine.count(Filter("lang", v)) for v in some)
+    assert_rank_identical(engine, oracle, q)
+    # wildcard: first-char prefix
+    assert_rank_identical(engine, oracle,
+                          Wildcard(some[0][0] + "*", field="lang"))
+    # fuzzy: one edit away from a real value matches at least it
+    probe = some[0] + "x"
+    assert_rank_identical(engine, oracle, Fuzzy(probe, 1, field="lang"))
+    assert engine.count(Fuzzy(probe, 1, field="lang")) \
+        >= engine.count(Filter("lang", some[0]))
+    # the parser surface reaches the same route
+    assert engine.count(parse_query(f"lang:/{'|'.join(some)}/")) \
+        == engine.count(q)
+    # no matching value -> empty IN-list (MatchNone), not an error
+    assert engine.count(Regexp("zz+", field="lang")) == 0
+
+
 def test_weight_over_filter_scores_factor(engine, oracle):
     """ADVICE regression: a boost on a non-scoring clause (Filter /
     RangeFilter / MatchAll) must materialize factor-per-match constant
@@ -273,6 +304,16 @@ def test_regexp_query(engine, oracle):
 
     assert_rank_identical(engine, oracle, Regexp("jo.*"))
     assert_rank_identical(engine, oracle, Regexp("(dat|merg)[a-z]*"))
+    # UNPARENTHESIZED top-level alternation: the leading literal of the
+    # first branch must not prune away the other branches
+    assert_rank_identical(engine, oracle, Regexp("dat[a-z]*|merg[a-z]*"))
+    assert set(engine.expand_regexp("jo.*|dat.*")) \
+        == set(engine.expand_wildcard("jo*")) \
+        | set(engine.expand_wildcard("dat*"))
+    # uppercase escape classes survive M11 lowercasing (`\S` must NOT
+    # become `\s`): terms contain no whitespace, so jo\S* == jo*
+    assert set(engine.expand_regexp("jo\\S*")) \
+        == set(engine.expand_wildcard("jo*"))
     # full-match anchoring: a bare fragment matches nothing extra
     assert engine.expand_regexp("jo.*") == engine.expand_wildcard("jo*")
     assert engine.expand_regexp("o") == []  # 'o' alone full-matches no term
@@ -323,6 +364,25 @@ def test_fuzzy_wildcard_cache_equals_scan(engine):
             assert len(a) == len(b) == cap, pat
         else:
             assert set(a) == set(b), pat
-    for rx in ["jo.*", "(dat|merg)[a-z]*", ".", "x+"]:
+    for rx in ["jo.*", "(dat|merg)[a-z]*", "jo.*|dat.*", ".", "x+"]:
         assert set(engine.expand_regexp(rx)) \
             == set(scan_engine.expand_regexp(rx)), rx
+
+
+def test_term_codes_byte_guard(engine, monkeypatch):
+    """Above the code-matrix byte cap the cache keeps the sorted terms
+    (wildcard/regexp stay in-memory) but fuzzy falls back to the
+    streaming scan with identical candidates — the guard exists because
+    the padded matrix is T × the single LONGEST term, so one
+    pathological token must not OOM the actor."""
+    from icat_lucene_ray.query import Index
+    from icat_lucene_ray.query import engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "_TERM_CODES_MAX_BYTES", 0)
+    guarded = Index(engine.manifest.root)
+    cache = guarded._term_cache()
+    assert cache is not None and cache[2] is None
+    probe = str(engine._term_cache()[0][0])
+    assert set(guarded.expand_fuzzy(probe, 1)) \
+        == set(engine.expand_fuzzy(probe, 1))
+    assert guarded.expand_wildcard("jo*") == engine.expand_wildcard("jo*")
