@@ -126,6 +126,32 @@ def test_resume_after_midstage_crash(ray_session, tmp_path):
     assert sorted(final["doc_id"].to_pylist()) == [0, 5, 6]
 
 
+def test_dedup_transform_anti_join_paths(ray_session, tmp_path):
+    """The exact-dedup pair shuffle must produce identical survivors
+    through BOTH drop-set anti-filter paths: broadcast (drops below
+    driver_cap) and the bucketed distributed anti-join (driver_cap=0
+    forces it) — the path a 100-TB corpus would take. The corpus
+    payload itself never enters the exchange in either path."""
+    from icat_lucene_ray.pipelines.curate import dedup_transform
+
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        # 10 distinct texts, each duplicated 4x -> keep lowest id each
+        "text": pa.array([f"unique document text number {i % 10} "
+                          f"with enough tokens to keep" for i in range(n)]),
+    })
+    cfg = CurateConfig(near_dup_threshold=None)
+    ds = ray.data.from_arrow(tbl)
+    via_broadcast = dedup_transform(ds, cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    via_anti_join = dedup_transform(
+        ray.data.from_arrow(tbl), cfg, left_rows=n, driver_cap=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert via_broadcast["doc_id"].tolist() == list(range(10))
+    assert via_broadcast.equals(via_anti_join)
+
+
 def test_string_id_near_dup(ray_session, tmp_path):
     """CC-style url-keyed corpora (no int id) run the full near-dup
     stage: string keys hash to stable 63-bit ids internally, the output
