@@ -562,20 +562,63 @@ def verify_pairs_distributed(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 256,
+    endpoint_broadcast_cap: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs, entirely
     cluster-side (no driver loop, no corpus broadcast): a reduce-side
-    join. One streaming pass computes per-doc shingle sketches; a
+    join. The corpus is first RESTRICTED to candidate-pair endpoints —
+    only docs that appear in some pair ever need a sketch, and pair
+    endpoints are O(pairs) while the corpus is O(N), so this turns the
+    sketch pass + its shuffle from O(corpus) into O(pairs). (Without
+    it, the full-corpus sketch stream piles into the union→groupby
+    all-to-all's input queue and the streaming executor throttles the
+    sketch producers to a single task — observed live at the 12M-page
+    rehearsal: 32 CPUs idling behind one sketcher.) Endpoint ids are
+    broadcast via ``ray.put`` below ``endpoint_broadcast_cap`` ids and
+    applied as a vectorized ``is_in``; above it the restriction is a
+    bucketed :func:`semi_join_ids_ds` (no driver state).
+
+    One streaming pass then computes per-endpoint shingle sketches; a
     tag-union + ``groupby(gb)`` (nid HASH BUCKET) attaches each
     endpoint's sketch to its pairs; ``groupby(gb2)`` (pair hash bucket)
     computes the Jaccard and keeps survivors. Bucketed keys, not raw
-    nid/pair keys: each group call processes thousands of
-    nids/pairs vectorized instead of paying per-group Python/Arrow
-    overhead on 1-3-row groups. Shuffle volume is O(corpus sketches +
-    candidate pairs) — the cost of a distributed join, with no O(pairs)
-    driver state. Size ``num_buckets`` ~ (expected pairs / 10^4) so a
+    nid/pair keys: each group call processes thousands of nids/pairs
+    vectorized instead of paying per-group Python/Arrow overhead on
+    1-3-row groups. Shuffle volume is O(endpoint sketches + candidate
+    pairs). Size ``num_buckets`` ~ (expected pairs / 10^4) so a
     bucket's pairs fit one worker; buckets cap reduce fan-in, not
     correctness."""
+    cand_pairs_ds = cand_pairs_ds.materialize()
+    n_pairs = cand_pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    ds = ds.select_columns([id_col, text_col])
+    if 2 * n_pairs <= endpoint_broadcast_cap:
+        # empty map_groups blocks may carry a degenerate schema — skip
+        ends = np.unique(np.concatenate(
+            [t[c].to_numpy(zero_copy_only=False)
+             for t in ray.get(cand_pairs_ds.to_arrow_refs())
+             if t.num_rows for c in ("id_a", "id_b")]))
+        ref = ray.put(pa.array(ends, pa.int64()))
+        ds = ds.map_batches(
+            _isin_batch,
+            fn_kwargs=dict(want_ref=ref, cols=[id_col, text_col],
+                           id_col=id_col),
+            batch_format="pyarrow")
+    else:
+        def _ends_batch(b: pa.Table) -> pa.Table:
+            vals = np.unique(np.concatenate(
+                [b["id_a"].to_numpy(zero_copy_only=False),
+                 b["id_b"].to_numpy(zero_copy_only=False)])) \
+                if b.num_rows else np.empty(0, np.int64)
+            return pa.table({id_col: pa.array(vals, pa.int64())})
+
+        ends_ds = cand_pairs_ds.map_batches(_ends_batch,
+                                            batch_format="pyarrow")
+        ds = semi_join_ids_ds(ds, ends_ds, id_col=id_col)
     sketches = ds.map_batches(
         _ShingleSketcher,
         fn_constructor_kwargs=dict(shingle_k=shingle_k, sketch_k=sketch_k,
@@ -1101,6 +1144,62 @@ def anti_join_ids_ds(ds: ray.data.Dataset, drop_ds: ray.data.Dataset, *,
         return left.filter(keep).drop_columns(["__side", "_abkt"])
 
     return tagged.groupby("_abkt").map_groups(_anti_group,
+                                              batch_format="pyarrow")
+
+
+def semi_join_ids_ds(ds: ray.data.Dataset, keep_ds: ray.data.Dataset, *,
+                     id_col: str = "doc_id",
+                     num_buckets: int | None = None,
+                     left_rows: int | None = None) -> ray.data.Dataset:
+    """Distributed semi-join: rows of ``ds`` survive only when their
+    ``id_col`` appears in ``keep_ds`` (one int64 ``id_col`` column) —
+    the complement of :func:`anti_join_ids_ds`, same tagged-union +
+    hash-bucket + vectorized ``is_in`` reduce shape, same partitioning
+    assumption (one bucket's left rows fit a worker). Used to restrict
+    a corpus to the rows a later stage actually needs (e.g. candidate-
+    pair endpoints before sketch verification) without broadcasting the
+    id set or shuffling the corpus payload more than once."""
+    n_keep = keep_ds.count()
+    if n_keep == 0:
+        return ray.data.from_arrow(ds.schema().base_schema.empty_table())
+    if num_buckets is None:
+        sizing_rows = max(n_keep, left_rows or 0)
+        num_buckets = max(64, -(-sizing_rows // 262_144) * 64)
+    l_schema = ds.schema().base_schema
+    cols = l_schema.names
+    if id_col not in cols:
+        raise ValueError(f"{id_col!r} not in left columns {cols}")
+    fields = [pa.field(c, l_schema.field(c).type) for c in cols]
+    fields += [pa.field("__side", pa.int8())]
+    schema = pa.schema(fields)
+
+    def _tag(b: pa.Table, is_left: bool) -> pa.Table:
+        n = b.num_rows
+        out = {}
+        for c in cols:
+            out[c] = b[c] if (is_left or c == id_col) else pa.nulls(n)
+        out["__side"] = pa.array(
+            np.zeros(n, np.int8) if is_left else np.ones(n, np.int8))
+        t = pa.table(out).cast(schema)
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((k * 2654435761) & 0x7FFFFFFF) % num_buckets
+        return t.append_column("_abkt", pa.array(bkt.astype(np.int64)))
+
+    tagged = ds.map_batches(lambda b: _tag(b, True),
+                            batch_format="pyarrow") \
+        .union(keep_ds.map_batches(lambda b: _tag(b, False),
+                                   batch_format="pyarrow"))
+
+    def _semi_group(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        want = g.filter(pa.array(side == 1))[id_col]
+        if isinstance(want, pa.ChunkedArray):
+            want = want.combine_chunks()
+        keep = pc.is_in(left[id_col], value_set=want)
+        return left.filter(keep).drop_columns(["__side", "_abkt"])
+
+    return tagged.groupby("_abkt").map_groups(_semi_group,
                                               batch_format="pyarrow")
 
 

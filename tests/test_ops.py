@@ -113,6 +113,54 @@ def test_minhash_lsh_dedup(dup_ds):
     assert 100 in res["drop"] and 100 not in keep and 0 in keep
 
 
+def test_minhash_verify_semi_join_path(dup_ds):
+    """endpoint_broadcast_cap=0 forces the bucketed semi-join endpoint
+    restriction (the path a web-scale pair set takes) — verified pairs
+    must be identical to the broadcast path's."""
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    import icat_lucene_ray.ops.dedup as dmod
+
+    orig = dmod.verify_pairs_distributed
+
+    def forced(*a, **kw):
+        kw["endpoint_broadcast_cap"] = 0
+        return orig(*a, **kw)
+
+    dmod.verify_pairs_distributed = forced
+    try:
+        res = minhash_lsh_dedup(dup_ds, threshold=0.7)
+    finally:
+        dmod.verify_pairs_distributed = orig
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    assert {(0, 100), (1, 101), (2, 102)} <= found
+    assert 100 in res["drop"]
+
+
+def test_semi_join_ids_ds(ray_session):
+    """Distributed semi-join: only matching left rows survive with the
+    full schema; duplicate/unknown keep ids are harmless; empty keep
+    side yields an empty dataset with the left schema."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import semi_join_ids_ds
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(100)], pa.string())}))
+    keep = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([3, 7, 7, 99, 1234], pa.int64())}))
+    out = semi_join_ids_ds(ds, keep).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [3, 7, 99]
+    assert sorted(out.columns) == ["doc_id", "text"]
+    assert out.loc[out["doc_id"] == 3, "text"].iloc[0] == "t3"
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64())}))
+    out_e = semi_join_ids_ds(ds, empty)
+    assert out_e.count() == 0
+    assert sorted(out_e.schema().base_schema.names) == ["doc_id", "text"]
+
+
 def test_ngram_jaccard_dedup(dup_ds):
     """Exact blocked n-gram Jaccard: pair values equal a brute-force
     per-pair recomputation (string shingle sets), and the keep/drop
