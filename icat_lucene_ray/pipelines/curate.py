@@ -68,6 +68,10 @@ class CurateConfig:
     langs: tuple[str, ...] | None = None
     #: near-dup off when None
     near_dup_threshold: float | None = 0.8
+    #: MinHash signature kernel: "perm" (safe at any doc length) or
+    #: "oph" (one-permutation hashing, ~17x faster — use for long-form
+    #: corpora, >= ~50 tokens/doc; see ops.dedup.MinHasher)
+    minhash_scheme: str = "perm"
     #: decontamination (no-op when the pipeline gets no benchmark)
     decontam_n: int = 5
     decontam_min_hits: int = 1
@@ -224,7 +228,8 @@ def dedup_transform(ds: "ray.data.Dataset", cfg: CurateConfig, *,
     if cfg.near_dup_threshold is not None:
         res = minhash_lsh_dedup(
             exact, threshold=cfg.near_dup_threshold,
-            text_col=cfg.text_col, id_col=nd_id)
+            text_col=cfg.text_col, id_col=nd_id,
+            scheme=cfg.minhash_scheme)
         if res["drop"] is not None:  # small set: broadcast anti-filter
             exact = filter_out_ids(exact, res["drop"], nd_id)
         elif res["n_drop"]:  # web-scale drop set: distributed anti-join

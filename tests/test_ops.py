@@ -199,6 +199,54 @@ def test_minhash_jaccard_estimate_close():
     assert abs(est - true) < 0.15
 
 
+def test_minhash_oph_estimate_close():
+    """One-permutation scheme: estimator tracks true Jaccard on
+    long-form docs (its intended regime) and is deterministic."""
+    from icat_lucene_ray.ops.dedup import MinHasher, ngram_jaccard
+
+    mh = MinHasher(num_perm=128, bands=32, scheme="oph")
+    a = " ".join(f"w{i}" for i in range(200))
+    b = " ".join(f"w{i}" for i in range(20, 220))
+    est = float(np.mean(mh.signature(a) == mh.signature(b)))
+    true = ngram_jaccard(a, b, 5)
+    assert abs(est - true) < 0.15
+    assert np.array_equal(mh.signature(a),
+                          MinHasher(scheme="oph").signature(a))
+
+
+def test_minhash_oph_edge_docs():
+    """Zero-shingle and single-shingle docs: no crash, stable shapes;
+    two empty docs match on every bin (estimate J=1, the exact-verify
+    convention); an empty doc never matches a non-empty one."""
+    from icat_lucene_ray.ops.dedup import MinHasher
+
+    mh = MinHasher(num_perm=128, bands=32, scheme="oph")
+    sig = mh.signatures(["", "a b", "one two three four five",
+                         " ".join(f"w{i}" for i in range(100))])
+    assert sig.shape == (4, 128)
+    assert np.array_equal(sig[0], mh.signature(""))      # all-sentinel
+    assert float(np.mean(sig[0] == sig[3])) == 0.0
+    assert float(np.mean(mh.signature("") == sig[0])) == 1.0
+    # single-shingle doc: every bin densified from one source value
+    assert len(np.unique(sig[2])) <= 128
+
+
+def test_minhash_lsh_dedup_oph_scheme(dup_ds):
+    """scheme='oph' end to end: finds the same planted duplicates as
+    the perm scheme on the fixture (60-token docs, inside the regime)
+    and produces the identical keep set."""
+    from icat_lucene_ray.ops.dedup import minhash_lsh_dedup
+
+    res = minhash_lsh_dedup(dup_ds, threshold=0.7, scheme="oph")
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    assert (0, 100) in found and (1, 101) in found
+    ref = minhash_lsh_dedup(dup_ds, threshold=0.7, scheme="perm")
+    assert sorted(res["drop"]) == sorted(ref["drop"])
+    import pytest
+    with pytest.raises(ValueError, match="scheme"):
+        minhash_lsh_dedup(dup_ds, scheme="bogus")
+
+
 def test_simhash_dedup(dup_ds):
     from icat_lucene_ray.ops.dedup import SimHasher, simhash_dedup
 
