@@ -250,18 +250,49 @@ class MinHasher:
       neighbors — so it is OPT-IN, for long-form corpora (web pages
       average ~220 tokens). The scheme must be uniform across a
       corpus: signatures from different schemes are not comparable.
+      Measured at 12M real-length pages the short tail's densified
+      signatures inflated LSH candidates 13 -> 2.1M (all rejected by
+      the exact verify, but the verify bill swallowed the kernel win)
+      — hence:
+    - ``"auto"``: length-stratified banding. J >= t bounds a
+      qualifying pair's shingle-count ratio to [t, 1/t] (set sizes),
+      so docs route by shingle count: < ``auto_hi`` get perm-keyed
+      rows, >= ``auto_lo`` get oph-keyed rows, and the overlap window
+      [auto_lo, auto_hi) is double-signed so a pair straddling the
+      pivot always shares a scheme — NO qualifying pair is lost.
+      Perm cost concentrates in long docs (cost ∝ shingles x
+      num_perm), which auto sends to oph, so auto keeps ~the full oph
+      speedup while short docs keep the low-variance perm estimator.
+      Defaults assume threshold >= ``auto_ratio`` (0.7); for lower
+      thresholds widen the window via ``auto_ratio``.
     """
 
     P31 = _P31
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 7,
-                 num_buckets: int = 512, scheme: str = "perm"):
+                 num_buckets: int = 512, scheme: str = "perm",
+                 auto_pivot: int = 48, auto_ratio: float = 0.7):
         assert num_perm % bands == 0
-        if scheme not in ("perm", "oph"):
+        if scheme not in ("perm", "oph", "auto"):
             raise ValueError(f"unknown MinHash scheme {scheme!r} "
-                             "(expected 'perm' or 'oph')")
+                             "(expected 'perm', 'oph' or 'auto')")
         self.scheme = scheme
+        # auto stratification window (shingle counts): docs below
+        # auto_pivot/auto_ratio get perm rows, docs at or above
+        # auto_pivot*auto_ratio get oph rows — the overlap double-signs
+        # so a straddling pair always shares a scheme (see class doc)
+        self.auto_lo = max(1, int(np.ceil(auto_pivot * auto_ratio)))
+        self.auto_hi = int(np.ceil(auto_pivot / auto_ratio))
+        self.auto_ratio = auto_ratio
+        # fixed hashed donor-probe table for optimal densification:
+        # bin i probes _oph_probes[i, 0], [i, 1], ... — a pure function
+        # of the bin index so all docs share the alignment
+        cell = np.arange(num_perm * 64, dtype=np.uint64).reshape(
+            num_perm, 64)
+        self._oph_probes = ((cell * np.uint64(0x9E37_79B9_7F4A_7C15)
+                             >> np.uint64(29))
+                            % np.uint64(num_perm)).astype(np.int64)
         rng = np.random.default_rng(seed)
         p = int(self.P31)
         self.a = rng.integers(1, p, num_perm, dtype=np.uint64)
@@ -290,6 +321,12 @@ class MinHasher:
         hosts with serialized page-fault service (BASELINE.md caveat)
         first-touch faults — not arithmetic — dominated the signature
         stage. Output is bit-identical to the expression form."""
+        if self.scheme == "auto":
+            raise ValueError(
+                "scheme='auto' stratifies docs by length at the banding "
+                "level (MinHasher.__call__); per-doc signature matrices "
+                "are not comparable across strata — construct a "
+                "MinHasher with scheme='perm' or 'oph' instead")
         if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
             texts = pa.array(list(texts), pa.string())
         offs, th = _tokenize_flat(texts, self.hasher)
@@ -297,8 +334,12 @@ class MinHasher:
         n = len(sh_off) - 1
         if self.scheme == "oph":
             return self._signatures_oph(sh_off, sh, n)
-        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        return self._signatures_perm(sh_off, sh, n)
+
+    def _signatures_perm(self, sh_off: np.ndarray, sh: np.ndarray,
+                         n: int) -> np.ndarray:
         starts = sh_off[:-1]
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
         M = len(sh)
         # chunk the permutations so the (chunk, M) scratch stays ~64 MB
         chunk = max(1, min(self.num_perm, (8 << 20) // max(1, M)))
@@ -326,10 +367,24 @@ class MinHasher:
                         n: int) -> np.ndarray:
         """One-permutation signatures: one wrapping 64-bit mix per
         shingle assigns a bin (high bits) and a value (a second remix),
-        then a scatter-min fills the (n, num_perm) matrix. Empty bins
-        are densified by rotation — borrow from the next non-empty bin
-        at distance d, remixed by (2d+1) so two docs that share a donor
-        but differ in which bins are empty do not spuriously match.
+        then a scatter-min fills the (n, num_perm) matrix.
+
+        Empty bins use OPTIMAL DENSIFICATION (Shrivastava, ICML 2017):
+        bin i probes a fixed hashed sequence of donor bins H[i, a] and
+        copies the first ORGANIC (scatter-filled) value it finds. Two
+        properties matter for LSH quality:
+
+        - donors are organic-only. An earlier rotation variant chained
+          already-densified values; a chain replicates one shared
+          minimum across whole bands, letting a band collide with
+          probability ~J instead of ~J^r — measured as a 13 -> 2.1M
+          candidate-pair explosion at 12M pages. With organic-only
+          donors, a densified bin matches iff its donor bin's organic
+          minima match (~J), restoring near-independent band bins.
+        - the probe sequence is a function of the bin index only, so
+          two docs densify bin i from the same donor bin whenever both
+          have it organic — alignment the estimator needs.
+
         Docs with zero shingles keep the _OPH_EMPTY sentinel in every
         bin (two empty docs estimate J=1, matching the convention of
         the exact verify). Deterministic: no RNG, no seed."""
@@ -342,22 +397,32 @@ class MinHasher:
                             np.diff(sh_off).astype(np.int64))
         np.minimum.at(sig, doc_idx * P + bins, vals)
         sig = sig.reshape(n, P)
-        empty = sig == _OPH_EMPTY
-        rows = np.flatnonzero(empty.any(axis=1))
-        if len(rows):
-            sub, sube = sig[rows], empty[rows]
-            # docs with no shingles at all stay all-sentinel
-            filled = ~sube.all(axis=1)
-            for d in range(1, P):
-                if not filled.any():
-                    break
-                donor = np.roll(sub, -d, axis=1)
-                fill = sube & (donor != _OPH_EMPTY) & filled[:, None]
-                if fill.any():
-                    sub[fill] = donor[fill] * np.uint64(2 * d + 1)
-                    sube &= ~fill
-                filled &= sube.any(axis=1)
-            sig[rows] = sub
+        organic = sig != _OPH_EMPTY
+        has_org = organic.any(axis=1)
+        # flat worklist of (doc, bin) cells to densify — work is
+        # proportional to the number of empty bins and shrinks
+        # geometrically per probe (each probe hits an organic donor
+        # with probability = the doc's organic fill fraction)
+        doc_e, bin_e = np.nonzero(~organic & has_org[:, None])
+        for a in range(self._oph_probes.shape[1]):
+            if not len(doc_e):
+                break
+            donor = self._oph_probes[bin_e, a]
+            hit = organic[doc_e, donor]
+            if hit.any():
+                sig[doc_e[hit], bin_e[hit]] = sig[doc_e[hit], donor[hit]]
+            doc_e, bin_e = doc_e[~hit], bin_e[~hit]
+        # deterministic sweep for cells whose probes all missed (only
+        # realistic for docs with very few organic bins): nearest
+        # organic bin by rotation — still organic-only donors
+        for d in range(1, P):
+            if not len(doc_e):
+                break
+            donor = (bin_e + d) % P
+            hit = organic[doc_e, donor]
+            if hit.any():
+                sig[doc_e[hit], bin_e[hit]] = sig[doc_e[hit], donor[hit]]
+            doc_e, bin_e = doc_e[~hit], bin_e[~hit]
         return sig
 
     def signature(self, text: str) -> np.ndarray:
@@ -371,27 +436,72 @@ class MinHasher:
             acc = (acc + self.band_coef[i] * r[:, :, i]) % _MERSENNE61
         return acc.astype(np.int64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = self.signatures(batch[self.text_col])
-        bh = self.band_hashes(sig)  # (n, bands)
+    def _folded_keys(self, sig: np.ndarray, scheme_tag: int) -> np.ndarray:
+        """(n,) x bands flat folded collision keys for a signature
+        matrix. The band index is folded into the 61-bit band hash with
+        a wrapping 64-bit golden-ratio mix: ONE collision key instead
+        of the (band, band_hash) column pair, so the exploded shuffle
+        row is 20 B not 24 B and in-group run detection sorts one key.
+        A cross-(band, hash) key collision (~2^-61 per pair) only adds
+        a candidate pair, which the exact-Jaccard verify rejects — it
+        can never drop a true candidate. ``scheme_tag`` keeps perm and
+        oph keys from ever forming a run together under scheme='auto'
+        (the two estimators' values are incomparable)."""
+        n = sig.shape[0]
+        bh = self.band_hashes(sig)
         band_idx = np.tile(np.arange(self.bands, dtype=np.uint64), n)
-        # fold the band index into the 61-bit band hash with a wrapping
-        # 64-bit golden-ratio mix: ONE collision key instead of the
-        # (band, band_hash) column pair, so the exploded shuffle row is
-        # 20 B not 24 B and the in-group run detection sorts one key.
-        # A cross-(band, hash) key collision (~2^-61 per pair) only adds
-        # a candidate pair, which the exact-Jaccard verify rejects — it
-        # can never drop a true candidate.
         key = (bh.reshape(-1).view(np.uint64)
                + band_idx * np.uint64(0x9e37_79b9_7f4a_7c15))
+        if scheme_tag:
+            key = key * np.uint64(2) + np.uint64(scheme_tag)
+        return key
+
+    def _exploded(self, key: np.ndarray, ids: np.ndarray) -> pa.Table:
         bucket = (key % np.uint64(self.num_buckets)).astype(np.int32)
         return pa.table({
             "key": pa.array(key.view(np.int64), pa.int64()),
             "bucket": pa.array(bucket),
             self.id_col: pa.array(np.repeat(ids, self.bands), pa.int64()),
         })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.scheme != "auto":
+            sig = self.signatures(batch[self.text_col])
+            return self._exploded(self._folded_keys(sig, 0), ids)
+        # auto: length-stratified kernels. J >= auto_ratio bounds the
+        # shingle-count ratio of a qualifying pair to
+        # [auto_ratio, 1/auto_ratio], so routing docs by shingle count
+        # with a double-signed overlap window [auto_lo, auto_hi) loses
+        # NO qualifying pair: both short -> both perm rows; both long
+        # -> both oph rows; straddling -> both endpoints fall in the
+        # window and share both schemes.
+        texts = batch[self.text_col]
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), pa.string())
+        offs, th = _tokenize_flat(texts, self.hasher)
+        sh_off, sh = _shingle_hash_batch(offs, th, self.k)
+        counts = np.diff(sh_off)
+        parts = []
+        for mask, kernel, tag in (
+                (counts < self.auto_hi, self._signatures_perm, 0),
+                (counts >= self.auto_lo, self._signatures_oph, 1)):
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            lens = counts[sel]
+            sub_off = np.zeros(len(sel) + 1, dtype=sh_off.dtype)
+            np.cumsum(lens, out=sub_off[1:])
+            total = int(sub_off[-1])
+            idx = (np.repeat(sh_off[:-1][sel] - sub_off[:-1], lens)
+                   + np.arange(total, dtype=np.int64))
+            sig = kernel(sub_off, sh[idx], len(sel))
+            parts.append(self._exploded(
+                self._folded_keys(sig, tag), ids[sel]))
+        if not parts:
+            return self._exploded(
+                np.zeros(0, dtype=np.uint64), ids[:0])
+        return pa.concat_tables(parts)
 
 
 def _bucket_pairs_vec(group: pa.Table, id_col: str = "doc_id",
@@ -1054,10 +1164,14 @@ def minhash_lsh_dedup(
       (web-scale dup rates make it billions of ids — it must never be
       required for the keep path, which is a distributed anti-join).
 
-    ``scheme="oph"`` switches the signature kernel to one-permutation
-    hashing (see :class:`MinHasher`) — ~17x faster, for long-form
-    corpora. The verify stage is exact and scheme-independent, so the
-    scheme affects candidate RECALL only, never pair precision.
+    ``scheme`` selects the signature kernel (see :class:`MinHasher`):
+    ``"perm"`` (default, safe at any doc length), ``"oph"``
+    (one-permutation, ~17x faster, long-form corpora only), or
+    ``"auto"`` (length-stratified: oph speed on long docs, perm
+    estimator on short docs, double-signed boundary window so no
+    qualifying pair is missed — the recommended scale path). The
+    verify stage is exact and scheme-independent, so the scheme
+    affects candidate RECALL only, never pair precision.
 
     Returns ``{"pairs": [(a, b, jaccard)...] | None, "pairs_ds": Dataset,
     "clusters": {doc: root} | None, "labels_ds": Dataset | None,
@@ -1066,9 +1180,15 @@ def minhash_lsh_dedup(
     ("pairs"/"clusters"/"drop" are materialized only when small).
     """
     _require_int_ids(ds, id_col)
-    if scheme not in ("perm", "oph"):  # fail on the driver, not in the
-        raise ValueError(f"unknown MinHash scheme {scheme!r} "  # actor
-                         "(expected 'perm' or 'oph')")
+    if scheme not in ("perm", "oph", "auto"):  # fail on the driver,
+        raise ValueError(f"unknown MinHash scheme {scheme!r} "  # not
+                         "(expected 'perm', 'oph' or 'auto')")  # actor
+    if scheme == "auto" and threshold < 0.7:
+        raise ValueError(
+            "scheme='auto' assumes threshold >= 0.7 (its stratification "
+            "window is sized for that length-ratio bound); use "
+            "scheme='perm' or construct MinHasher with a wider "
+            "auto_ratio for lower thresholds")
     if num_buckets is None:
         n_rows = ds.count()  # parquet metadata count — no scan
         num_buckets = max(64, -(-n_rows * bands // target_bucket_rows))

@@ -68,10 +68,11 @@ class CurateConfig:
     langs: tuple[str, ...] | None = None
     #: near-dup off when None
     near_dup_threshold: float | None = 0.8
-    #: MinHash signature kernel: "perm" (safe at any doc length) or
-    #: "oph" (one-permutation hashing, ~17x faster — use for long-form
-    #: corpora, >= ~50 tokens/doc; see ops.dedup.MinHasher)
-    minhash_scheme: str = "perm"
+    #: MinHash signature kernel: "auto" (default — length-stratified:
+    #: one-permutation speed on long docs, classic perm estimator on
+    #: short docs, double-signed boundary so no qualifying pair is
+    #: missed), "perm", or "oph" (see ops.dedup.MinHasher)
+    minhash_scheme: str = "auto"
     #: decontamination (no-op when the pipeline gets no benchmark)
     decontam_n: int = 5
     decontam_min_hits: int = 1

@@ -231,6 +231,47 @@ def test_minhash_oph_edge_docs():
     assert len(np.unique(sig[2])) <= 128
 
 
+def test_minhash_auto_scheme_strata(ray_session):
+    """scheme='auto' recall across strata: finds short-short,
+    long-long AND pivot-straddling near-dup pairs (the double-signed
+    window guarantees a straddling pair shares a scheme), with drops
+    matching the perm scheme exactly on this corpus."""
+    import ray.data
+
+    from icat_lucene_ray.ops.dedup import MinHasher, minhash_lsh_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(5000)]
+    mk = lambda L: " ".join(str(x) for x in rng.choice(vocab, L))
+    rows = []
+    for i in range(30):  # filler at assorted lengths
+        rows.append({"doc_id": i, "text": mk(int(rng.integers(15, 300)))})
+    # planted dups: short pair, long pair, pivot-straddling pair
+    short = mk(20)
+    rows += [{"doc_id": 100, "text": short},
+             {"doc_id": 101, "text": short}]
+    long_ = mk(250)
+    rows += [{"doc_id": 200, "text": long_},
+             {"doc_id": 201, "text": long_ + " tailword"}]
+    # pivot is 48 shingles (~52 tokens): 46 vs 50 tokens straddles it
+    mid = mk(46).split()
+    rows += [{"doc_id": 300, "text": " ".join(mid)},
+             {"doc_id": 301, "text": " ".join(mid + ["p", "q", "r", "s"])}]
+    ds = ray.data.from_items(rows)
+    res = minhash_lsh_dedup(ds, threshold=0.7, scheme="auto")
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    assert (100, 101) in found and (200, 201) in found \
+        and (300, 301) in found
+    ref = minhash_lsh_dedup(ds, threshold=0.7, scheme="perm")
+    assert sorted(res["drop"]) == sorted(ref["drop"])
+    # signature matrices are per-stratum; the convenience API refuses
+    import pytest
+    with pytest.raises(ValueError, match="auto"):
+        MinHasher(scheme="auto").signatures(["a b c"])
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_lsh_dedup(ds, threshold=0.5, scheme="auto")
+
+
 def test_minhash_lsh_dedup_oph_scheme(dup_ds):
     """scheme='oph' end to end: finds the same planted duplicates as
     the perm scheme on the fixture (60-token docs, inside the regime)
