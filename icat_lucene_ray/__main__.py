@@ -52,8 +52,17 @@ def cmd_build(args):
     _init_ray(args.num_cpus)
     cfg = EngineConfig(analyzer=args.analyzer, num_segments=args.segments)
     tcols = [c for c in args.text_col.split(",") if c]
+    inp = args.input
+    if args.format != "parquet":
+        from icat_lucene_ray.sources.ingest import ingest_to_parquet
+
+        # raw corpus (jsonl/csv): one streaming conversion pass into
+        # resumable parquet shards under the index dir, then build
+        inp = ingest_to_parquet(
+            inp, os.path.join(args.out, "_ingest"), fmt=args.format,
+            shards=max(1, args.shards))
     m = build_index(
-        args.input, args.out,
+        inp, args.out,
         text_col=tcols[0],
         text_cols=tcols if len(tcols) > 1 else None,
         id_col=args.id_col,
@@ -199,6 +208,11 @@ def main(argv=None):
     b = sub.add_parser("build", help="build an inverted index")
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "csv"],
+                   help="input corpus format; jsonl/csv are converted "
+                        "to parquet shards under <out>/_ingest first "
+                        "(streaming, resumable)")
     b.add_argument("--text-col", default="text",
                    help="single text column, or comma-separated columns "
                         "for a multi-field index (M2)")

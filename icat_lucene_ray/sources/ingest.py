@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import json
+import os
 from typing import IO
 
 import ray.data
@@ -48,8 +49,107 @@ def read_modify_ops(src: str | IO) -> list[dict]:
 
 def docs_dataset_from_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     """Bulk-population source: newline-delimited JSON docs → Dataset
-    (feed to ``build_index`` or batch into ``IndexUpdater``)."""
+    (batch into ``IndexUpdater``, or persist with
+    :func:`ingest_to_parquet` to feed ``build_index``, which reads
+    parquet so doc ids can derive from file-row metadata)."""
     return ray.data.read_json(paths)
+
+
+_INGEST_FMTS = ("jsonl", "csv", "parquet")
+
+
+def _ingest_files(path: str | list[str], fmt: str) -> list[str]:
+    exts = {"jsonl": (".jsonl", ".json", ".ndjson"),
+            "csv": (".csv",), "parquet": (".parquet",)}[fmt]
+    paths = [path] if isinstance(path, str) else list(path)
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out += [os.path.join(root, f) for f in files
+                        if f.endswith(exts)]
+        else:
+            out.append(p)
+    return sorted(out)
+
+
+def ingest_to_parquet(
+    input_path: str | list[str],
+    out_dir: str,
+    *,
+    fmt: str = "jsonl",
+    columns: list[str] | None = None,
+    shards: int = 1,
+    resume: bool = True,
+) -> list[str]:
+    """Convert a raw corpus (JSONL / CSV) to the partitioned parquet
+    ``build_index`` consumes, one streaming Ray Data pass per shard —
+    the web-dump ingest path (raw crawls arrive as newline-delimited
+    JSON or CSV, while the index build wants parquet row-group
+    metadata for dense doc-id assignment and pruned column reads;
+    ≈ the reference's bulk-population ingest, ``Lucene.java:519-541``,
+    re-expressed as a source conversion rather than a servlet POST).
+
+    Scale design: ``read_json``/``read_csv`` → optional column
+    projection → ``write_parquet``, never materialized; ``shards``
+    splits the input FILE list into independently-converted,
+    independently-resumable output directories (lineage marker per
+    shard, same contract as Phase A's ``checkpoint_shards``), so a
+    failed 100-TB ingest re-does only unfinished shards. Returns the
+    parquet paths to pass to ``build_index``.
+    """
+    if fmt not in _INGEST_FMTS:
+        raise ValueError(f"unknown ingest format {fmt!r} "
+                         f"(expected one of {_INGEST_FMTS})")
+    files = _ingest_files(input_path, fmt)
+    if not files:
+        raise FileNotFoundError(f"no {fmt} files under {input_path!r}")
+    if fmt == "parquet":  # already the build's native format
+        return files
+    shards = max(1, min(shards, len(files)))
+    per = -(-len(files) // shards)
+    out_dirs: list[str] = []
+    for si in range(shards):
+        shard_files = files[si * per:(si + 1) * per]
+        if not shard_files:
+            break
+        shard_dir = os.path.join(out_dir, f"ingest_{si:05d}")
+        marker = os.path.join(shard_dir, "_DONE.json")
+        lin = _ingest_lineage(shard_files, fmt, columns)
+        if resume and os.path.exists(marker):
+            with open(marker) as f:
+                if json.load(f).get("lineage") == lin:
+                    out_dirs.append(shard_dir)
+                    continue
+        if os.path.exists(shard_dir):  # stale partial output
+            import shutil
+
+            shutil.rmtree(shard_dir)
+        os.makedirs(shard_dir, exist_ok=True)
+        ds = (ray.data.read_json(shard_files) if fmt == "jsonl"
+              else ray.data.read_csv(shard_files))
+        if columns:
+            ds = ds.select_columns(columns)
+        ds.write_parquet(shard_dir)
+        with open(marker, "w") as f:
+            json.dump({"lineage": lin, "files": len(shard_files)}, f)
+        out_dirs.append(shard_dir)
+    return out_dirs
+
+
+def _ingest_lineage(files: list[str], fmt: str,
+                    columns: list[str] | None) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    for f in sorted(files):
+        try:
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}".encode())
+        except OSError:
+            h.update(f.encode())
+    h.update(f"{fmt}:{sorted(columns) if columns else ''}".encode())
+    return h.hexdigest()
 
 
 def pages_dataset(path: str | list[str], *, extract: bool = False,

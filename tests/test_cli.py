@@ -130,3 +130,75 @@ def test_cli_query_error_exits_cleanly(cli_env, capsys):
     err = capsys.readouterr().err.strip().splitlines()[-1]
     msg = json.loads(err)
     assert msg["error"] == "QueryParseError" and "maxEdits" in msg["message"]
+
+
+def test_cli_build_from_jsonl_and_csv(cli_env, capsys):
+    """`build --format jsonl|csv`: raw corpora are converted to
+    resumable parquet shards (sources.ingest.ingest_to_parquet), and
+    the resulting index answers queries identically to a parquet
+    build of the same rows."""
+    cli, src, tmp = cli_env
+    jl = str(tmp / "docs.jsonl")
+    with open(jl, "w") as f:
+        for i, t in enumerate(TEXTS):
+            f.write(json.dumps({"doc_id": i, "text": t, "lang": "en"})
+                    + "\n")
+    cs = str(tmp / "docs.csv")
+    with open(cs, "w") as f:
+        f.write("doc_id,text,lang\n")
+        for i, t in enumerate(TEXTS):
+            f.write(f'{i},"{t}",en\n')
+
+    hits = {}
+    for fmt, path in (("parquet", src), ("jsonl", jl), ("csv", cs)):
+        idx = str(tmp / f"idx_{fmt}")
+        argv = ["build", "--input", path, "--out", idx,
+                "--id-col", "doc_id", "--meta", "lang",
+                "--analyzer", "simple", "--segments", "2"]
+        if fmt != "parquet":
+            argv += ["--format", fmt]
+        cli.main(argv)
+        assert _json_out(capsys)["num_docs"] == len(TEXTS)
+        cli.main(["search", "--index", idx, "--query", "fast join",
+                  "--k", "4"])
+        hits[fmt] = _json_out(capsys)["hits"]
+    assert hits["jsonl"] == hits["parquet"]
+    assert hits["csv"] == hits["parquet"]
+
+
+def test_ingest_to_parquet_resume(cli_env):
+    """A second ingest call with unchanged inputs is a no-op (lineage
+    marker hit); changing an input file re-converts its shard."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from icat_lucene_ray.sources.ingest import ingest_to_parquet
+
+    cli, src, tmp = cli_env
+    raw = tmp / "resume_raw"
+    raw.mkdir()
+    for si in range(2):
+        with open(raw / f"part{si}.jsonl", "w") as f:
+            for i, t in enumerate(TEXTS[si * 2:si * 2 + 2]):
+                f.write(json.dumps({"doc_id": si * 2 + i, "text": t})
+                        + "\n")
+    out = str(tmp / "resume_out")
+    dirs = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
+    assert len(dirs) == 2
+    mtimes = {d: os.path.getmtime(os.path.join(d, "_DONE.json"))
+              for d in dirs}
+    assert ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2) == dirs
+    for d in dirs:  # markers untouched -> shards were skipped
+        assert os.path.getmtime(os.path.join(d, "_DONE.json")) == mtimes[d]
+    # grow one input file: only that shard re-converts
+    with open(raw / "part1.jsonl", "a") as f:
+        f.write(json.dumps({"doc_id": 99, "text": "extra appended row"})
+                + "\n")
+    dirs2 = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
+    assert dirs2 == dirs
+    n_rows = sum(pq2.read_table(os.path.join(dirs2[1], f)).num_rows
+                 for f in os.listdir(dirs2[1]) if f.endswith(".parquet"))
+    assert n_rows == 3
+    assert os.path.getmtime(os.path.join(dirs2[0], "_DONE.json")) \
+        == mtimes[dirs2[0]]
