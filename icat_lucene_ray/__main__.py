@@ -197,7 +197,13 @@ def cmd_curate(args):
         near_dup_threshold=(None if args.no_near_dup
                             else args.near_dup_threshold),
     )
-    report = curate(args.input, args.out, bench=args.bench, cfg=cfg)
+    inp = args.input
+    if args.format != "parquet":
+        from icat_lucene_ray.sources.ingest import ingest_to_parquet
+
+        inp = ingest_to_parquet(inp, os.path.join(args.out, "_ingest"),
+                                fmt=args.format)
+    report = curate(inp, args.out, bench=args.bench, cfg=cfg)
     print(json.dumps(report))
 
 
@@ -275,7 +281,11 @@ def main(argv=None):
     cu = sub.add_parser(
         "curate", help="scrub + dedup + decontaminate a documents table "
                        "into partitioned parquet (stage-resumable)")
-    cu.add_argument("--input", required=True, help="parquet file or dir")
+    cu.add_argument("--input", required=True, help="corpus file or dir")
+    cu.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "csv"],
+                    help="input corpus format; jsonl/csv are converted "
+                         "to parquet shards under <out>/_ingest first")
     cu.add_argument("--out", required=True)
     cu.add_argument("--bench", default=None,
                     help="benchmark parquet (text col) for decontamination")

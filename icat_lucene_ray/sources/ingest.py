@@ -96,7 +96,9 @@ def ingest_to_parquet(
     independently-resumable output directories (lineage marker per
     shard, same contract as Phase A's ``checkpoint_shards``), so a
     failed 100-TB ingest re-does only unfinished shards. Returns the
-    parquet paths to pass to ``build_index``.
+    flat list of produced parquet FILE paths (directory lists are not
+    accepted by ``pyarrow.dataset``) — pass to ``build_index`` /
+    ``curate`` / ``ray.data.read_parquet`` as-is.
     """
     if fmt not in _INGEST_FMTS:
         raise ValueError(f"unknown ingest format {fmt!r} "
@@ -134,7 +136,8 @@ def ingest_to_parquet(
         with open(marker, "w") as f:
             json.dump({"lineage": lin, "files": len(shard_files)}, f)
         out_dirs.append(shard_dir)
-    return out_dirs
+    return [os.path.join(d, f) for d in out_dirs
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
 
 def _ingest_lineage(files: list[str], fmt: str,

@@ -184,21 +184,21 @@ def test_ingest_to_parquet_resume(cli_env):
                 f.write(json.dumps({"doc_id": si * 2 + i, "text": t})
                         + "\n")
     out = str(tmp / "resume_out")
-    dirs = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
+    files = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
+    dirs = sorted({os.path.dirname(f) for f in files})
     assert len(dirs) == 2
     mtimes = {d: os.path.getmtime(os.path.join(d, "_DONE.json"))
               for d in dirs}
-    assert ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2) == dirs
+    assert ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2) == files
     for d in dirs:  # markers untouched -> shards were skipped
         assert os.path.getmtime(os.path.join(d, "_DONE.json")) == mtimes[d]
     # grow one input file: only that shard re-converts
     with open(raw / "part1.jsonl", "a") as f:
         f.write(json.dumps({"doc_id": 99, "text": "extra appended row"})
                 + "\n")
-    dirs2 = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
-    assert dirs2 == dirs
-    n_rows = sum(pq2.read_table(os.path.join(dirs2[1], f)).num_rows
-                 for f in os.listdir(dirs2[1]) if f.endswith(".parquet"))
+    files2 = ingest_to_parquet(str(raw), out, fmt="jsonl", shards=2)
+    n_rows = sum(pq2.read_table(f).num_rows for f in files2
+                 if f.startswith(dirs[1]))
     assert n_rows == 3
-    assert os.path.getmtime(os.path.join(dirs2[0], "_DONE.json")) \
-        == mtimes[dirs2[0]]
+    assert os.path.getmtime(os.path.join(dirs[0], "_DONE.json")) \
+        == mtimes[dirs[0]]
