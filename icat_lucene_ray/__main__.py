@@ -215,9 +215,10 @@ def main(argv=None):
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "csv"],
-                   help="input corpus format; jsonl/csv are converted "
-                        "to parquet shards under <out>/_ingest first "
+                   choices=["parquet", "jsonl", "csv", "wet"],
+                   help="input corpus format; jsonl/csv/wet (Common "
+                        "Crawl WARC text extracts) are converted to "
+                        "parquet shards under <out>/_ingest first "
                         "(streaming, resumable)")
     b.add_argument("--text-col", default="text",
                    help="single text column, or comma-separated columns "
@@ -283,9 +284,10 @@ def main(argv=None):
                        "into partitioned parquet (stage-resumable)")
     cu.add_argument("--input", required=True, help="corpus file or dir")
     cu.add_argument("--format", default="parquet",
-                    choices=["parquet", "jsonl", "csv"],
-                    help="input corpus format; jsonl/csv are converted "
-                         "to parquet shards under <out>/_ingest first")
+                    choices=["parquet", "jsonl", "csv", "wet"],
+                    help="input corpus format; jsonl/csv/wet are "
+                         "converted to parquet shards under "
+                         "<out>/_ingest first")
     cu.add_argument("--out", required=True)
     cu.add_argument("--bench", default=None,
                     help="benchmark parquet (text col) for decontamination")

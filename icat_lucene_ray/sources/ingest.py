@@ -55,12 +55,13 @@ def docs_dataset_from_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     return ray.data.read_json(paths)
 
 
-_INGEST_FMTS = ("jsonl", "csv", "parquet")
+_INGEST_FMTS = ("jsonl", "csv", "wet", "parquet")
 
 
 def _ingest_files(path: str | list[str], fmt: str) -> list[str]:
     exts = {"jsonl": (".jsonl", ".json", ".ndjson"),
-            "csv": (".csv",), "parquet": (".parquet",)}[fmt]
+            "csv": (".csv",), "parquet": (".parquet",),
+            "wet": (".wet", ".wet.gz", ".warc.gz", ".warc")}[fmt]
     paths = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
     for p in paths:
@@ -128,8 +129,12 @@ def ingest_to_parquet(
 
             shutil.rmtree(shard_dir)
         os.makedirs(shard_dir, exist_ok=True)
-        ds = (ray.data.read_json(shard_files) if fmt == "jsonl"
-              else ray.data.read_csv(shard_files))
+        if fmt == "jsonl":
+            ds = ray.data.read_json(shard_files)
+        elif fmt == "csv":
+            ds = ray.data.read_csv(shard_files)
+        else:  # wet
+            ds = read_wet(shard_files)
         if columns:
             ds = ds.select_columns(columns)
         ds.write_parquet(shard_dir)
@@ -138,6 +143,88 @@ def ingest_to_parquet(
         out_dirs.append(shard_dir)
     return [os.path.join(d, f) for d in out_dirs
             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def parse_wet_bytes(raw: bytes) -> "pa.Table":
+    """Parse ONE WET/WARC file's bytes into the flagship pages schema
+    ``(url:string, warc_ts:timestamp[us], text:string)``. WET is the
+    Common Crawl text-extract distribution format (ISO 28500 WARC
+    records of type ``conversion``): ``WARC/1.x`` header block,
+    ``\\r\\n\\r\\n``, then exactly ``Content-Length`` bytes of payload
+    — so the scanner JUMPS by Content-Length and never searches
+    inside bodies (a body containing the literal ``WARC/1.0`` cannot
+    desync it). Gzip members are handled whether the file is one
+    stream or per-record members (both occur in the wild; stdlib
+    ``gzip.decompress`` concatenates members). Non-conversion records
+    (``warcinfo``, ``request``, ...) are skipped."""
+    import gzip
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    urls: list[str] = []
+    tss: list[str | None] = []
+    texts: list[str] = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        header = raw[pos:hdr_end]
+        if not header.startswith(b"WARC/"):
+            nxt = raw.find(b"\r\nWARC/", pos)  # resync on corrupt input
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
+        h: dict[bytes, bytes] = {}
+        for line in header.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            h[k.strip().lower()] = v.strip()
+        try:
+            clen = int(h.get(b"content-length", b"0"))
+        except ValueError:
+            clen = 0
+        body = raw[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        while raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if h.get(b"warc-type") != b"conversion":
+            continue
+        urls.append(h.get(b"warc-target-uri", b"").decode("utf-8",
+                                                          "replace"))
+        d = h.get(b"warc-date")
+        tss.append(d.decode("ascii", "replace") if d else None)
+        texts.append(body.decode("utf-8", "replace"))
+    try:
+        ts = pc.strptime(pa.array(tss, pa.string()),
+                         format="%Y-%m-%dT%H:%M:%SZ", unit="us")
+    except pa.ArrowInvalid:  # malformed dates: keep rows, null the ts
+        ts = pa.nulls(len(tss), pa.timestamp("us"))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "warc_ts": ts,
+                     "text": pa.array(texts, pa.string())})
+
+
+def _parse_wet_batch(batch: "pa.Table") -> "pa.Table":
+    import pyarrow as pa
+
+    parts = [parse_wet_bytes(b.as_py()) for b in batch["bytes"]]
+    return pa.concat_tables(parts) if parts else parse_wet_bytes(b"")
+
+
+def read_wet(paths: str | list[str]) -> ray.data.Dataset:
+    """Stream WET/WARC files into a ``(url, warc_ts, text)`` Dataset —
+    the exact flagship pages shape minus ``html``/``lang``. One parse
+    task per file (CC WET files are ~150 MB gz; ``batch_size=1`` keeps
+    a file's bytes in a single task's heap and parallelism = files)."""
+    files = _ingest_files(paths, "wet")
+    if not files:
+        raise FileNotFoundError(f"no WET/WARC files under {paths!r}")
+    return ray.data.read_binary_files(files).map_batches(
+        _parse_wet_batch, batch_format="pyarrow", batch_size=1)
 
 
 def _ingest_lineage(files: list[str], fmt: str,

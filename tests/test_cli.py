@@ -202,3 +202,71 @@ def test_ingest_to_parquet_resume(cli_env):
     assert n_rows == 3
     assert os.path.getmtime(os.path.join(dirs[0], "_DONE.json")) \
         == mtimes[dirs[0]]
+
+
+def _wet_bytes(records, warcinfo=True):
+    """Synthesize a WET file: optional warcinfo record then conversion
+    records (url, iso_date, text)."""
+    out = []
+    if warcinfo:
+        body = b"software: test\r\n"
+        out.append(b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                   b"Content-Length: %d\r\n\r\n%s\r\n\r\n"
+                   % (len(body), body))
+    for url, date, text in records:
+        body = text.encode("utf-8")
+        out.append(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+            b"Content-Length: %d\r\n\r\n%s\r\n\r\n"
+            % (url.encode(), date.encode(), len(body), body))
+    return b"".join(out)
+
+
+def test_parse_wet_bytes_roundtrip():
+    """WET parser: skips warcinfo, keeps conversion records, jumps by
+    Content-Length (a body containing 'WARC/1.0' cannot desync it),
+    parses ISO dates to timestamp[us], handles gzip."""
+    import gzip
+
+    from icat_lucene_ray.sources.ingest import parse_wet_bytes
+
+    recs = [
+        ("http://a.example/x", "2013-12-04T16:47:32Z",
+         "plain text body one"),
+        ("http://b.example/y", "2020-01-01T00:00:00Z",
+         "tricky body with\r\nWARC/1.0 inside it"),
+        ("http://c.example/z", "2021-06-15T12:30:45Z",
+         "unicode éè body"),
+    ]
+    t = parse_wet_bytes(_wet_bytes(recs))
+    assert t.column("url").to_pylist() == [r[0] for r in recs]
+    assert t.column("text").to_pylist() == [r[2] for r in recs]
+    assert str(t.schema.field("warc_ts").type) == "timestamp[us]"
+    assert t.column("warc_ts").to_pylist()[0].year == 2013
+    tz = parse_wet_bytes(gzip.compress(_wet_bytes(recs)))
+    assert tz.equals(t)
+    assert parse_wet_bytes(b"").num_rows == 0
+
+
+def test_cli_build_from_wet(cli_env, capsys):
+    """`build --format wet`: a synthetic Common-Crawl-style WET file
+    indexes end-to-end; doc keys derive from the record URLs."""
+    cli, src, tmp = cli_env
+    recs = [(f"http://ex.org/{i}", "2024-03-01T00:00:0%dZ" % i, t)
+            for i, t in enumerate(TEXTS)]
+    wet = str(tmp / "crawl.warc.wet.gz")
+    import gzip
+
+    with open(wet, "wb") as f:
+        f.write(gzip.compress(_wet_bytes(recs)))
+    idx = str(tmp / "idx_wet")
+    cli.main(["build", "--input", wet, "--format", "wet", "--out", idx,
+              "--key-col", "url", "--meta", "url",
+              "--analyzer", "simple", "--segments", "2"])
+    assert _json_out(capsys)["num_docs"] == len(TEXTS)
+    cli.main(["search", "--index", idx, "--query", "fast join",
+              "--k", "4", "--fields", "url"])
+    hits = _json_out(capsys)["hits"]
+    assert {h["url"] for h in hits} == {"http://ex.org/0",
+                                        "http://ex.org/3"}
