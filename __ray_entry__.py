@@ -119,6 +119,27 @@ def _ft_term_topk(sf_dir: str):
     return _hits(_idx(sf_dir).search(Term("data"), k=10))
 
 
+def _ft_highlight(sf_dir: str):
+    """Top-10 term hits with one highlighted token-window fragment each
+    (engine ``Index.highlight``; the raw text is fetched from the source
+    table by id — k point lookups, the index stores analyzed form only)."""
+    import os
+
+    from icat_lucene_ray.query import Term
+
+    t = _idx(sf_dir).highlight(
+        Term("data"), k=10, window=5,
+        source=os.path.join(sf_dir, "documents.parquet"))
+    return _round6(t, "score")
+
+
+def _ft_suggest_spell(sf_dir: str):
+    """Spell suggestions for a misspelled term from the term dictionary
+    (engine ``Index.suggest``): distance asc, doc-frequency desc, term
+    asc — DirectSpellChecker's comparator shape."""
+    return _idx(sf_dir).suggest("dta", k=5, max_edits=2)
+
+
 def _ft_and_topk(sf_dir: str):
     from icat_lucene_ray.query import And, Term
 
@@ -1387,6 +1408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "cluster_embeddings": _cluster_embeddings,
         "text_langid": _text_langid,
+        "ft_highlight": _ft_highlight,
+        "ft_suggest_spell": _ft_suggest_spell,
         # --- outside r04's window; green in CORRECTNESS_r03.json -------
         "dedup_embedding": _dedup_embedding,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1508,6 +1531,41 @@ def oracle_sql() -> dict[str, str]:
     agg_one = ("agg AS (SELECT doc_id, s FROM scored WHERE term = '{t}')")
     return {
         "ft_term_topk": _BM25_CTE + f", {agg_one.format(t='data')} {topk}",
+        "ft_highlight": _BM25_CTE + """
+            , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
+            , top AS (SELECT doc_id, round(s, 6) AS score FROM agg
+                      ORDER BY s DESC, doc_id LIMIT 10)
+            , tk AS (SELECT t.doc_id, t.score,
+                            string_split(d.text, ' ') AS a
+                     FROM top t JOIN documents d ON t.doc_id = d.doc_id)
+            , anc AS (SELECT doc_id, score, a, len(a) AS n,
+                             list_position(
+                               list_transform(a, x -> lower(x)),
+                               'data') AS p
+                      FROM tk)
+            SELECT doc_id, score,
+                   CASE WHEN p IS NULL OR p = 0 THEN '' ELSE
+                     array_to_string(list_transform(
+                       a[greatest(1, p - 5):least(n, p + 5)],
+                       x -> CASE WHEN lower(x) = 'data'
+                                 THEN '<em>' || x || '</em>'
+                                 ELSE x END), ' ')
+                   END AS snippet
+            FROM anc
+            """,
+        "ft_suggest_spell": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tok GROUP BY term
+            )
+            SELECT term, levenshtein(term, 'dta')::BIGINT AS dist, df
+            FROM df
+            WHERE levenshtein(term, 'dta') BETWEEN 1 AND 2
+            ORDER BY dist, df DESC, term LIMIT 5
+            """,
         "ft_and_topk": _BM25_CTE + """
             , agg AS (
               SELECT doc_id, sum(s) AS s FROM scored

@@ -95,6 +95,36 @@ def cmd_search(args):
     }, default=str))
 
 
+def cmd_highlight(args):
+    """Search + one highlighted fragment per hit (``Index.highlight``):
+    token-window snippet anchored on the first scoring term, every
+    matching token wrapped. ``--source`` names the original parquet
+    table when the doc store keeps only the analyzed form."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    t = idx.highlight(q, k=args.k, window=args.window,
+                      pre=args.pre, post=args.post,
+                      source=args.source or None,
+                      source_id_col=args.source_id_col)
+    print(json.dumps({"hits": t.to_pylist()}, default=str))
+
+
+def cmd_suggest(args):
+    """Spell suggestions from the term dictionary (``Index.suggest``):
+    distance asc, doc frequency desc, term asc."""
+    from icat_lucene_ray.query import Index
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index)
+    t = idx.suggest(args.term, k=args.k, max_edits=args.max_edits,
+                    field=args.field or None)
+    print(json.dumps({"suggestions": t.to_pylist()}, default=str))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -241,6 +271,32 @@ def main(argv=None):
     s.add_argument("--actors", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    hl = sub.add_parser("highlight",
+                        help="query + highlighted snippet per hit")
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--query", required=True)
+    hl.add_argument("--k", type=int, default=10)
+    hl.add_argument("--window", type=int, default=5)
+    hl.add_argument("--pre", default="<em>")
+    hl.add_argument("--post", default="</em>")
+    hl.add_argument("--source", default="",
+                    help="original parquet table for snippet text when "
+                         "the doc store keeps only the analyzed form")
+    hl.add_argument("--source-id-col", default="doc_id")
+    hl.add_argument("--actors", action="store_true")
+    hl.add_argument("--num-cpus", type=int, default=None)
+    hl.set_defaults(fn=cmd_highlight)
+
+    sg = sub.add_parser("suggest",
+                        help="spell suggestions from the term dictionary")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--k", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--field", default="")
+    sg.add_argument("--num-cpus", type=int, default=None)
+    sg.set_defaults(fn=cmd_suggest)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

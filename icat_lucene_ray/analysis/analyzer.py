@@ -97,6 +97,14 @@ class _BaseAnalyzer:
     def term_freqs(self, text: str) -> Counter:
         return Counter(self.tokens(text))
 
+    def raw_tokens(self, text: str) -> list[str]:
+        """Surface (pre-analysis) token stream, original case — the
+        display units for highlighting. ``candidate_expansion(raw)``
+        maps each one to its posting stems, so highlighters can test
+        membership against a query's stem set without re-deriving the
+        token boundary rules."""
+        return _TOKEN_RE.findall(text)
+
     def analyze_query_term(self, term: str) -> list[str]:
         """Analyze a single query-side term (used by the query compiler,
         mirroring the reference analyzing query text with the same
@@ -210,6 +218,9 @@ class SimpleAnalyzer(_BaseAnalyzer):
 
     def tokens(self, text: str) -> list[str]:
         return self._SIMPLE_RE.findall(text.lower())
+
+    def raw_tokens(self, text: str) -> list[str]:
+        return self._SIMPLE_RE.findall(text)
 
     def candidate_expansion(self, cand: str) -> tuple[tuple, tuple, int]:
         toks = self._SIMPLE_RE.findall(cand.lower())

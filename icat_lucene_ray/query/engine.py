@@ -1833,6 +1833,127 @@ class Index:
                     for i, f in enumerate(self._base_files)]
         return [(f, None) for f in self._base_files]
 
+    # ---------------- highlight / suggest ------------------------------
+    def _highlight_stems(self, q: Query, field: str | None) -> set[str]:
+        """Scoring stems of ``q`` targeting ``field`` (None = any text
+        field): Term and Phrase words, through boosts/booleans and the
+        positive side of NOT. Non-analyzed nodes (Filter/Range/Wildcard/
+        Regexp/Fuzzy) contribute nothing — matching Lucene's default
+        highlighter, which marks only the query's analyzed terms."""
+        out: set[str] = set()
+        if isinstance(q, (Term, Phrase)):
+            if field is None or q.field in (None, field):
+                texts = q.terms if isinstance(q, Phrase) else (q.text,)
+                for t in texts:
+                    out.update(self.analyzer.analyze_query_term(t))
+        elif isinstance(q, And):
+            for c in q.clauses:
+                out |= self._highlight_stems(c, field)
+        elif isinstance(q, Or):
+            for c in q.clauses:
+                out |= self._highlight_stems(c, field)
+        elif isinstance(q, Not):
+            out |= self._highlight_stems(q.positive, field)
+        elif isinstance(q, Boost):
+            out |= self._highlight_stems(q.required, field)
+            out |= self._highlight_stems(q.optional, field)
+        elif isinstance(q, Weight):
+            out |= self._highlight_stems(q.query, field)
+        return out
+
+    def highlight(self, q: Query, k: int = 10, *, window: int = 5,
+                  pre: str = "<em>", post: str = "</em>",
+                  text_col: str | None = None,
+                  source: str | None = None,
+                  source_id_col: str = "doc_id",
+                  **search_kwargs) -> pa.Table:
+        """Top-k search + one highlighted fragment per hit.
+
+        The fragment is token-based and deterministic (so an independent
+        SQL oracle can recompute it): surface tokens are the analyzer's
+        ``raw_tokens``; the anchor is the FIRST surface token whose
+        analyzed stems intersect the query's scoring stems; the fragment
+        is the ``window`` tokens either side of the anchor joined with
+        single spaces, every matching token in it wrapped ``pre``/``post``.
+        Hits whose stored text contains no scoring stem (pure-filter
+        matches) get an empty snippet. Driver-side cost is O(k) stored
+        docs — the search itself is the distributed part.
+
+        Text source: the doc store when ``text_col`` is stored there;
+        otherwise ``source`` names the original parquet table and the
+        top-k texts are fetched by id through a pruned predicate scan
+        (the index stores the analyzed form only — the raw corpus is
+        the engine's external stored-field store, so the fetch is k
+        point lookups, never a corpus scan). The reference has no
+        highlighter (it encodes stored fields only, ``encodeResult``
+        Lucene.java:854-903); this follows Lucene's UnifiedHighlighter
+        contract (analyzed-term marking) as the natural user surface a
+        search engine owes."""
+        if text_col is None:
+            text_col = ("text" if "text" in self._doc_ds.schema.names
+                        else (self.default_field or "text"))
+        if text_col in self._doc_ds.schema.names:
+            res = self.search(q, k, fields=[text_col], **search_kwargs)
+            texts = res.table[text_col].to_pylist()
+        else:
+            if source is None:
+                raise ValueError(
+                    f"text column {text_col!r} is not stored in the doc "
+                    "store; pass source=<path of the original table> to "
+                    "fetch snippets from it")
+            res = self.search(q, k, **search_kwargs)
+            ids = res.table["doc_id"].to_pylist()
+            t = pads.dataset(source).to_table(
+                columns=[source_id_col, text_col],
+                filter=pads.field(source_id_col).isin(ids))
+            by_id = dict(zip(t[source_id_col].to_pylist(),
+                             t[text_col].to_pylist()))
+            texts = [by_id.get(i, "") for i in ids]
+        stems = self._highlight_stems(self._rewrite_meta_fields(q), None)
+        an = self.analyzer
+        snippets: list[str] = []
+        for text in texts:
+            raws = an.raw_tokens(text or "")
+            hit = [bool(stems.intersection(an.candidate_expansion(r)[0]))
+                   for r in raws]
+            try:
+                i = hit.index(True)
+            except ValueError:
+                snippets.append("")
+                continue
+            lo, hi = max(0, i - window), min(len(raws), i + window + 1)
+            frag = [pre + r + post if hit[j] else r
+                    for j, r in enumerate(raws[lo:hi], start=lo)]
+            snippets.append(" ".join(frag))
+        return pa.table({
+            "doc_id": res.table["doc_id"],
+            "score": res.table["score"],
+            "snippet": pa.array(snippets, pa.string())})
+
+    def suggest(self, text: str, k: int = 5, *, max_edits: int = 2,
+                field: str | None = None) -> pa.Table:
+        """Spell suggestions: dictionary terms within ``max_edits`` PLAIN
+        Levenshtein distance of ``text`` (the fuzzy expansion set, M11
+        lowercasing), excluding an exact match, ranked by (distance asc,
+        doc frequency desc, term asc) — Lucene DirectSpellChecker's
+        default comparator shape. Returns (term, dist, df)."""
+        pref = self._field_prefix(field)
+        probe = (text if self.manifest.analyzer == "path_hierarchy"
+                 else text.lower())
+        rows = []
+        for t in self.expand_fuzzy(text, max_edits, field):
+            base = t[len(pref):] if pref else t
+            d = _levenshtein(probe, base)
+            if d == 0:
+                continue
+            rows.append((d, -self.term_df(t), base))
+        rows.sort()
+        rows = rows[:k]
+        return pa.table({
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "dist": pa.array([r[0] for r in rows], pa.int64()),
+            "df": pa.array([-r[1] for r in rows], pa.int64())})
+
     # ---------------- counting / facets --------------------------------
     def count(self, q: Query) -> int:
         if isinstance(q, MatchAll):
