@@ -140,6 +140,35 @@ def _ft_suggest_spell(sf_dir: str):
     return _idx(sf_dir).suggest("dta", k=5, max_edits=2)
 
 
+def _ft_more_like_this(sf_dir: str):
+    """Docs similar to doc 7 (engine ``Index.more_like_this``): its top
+    tf×idf terms (df >= 2, top 10, term-asc tiebreak) become a BM25 OR,
+    the source doc itself dropped from the hits."""
+    import os
+
+    r = _idx(sf_dir).more_like_this(
+        7, k=10, max_query_terms=10, min_doc_freq=2,
+        source=os.path.join(sf_dir, "documents.parquet"))
+    return _hits(r)
+
+
+def _ft_export_matches(sf_dir: str):
+    """Streaming export of ALL docs matching `data AND spark` as a Ray
+    Dataset (engine ``Index.matches_dataset``): one scan task per
+    doc-store file, match ids broadcast once, scores attached in-task."""
+    from icat_lucene_ray.query import And, Term
+
+    ds = _idx(sf_dir).matches_dataset(
+        And([Term("data"), Term("spark")]),
+        columns=["lang"], with_score=True)
+
+    def _r6(b):
+        b["score"] = b["score"].round(6)
+        return b
+
+    return ds.map_batches(_r6, batch_format="pandas")
+
+
 def _ft_and_topk(sf_dir: str):
     from icat_lucene_ray.query import And, Term
 
@@ -1410,6 +1439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text_langid,
         "ft_highlight": _ft_highlight,
         "ft_suggest_spell": _ft_suggest_spell,
+        "ft_more_like_this": _ft_more_like_this,
+        "ft_export_matches": _ft_export_matches,
         # --- outside r04's window; green in CORRECTNESS_r03.json -------
         "dedup_embedding": _dedup_embedding,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1552,6 +1583,31 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE x END), ' ')
                    END AS snippet
             FROM anc
+            """,
+        "ft_more_like_this": _BM25_CTE + """
+            , mlt AS (
+              SELECT tf.term,
+                     tf.tf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       AS w
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+              WHERE tf.doc_id = 7 AND df.df >= 2
+              ORDER BY w DESC, tf.term LIMIT 10
+            ), agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN (SELECT term FROM mlt) AND doc_id <> 7
+              GROUP BY doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score FROM agg
+            ORDER BY s DESC, doc_id LIMIT 10
+            """,
+        "ft_export_matches": _BM25_CTE + """
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('data', 'spark') GROUP BY doc_id
+              HAVING count(DISTINCT term) = 2
+            )
+            SELECT a.doc_id, d.lang, round(a.s, 6) AS score
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id
             """,
         "ft_suggest_spell": """
             WITH tok AS (

@@ -125,6 +125,47 @@ def cmd_suggest(args):
     print(json.dumps({"suggestions": t.to_pylist()}, default=str))
 
 
+def cmd_mlt(args):
+    """More-like-this verb (``Index.more_like_this``): the document's
+    top tf×idf terms become a BM25 disjunction, the source doc is
+    dropped from the hits."""
+    from icat_lucene_ray.query import Index
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    kw = dict(max_query_terms=args.max_query_terms,
+              min_term_freq=args.min_term_freq,
+              min_doc_freq=args.min_doc_freq,
+              source=args.source or None,
+              source_id_col=args.source_id_col)
+    terms = idx.mlt_terms(args.doc_id, **kw)
+    r = idx.more_like_this(args.doc_id, k=args.k, **kw)
+    print(json.dumps({"terms": terms, "hits": r.table.to_pylist()},
+                     default=str))
+
+
+def cmd_export(args):
+    """Export verb (``Index.matches_dataset``): ALL matching docs stream
+    to partitioned parquet — one scan task per doc-store file, pure
+    predicates pushed into the scan, index match-ids broadcast once."""
+    import pyarrow.parquet as pq
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    cols = [c for c in (args.columns or "").split(",") if c] or None
+    ds = idx.matches_dataset(q, columns=cols, with_score=args.with_score)
+    os.makedirs(args.out, exist_ok=True)
+    ds.write_parquet(args.out)
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(args.out)
+             for f in fs if f.endswith(".parquet")]
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    print(json.dumps({"rows": rows, "files": len(files),
+                      "out": args.out}))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -297,6 +338,33 @@ def main(argv=None):
     sg.add_argument("--field", default="")
     sg.add_argument("--num-cpus", type=int, default=None)
     sg.set_defaults(fn=cmd_suggest)
+
+    ml = sub.add_parser("mlt", help="more-like-this: docs similar to "
+                        "one document")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc-id", required=True, type=int)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-query-terms", type=int, default=10)
+    ml.add_argument("--min-term-freq", type=int, default=1)
+    ml.add_argument("--min-doc-freq", type=int, default=1)
+    ml.add_argument("--source", default="",
+                    help="original parquet table when the doc store "
+                         "keeps only the analyzed form")
+    ml.add_argument("--source-id-col", default="doc_id")
+    ml.add_argument("--actors", action="store_true")
+    ml.add_argument("--num-cpus", type=int, default=None)
+    ml.set_defaults(fn=cmd_mlt)
+
+    ex = sub.add_parser("export", help="stream ALL matching docs to "
+                        "partitioned parquet")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--columns", default="",
+                    help="comma-separated stored columns (default: all)")
+    ex.add_argument("--with-score", action="store_true")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.set_defaults(fn=cmd_export)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

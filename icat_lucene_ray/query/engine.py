@@ -1903,12 +1903,8 @@ class Index:
                     "fetch snippets from it")
             res = self.search(q, k, **search_kwargs)
             ids = res.table["doc_id"].to_pylist()
-            t = pads.dataset(source).to_table(
-                columns=[source_id_col, text_col],
-                filter=pads.field(source_id_col).isin(ids))
-            by_id = dict(zip(t[source_id_col].to_pylist(),
-                             t[text_col].to_pylist()))
-            texts = [by_id.get(i, "") for i in ids]
+            texts = self._texts_from_source(ids, text_col, source,
+                                            source_id_col)
         stems = self._highlight_stems(self._rewrite_meta_fields(q), None)
         an = self.analyzer
         snippets: list[str] = []
@@ -1953,6 +1949,233 @@ class Index:
             "term": pa.array([r[2] for r in rows], pa.string()),
             "dist": pa.array([r[0] for r in rows], pa.int64()),
             "df": pa.array([-r[1] for r in rows], pa.int64())})
+
+    # ---------------- more-like-this / export ---------------------------
+    def _resolve_text_col(self, text_col: str | None) -> str:
+        if text_col is not None:
+            return text_col
+        return ("text" if "text" in self._doc_ds.schema.names
+                else (self.default_field or "text"))
+
+    def _texts_from_source(self, ids: list, text_col: str, source: str,
+                           source_id_col: str) -> list[str]:
+        """Fetch raw texts by id from the EXTERNAL stored-field table (a
+        pruned predicate scan — len(ids) point lookups, never a corpus
+        scan)."""
+        t = pads.dataset(source).to_table(
+            columns=[source_id_col, text_col],
+            filter=pads.field(source_id_col).isin(ids))
+        by_id = dict(zip(t[source_id_col].to_pylist(),
+                         t[text_col].to_pylist()))
+        return [by_id.get(i, "") for i in ids]
+
+    def mlt_terms(self, doc_id, *, max_query_terms: int = 10,
+                  min_term_freq: int = 1, min_doc_freq: int = 1,
+                  field: str | None = None, text_col: str | None = None,
+                  source: str | None = None,
+                  source_id_col: str = "doc_id") -> list[str]:
+        """Representative terms of one document for more-like-this:
+        analyzed stems with tf >= ``min_term_freq`` and dictionary df >=
+        ``min_doc_freq``, ranked by tf × BM25-idf desc (term asc
+        tiebreak), top ``max_query_terms`` — Lucene MoreLikeThis's
+        interesting-term selection with its TF.IDF heuristic, made
+        deterministic so a SQL oracle can recompute the exact set."""
+        text_col = self._resolve_text_col(text_col)
+        if text_col in self._doc_ds.schema.names:
+            t = self._fetch_doc_rows(np.asarray([doc_id], np.int64),
+                                     [text_col])
+            text = t[text_col][0].as_py() if t.num_rows else ""
+        elif source is None:
+            raise ValueError(
+                f"text column {text_col!r} is not stored in the doc "
+                "store; pass source=<path of the original table> to "
+                "read the document text from it")
+        else:
+            text = self._texts_from_source([doc_id], text_col, source,
+                                           source_id_col)[0]
+        pref = self._field_prefix(field)
+        cands: list[tuple[float, str]] = []
+        for stem, tf in self.analyzer.term_freqs(text or "").items():
+            if tf < min_term_freq:
+                continue
+            df = self.term_df(pref + stem)
+            if df <= 0 or df < min_doc_freq:
+                continue
+            cands.append((-(tf * self.idf(df)), stem))
+        cands.sort()
+        return [s for _, s in cands[:max_query_terms]]
+
+    def more_like_this(self, doc_id, k: int = 10, *,
+                       max_query_terms: int = 10, min_term_freq: int = 1,
+                       min_doc_freq: int = 1, field: str | None = None,
+                       text_col: str | None = None,
+                       source: str | None = None,
+                       source_id_col: str = "doc_id",
+                       **search_kwargs) -> SearchResult:
+        """Find documents similar to ``doc_id``: its ``mlt_terms`` become
+        a BM25 disjunction (the MaxScore-pruned OR path) and the source
+        document itself is dropped from the hits. ``total_hits`` counts
+        the source document when it matches its own terms — Lucene
+        MoreLikeThis has the same property. The reference exposes no MLT
+        endpoint (Lucene.java wraps search/facet only); this follows
+        ``org.apache.lucene.queries.mlt.MoreLikeThis`` as the natural
+        companion surface."""
+        terms = self.mlt_terms(
+            doc_id, max_query_terms=max_query_terms,
+            min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+            field=field, text_col=text_col, source=source,
+            source_id_col=source_id_col)
+        if not terms:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64())})
+            return SearchResult(empty, 0, None)
+        pref = self._field_prefix(field)
+        q = Or([_Stem(pref + s) for s in terms])
+        res = self.search(q, k + 1, **search_kwargs)
+        t = res.table.filter(
+            pc.not_equal(res.table["doc_id"], pa.scalar(doc_id))).slice(0, k)
+        cursor = None
+        if t.num_rows:
+            cursor = {"score": float(t["score"][t.num_rows - 1].as_py()),
+                      "doc_id": int(t["doc_id"][t.num_rows - 1].as_py())}
+        return SearchResult(t, res.total_hits, cursor)
+
+    def _as_pushdown_expr(self, q: Query, cols: set[str]):
+        """Arrow dataset expression when ``q`` is a pure non-scoring
+        predicate over stored columns (Filter / RangeFilter /
+        And-of-those / MatchAll) — the export fast path that never
+        materializes a match set on the driver. Returns True (match
+        all), False (provably empty), an Expression (touched column
+        names accumulate into ``cols``), or None (needs the index)."""
+        if isinstance(q, MatchAll):
+            return True
+        if isinstance(q, Filter):
+            self._require_doc_field(q.field_name)
+            e = self._filter_expr(q)
+            if e is None:
+                return False
+            cols.add(q.field_name)
+            return e
+        if isinstance(q, RangeFilter):
+            self._require_doc_field(q.field_name)
+            e = self._range_expr(q)
+            if e is None:
+                return True
+            cols.add(q.field_name)
+            return e
+        if isinstance(q, And):
+            # And carries FILTER context in a separate tuple (the
+            # reference's BooleanClause.Occur.FILTER); both sides must
+            # be pure predicates
+            parts = [self._as_pushdown_expr(c, cols)
+                     for c in (*q.clauses, *q.filters)]
+            if any(p is None for p in parts):
+                return None
+            if any(p is False for p in parts):
+                return False
+            exprs = [p for p in parts if p is not True]
+            if not exprs:
+                return True
+            out = exprs[0]
+            for p in exprs[1:]:
+                out = out & p
+            return out
+        return None
+
+    def matches_dataset(self, q: Query, *,
+                        columns: list[str] | None = None,
+                        with_score: bool = False) -> "object":
+        """ALL matching live documents as a streaming
+        ``ray.data.Dataset`` — the bridge from index to pipeline (an
+        index-accelerated corpus selection feeding downstream
+        ``map_batches`` stages; ≈ Elasticsearch scroll, which Lucene
+        users reach for when top-k is not enough).
+
+        Execution: one Ray Data task per doc-store file. Pure predicate
+        queries (Filter / RangeFilter / And of those / MatchAll) never
+        touch the index or the driver — the expression is applied inside
+        each scan task. Scoring/text queries evaluate on the index first
+        and broadcast the sorted match-id array once (``ray.put``); each
+        task keeps only its rows via searchsorted membership, and
+        dense-id file ranges outside the match span are pruned before
+        any task is launched. Driver memory is O(matches) only on the
+        index path — selective by construction (a match-all export takes
+        the predicate path). Updated/deleted docs are masked per source
+        generation exactly like ``_doc_store_table``."""
+        import ray
+        import ray.data as rd
+
+        q = self._rewrite_meta_fields(q)
+        base_names = list(self._doc_ds.schema.names)
+        if self._implicit and "doc_id" not in base_names:
+            base_names = ["doc_id"] + base_names
+        if columns is None:
+            columns = [c for c in base_names if c != "doc_id"]
+        for c in columns:
+            if c not in base_names:
+                raise ValueError(
+                    f"column {c!r} is not stored in the doc store; "
+                    f"stored columns are {base_names}")
+        out_cols = list(dict.fromkeys(["doc_id"] + columns))
+
+        expr_cols: set[str] = set()
+        expr = self._as_pushdown_expr(q, expr_cols)
+        ids = scores = None
+        if expr is None:  # needs the index: match ids, broadcast once
+            ids, scores = self._eval(q)
+            if with_score and scores is None:
+                scores = np.ones(len(ids), np.float64)
+            expr = True
+        elif with_score:
+            scores = None  # constant 1.0 per match, attached in-task
+
+        # output schema (stable even when no task emits rows)
+        sch = self._doc_ds.schema
+        fields = []
+        for c in out_cols:
+            if c == "doc_id" and self._implicit:
+                fields.append(pa.field("doc_id", pa.int64()))
+            else:
+                fields.append(pa.field(c, sch.field(c).type))
+        if with_score:
+            fields.append(pa.field("score", pa.float64()))
+        out_schema = pa.schema(fields)
+
+        if expr is False or (ids is not None and len(ids) == 0):
+            return rd.from_arrow(out_schema.empty_table())
+
+        specs = []
+        lo = int(ids[0]) if ids is not None and len(ids) else None
+        hi = int(ids[-1]) if ids is not None and len(ids) else None
+        for i, (path, base) in enumerate(self._base_files_with_bases()):
+            if base is not None and ids is not None:
+                n = int(self._bases[i + 1] - self._bases[i])
+                if base + n <= lo or base > hi:
+                    continue  # dense range disjoint from the match span
+            specs.append({"path": path,
+                          "base": -1 if base is None else int(base),
+                          "gen": 0})
+        for gen, src in self._doc_sources[1:]:
+            for f in src.files:
+                specs.append({"path": f, "base": -1, "gen": int(gen)})
+        if not specs:
+            return rd.from_arrow(out_schema.empty_table())
+
+        tombs = {int(gen): self._tombstones_after(gen)
+                 for gen, _src in self._doc_sources}
+        fn_kwargs = {
+            "ids_ref": ray.put(ids) if ids is not None else None,
+            "sc_ref": ray.put(scores) if scores is not None else None,
+            "tomb_ref": ray.put(tombs),
+            "expr": expr if expr is not True else None,
+            "scan_cols": sorted(set(out_cols) | expr_cols),
+            "out_cols": out_cols,
+            "with_score": with_score,
+            "schema": out_schema,
+        }
+        return rd.from_items(specs, override_num_blocks=len(specs)) \
+            .map_batches(_export_scan_batch, batch_size=None,
+                         batch_format="pandas", fn_kwargs=fn_kwargs)
 
     # ---------------- counting / facets --------------------------------
     def count(self, q: Query) -> int:
@@ -2248,6 +2471,65 @@ def _scan_filter_local(files, scan_cols, out_cols, expr) -> pa.Table | None:
         if t.num_rows:
             parts.append(t.select(out_cols))
     return pa.concat_tables(parts) if parts else None
+
+
+def _sorted_member_mask(haystack: np.ndarray, needles: np.ndarray
+                        ) -> np.ndarray:
+    """membership of ``needles`` in SORTED ``haystack`` via searchsorted
+    (no hash build per task)."""
+    if len(haystack) == 0:
+        return np.zeros(len(needles), dtype=bool)
+    pos = np.minimum(np.searchsorted(haystack, needles), len(haystack) - 1)
+    return haystack[pos] == needles
+
+
+def _export_scan_batch(batch, *, ids_ref, sc_ref, tomb_ref, expr,
+                       scan_cols, out_cols, with_score, schema):
+    """One ``matches_dataset`` scan task: read its doc-store files, keep
+    live matching rows, attach scores. Broadcast state (match ids,
+    scores, per-generation tombstones) arrives as object refs — fetched
+    zero-copy from the local object store, never re-shipped per batch."""
+    import ray
+    import pyarrow.parquet as pq_
+
+    ids = ray.get(ids_ref) if ids_ref is not None else None
+    scores = ray.get(sc_ref) if sc_ref is not None else None
+    tombs = ray.get(tomb_ref) if tomb_ref is not None else {}
+    parts = []
+    for path, base, gen in zip(batch["path"], batch["base"], batch["gen"]):
+        base, gen = int(base), int(gen)
+        cols = [c for c in scan_cols if c != "doc_id"] if base >= 0 \
+            else list(scan_cols)
+        t = pq_.read_table(path, columns=cols)
+        if base >= 0:  # dense ids: base + row position
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(base, base + t.num_rows), pa.int64()))
+        rid = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        keep = np.ones(len(rid), dtype=bool)
+        if ids is not None:
+            keep &= _sorted_member_mask(ids, rid)
+        ta = tombs.get(gen)
+        if ta is not None and len(ta):
+            keep &= ~_sorted_member_mask(ta, rid)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        if expr is not None and t.num_rows:
+            t = pads.dataset(t).to_table(filter=expr)
+        if not t.num_rows:
+            continue
+        t = t.select(out_cols)
+        if with_score:
+            if scores is None:
+                sc = np.ones(t.num_rows, np.float64)
+            else:
+                rid2 = t["doc_id"].to_numpy(zero_copy_only=False)
+                sc = scores[np.searchsorted(ids, rid2)]
+            t = t.append_column("score", pa.array(sc, pa.float64()))
+        parts.append(t.cast(schema))
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts)
 
 
 def _make_fragment_task():
