@@ -143,12 +143,11 @@ def _ft_suggest_spell(sf_dir: str):
 def _ft_more_like_this(sf_dir: str):
     """Docs similar to doc 7 (engine ``Index.more_like_this``): its top
     tf×idf terms (df >= 2, top 10, term-asc tiebreak) become a BM25 OR,
-    the source doc itself dropped from the hits."""
-    import os
-
-    r = _idx(sf_dir).more_like_this(
-        7, k=10, max_query_terms=10, min_doc_freq=2,
-        source=os.path.join(sf_dir, "documents.parquet"))
+    the source doc itself dropped from the hits. No raw text touched —
+    the profile comes from the doc store's stored (terms, tfs) stream
+    (Lucene term vectors)."""
+    r = _idx(sf_dir).more_like_this(7, k=10, max_query_terms=10,
+                                    min_doc_freq=2)
     return _hits(r)
 
 

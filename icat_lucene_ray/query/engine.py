@@ -1969,6 +1969,21 @@ class Index:
                          t[text_col].to_pylist()))
         return [by_id.get(i, "") for i in ids]
 
+    def _stored_term_freqs(self, doc_id) -> dict[str, int] | None:
+        """Per-doc analyzed term frequencies straight from the doc
+        store's (terms, tfs) columns — term vectors without re-analysis
+        or raw text. None when the store doesn't keep the analyzed form
+        (or the index is multi-field, where the stored stream mixes
+        fields)."""
+        names = self._doc_ds.schema.names
+        if self._multi or "terms" not in names or "tfs" not in names:
+            return None
+        t = self._fetch_doc_rows(np.asarray([doc_id], np.int64),
+                                 ["terms", "tfs"])
+        if not t.num_rows:
+            return {}
+        return dict(zip(t["terms"][0].as_py(), t["tfs"][0].as_py()))
+
     def mlt_terms(self, doc_id, *, max_query_terms: int = 10,
                   min_term_freq: int = 1, min_doc_freq: int = 1,
                   field: str | None = None, text_col: str | None = None,
@@ -1979,23 +1994,32 @@ class Index:
         ``min_doc_freq``, ranked by tf × BM25-idf desc (term asc
         tiebreak), top ``max_query_terms`` — Lucene MoreLikeThis's
         interesting-term selection with its TF.IDF heuristic, made
-        deterministic so a SQL oracle can recompute the exact set."""
-        text_col = self._resolve_text_col(text_col)
-        if text_col in self._doc_ds.schema.names:
-            t = self._fetch_doc_rows(np.asarray([doc_id], np.int64),
-                                     [text_col])
-            text = t[text_col][0].as_py() if t.num_rows else ""
-        elif source is None:
-            raise ValueError(
-                f"text column {text_col!r} is not stored in the doc "
-                "store; pass source=<path of the original table> to "
-                "read the document text from it")
-        else:
-            text = self._texts_from_source([doc_id], text_col, source,
-                                           source_id_col)[0]
+        deterministic so a SQL oracle can recompute the exact set.
+
+        Term source: the doc store's stored (terms, tfs) stream when
+        present (Lucene term vectors — no raw text needed); otherwise
+        the document text is re-analyzed, fetched from the doc store or
+        from ``source``."""
+        freqs = self._stored_term_freqs(doc_id)
+        if freqs is None:
+            text_col = self._resolve_text_col(text_col)
+            if text_col in self._doc_ds.schema.names:
+                t = self._fetch_doc_rows(np.asarray([doc_id], np.int64),
+                                         [text_col])
+                text = t[text_col][0].as_py() if t.num_rows else ""
+            elif source is None:
+                raise ValueError(
+                    f"neither analyzed (terms, tfs) nor text column "
+                    f"{text_col!r} is stored in the doc store; pass "
+                    "source=<path of the original table> to read the "
+                    "document text from it")
+            else:
+                text = self._texts_from_source([doc_id], text_col, source,
+                                               source_id_col)[0]
+            freqs = self.analyzer.term_freqs(text or "")
         pref = self._field_prefix(field)
         cands: list[tuple[float, str]] = []
-        for stem, tf in self.analyzer.term_freqs(text or "").items():
+        for stem, tf in freqs.items():
             if tf < min_term_freq:
                 continue
             df = self.term_df(pref + stem)

@@ -79,6 +79,15 @@ def test_mlt_max_query_terms_caps_profile(mx_setup):
     assert len(idx.mlt_terms(0, max_query_terms=1, source=src)) == 1
 
 
+def test_mlt_stored_term_vectors_match_text_reanalysis(mx_setup,
+                                                       monkeypatch):
+    idx, src = mx_setup
+    stored = idx.mlt_terms(0)  # (terms, tfs) path — no source needed
+    monkeypatch.setattr(type(idx), "_stored_term_freqs",
+                        lambda self, d: None)
+    assert idx.mlt_terms(0, source=src) == stored
+
+
 def test_export_term_query_matches_search_ids(mx_setup):
     idx, _src = mx_setup
     ds = idx.matches_dataset(Term("gamma"), columns=["lang"],
