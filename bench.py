@@ -274,6 +274,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     brute_force_topk(emb, qv, k=10)
     queries["q_ann"] = round(time.perf_counter() - t0, 3)
 
+    # ---- export / mlt (extras only: new surfaces measured without
+    # changing the round-comparable headline sum) ----------------------
+    from icat_lucene_ray.query import Filter
+
+    t0 = time.perf_counter()
+    for d in range(20):
+        idx.more_like_this(d * 1000, k=10, min_doc_freq=2)
+    extras["mlt_p50_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
+    exp_dir = "/tmp/ilr_bench/export_term"
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    idx.matches_dataset(Term(mid[0]), columns=["lang"],
+                        with_score=True).write_parquet(exp_dir)
+    extras["export_term_sec"] = round(time.perf_counter() - t0, 3)
+    exp_dir = "/tmp/ilr_bench/export_filter"
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    idx.matches_dataset(Filter("lang", "en"),
+                        columns=["url", "lang"]).write_parquet(exp_dir)
+    dt = time.perf_counter() - t0
+    n_exp = sum(
+        pq.ParquetFile(os.path.join(exp_dir, f)).metadata.num_rows
+        for f in os.listdir(exp_dir) if f.endswith(".parquet"))
+    extras["export_filter_sec"] = round(dt, 3)
+    extras["export_filter_rows_per_sec"] = round(n_exp / dt, 1)
+
     # ---- compute-path scaling probe ----------------------------------
     probe = _compute_probe(pages, num_cpus)
     extras.update(probe)

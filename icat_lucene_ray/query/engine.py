@@ -442,6 +442,49 @@ class Index:
             self._df_cache[stem] = df
         return df
 
+    def _df_lookup(self, stems: list[str]) -> np.ndarray:
+        """Vectorized ``term_df`` for many stems at once: one cached
+        (sorted terms, summed dfs) pair from the termstats sidecar
+        (salted head terms carry PARTIAL per-bucket dfs — summing
+        matches ``term_df`` exactly, verified against it in pytest) +
+        a searchsorted probe. Falls back to per-stem ``term_df`` when
+        deltas exist (the sidecar is base-generation only) or the
+        vocabulary exceeds ``cfg.term_dict_cache_max`` (web-scale
+        vocabularies must not be driver-materialized). Hits populate
+        ``_df_cache`` so the follow-up search's per-stem calls are
+        warm."""
+        if not stems:
+            return np.empty(0, np.int64)
+        if len(self._gen_readers) > 1:
+            return np.array([self.term_df(s) for s in stems], np.int64)
+        cache = getattr(self, "_df_arrays", "unset")
+        if cache == "unset":
+            cache = None
+            try:
+                ds = pads.dataset(self.manifest.termstats_dir())
+                if ds.count_rows() <= self.cfg.term_dict_cache_max:
+                    t = ds.to_table(columns=["term", "df"])
+                    df = t.group_by("term").aggregate([("df", "sum")])
+                    terms = np.asarray(df["term"].to_pylist(), dtype=object)
+                    sums = df["df_sum"].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    order = np.argsort(terms, kind="stable")
+                    cache = (terms[order], sums[order])
+            except (OSError, pa.ArrowInvalid, KeyError):
+                pass
+            self._df_arrays = cache
+        if cache is None:
+            return np.array([self.term_df(s) for s in stems], np.int64)
+        terms, sums = cache
+        arr = np.asarray(stems, dtype=object)
+        pos = np.minimum(np.searchsorted(terms, arr),
+                         max(len(terms) - 1, 0))
+        hit = terms[pos] == arr if len(terms) else np.zeros(len(arr), bool)
+        out = np.where(hit, sums[pos], 0).astype(np.int64)
+        for s, d in zip(stems, out):
+            self._df_cache.setdefault(s, int(d))
+        return out
+
     # ---------------- scoring primitives -----------------------------
     def _score_stem(self, stem: str, doc_range=None):
         """(docs, scores) for one already-analyzed stem across slices.
@@ -2018,14 +2061,13 @@ class Index:
                                                source_id_col)[0]
             freqs = self.analyzer.term_freqs(text or "")
         pref = self._field_prefix(field)
+        stems = [s for s, tf in freqs.items() if tf >= min_term_freq]
+        dfs = self._df_lookup([pref + s for s in stems])
         cands: list[tuple[float, str]] = []
-        for stem, tf in freqs.items():
-            if tf < min_term_freq:
-                continue
-            df = self.term_df(pref + stem)
+        for stem, df in zip(stems, dfs):
             if df <= 0 or df < min_doc_freq:
                 continue
-            cands.append((-(tf * self.idf(df)), stem))
+            cands.append((-(freqs[stem] * self.idf(int(df))), stem))
         cands.sort()
         return [s for _, s in cands[:max_query_terms]]
 
@@ -2055,6 +2097,10 @@ class Index:
             return SearchResult(empty, 0, None)
         pref = self._field_prefix(field)
         q = Or([_Stem(pref + s) for s in terms])
+        # MLT totals are uninteresting (Lucene MLT makes no total
+        # promise either), so default to the MaxScore-pruned OR path —
+        # identical top-k, total_hits becomes a lower bound
+        search_kwargs.setdefault("exact_total", False)
         res = self.search(q, k + 1, **search_kwargs)
         t = res.table.filter(
             pc.not_equal(res.table["doc_id"], pa.scalar(doc_id))).slice(0, k)

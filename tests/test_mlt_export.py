@@ -88,6 +88,14 @@ def test_mlt_stored_term_vectors_match_text_reanalysis(mx_setup,
     assert idx.mlt_terms(0, source=src) == stored
 
 
+def test_df_lookup_matches_term_df(mx_setup):
+    idx, _src = mx_setup
+    stems = ["alpha", "beta", "gamma", "delta", "epsilon", "absent"]
+    got = idx._df_lookup(stems)
+    assert got.tolist() == [idx.term_df(s) for s in stems]
+    assert got[-1] == 0
+
+
 def test_export_term_query_matches_search_ids(mx_setup):
     idx, _src = mx_setup
     ds = idx.matches_dataset(Term("gamma"), columns=["lang"],
