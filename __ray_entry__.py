@@ -119,6 +119,36 @@ def _ft_term_topk(sf_dir: str):
     return _hits(_idx(sf_dir).search(Term("data"), k=10))
 
 
+def _ft_min_should_match(sf_dir: str):
+    """BooleanQuery.setMinimumNumberShouldMatch analog: SHOULD OR of
+    three terms, docs qualifying only with >= 2 distinct clause hits
+    (``Or(min_should=2)``); score stays the OR sum."""
+    from icat_lucene_ray.query import Or, Term
+
+    return _hits(_idx(sf_dir).search(
+        Or([Term("data"), Term("spark"), Term("web")], min_should=2),
+        k=10))
+
+
+def _ft_dismax(sf_dir: str):
+    """DisjunctionMaxQuery analog: score = max(clause scores) +
+    tie * (sum of other matching clause scores)."""
+    from icat_lucene_ray.query import DisMax, Term
+
+    return _hits(_idx(sf_dir).search(
+        DisMax([Term("data"), Term("spark")], tie=0.3), k=10))
+
+
+def _ft_collapse_lang(sf_dir: str):
+    """Field collapsing (Lucene grouping module /
+    CollapsingTopDocsCollector): best-scoring hit per distinct ``lang``,
+    then relevance top-k over the per-key champions."""
+    from icat_lucene_ray.query import Term
+
+    r = _idx(sf_dir).search(Term("data"), k=5, collapse="lang")
+    return _round6(r.table, "score")
+
+
 def _ft_highlight(sf_dir: str):
     """Top-10 term hits with one highlighted token-window fragment each
     (engine ``Index.highlight``; the raw text is fetched from the source
@@ -1429,6 +1459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the rest of the window.
     return {
         # --- new in round 5 --------------------------------------------
+        "ft_min_should_match": _ft_min_should_match,
+        "ft_dismax": _ft_dismax,
+        "ft_collapse_lang": _ft_collapse_lang,
         "ft_regexp_topk": _ft_regexp_topk,
         "ft_meta_regexp": _ft_meta_regexp,
         # --- never driver-confirmed (oracles added/verified in r04) ----
@@ -1561,6 +1594,28 @@ def oracle_sql() -> dict[str, str]:
     agg_one = ("agg AS (SELECT doc_id, s FROM scored WHERE term = '{t}')")
     return {
         "ft_term_topk": _BM25_CTE + f", {agg_one.format(t='data')} {topk}",
+        "ft_min_should_match": _BM25_CTE + f"""
+            , agg AS (
+              SELECT doc_id, sum(s) AS s FROM scored
+              WHERE term IN ('data', 'spark', 'web') GROUP BY doc_id
+              HAVING count(DISTINCT term) >= 2
+            ) {topk}""",
+        "ft_dismax": _BM25_CTE + f"""
+            , agg AS (
+              SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s
+              FROM scored WHERE term IN ('data', 'spark')
+              GROUP BY doc_id
+            ) {topk}""",
+        "ft_collapse_lang": _BM25_CTE + """
+            , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
+            , keyed AS (
+              SELECT a.doc_id, a.s, d.lang,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY a.s DESC, a.doc_id) AS rn
+              FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score, lang FROM keyed
+            WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 5""",
         "ft_highlight": _BM25_CTE + """
             , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
             , top AS (SELECT doc_id, round(s, 6) AS score FROM agg

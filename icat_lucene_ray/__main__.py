@@ -87,7 +87,9 @@ def cmd_search(args):
     idx = Index(args.index, use_actors=args.actors)
     q = parse_query(args.query,
                     default_fields=(idx.text_fields or None))
-    r = idx.search(q, k=args.k, fields=args.fields.split(",") if args.fields else None)
+    r = idx.search(q, k=args.k,
+                   fields=args.fields.split(",") if args.fields else None,
+                   collapse=args.collapse or None)
     print(json.dumps({
         "total_hits": r.total_hits,
         "hits": r.table.to_pylist(),
@@ -309,6 +311,9 @@ def main(argv=None):
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--fields", default="")
+    s.add_argument("--collapse", default="",
+                   help="doc-store column: keep only the best hit per "
+                        "distinct value (field collapsing)")
     s.add_argument("--actors", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)

@@ -105,10 +105,40 @@ class And(Query):
 
 @dataclass(frozen=True)
 class Or(Query):
-    clauses: tuple
+    """SHOULD disjunction; score = sum of matching clause scores.
 
-    def __init__(self, clauses):
+    ``min_should`` is Lucene's
+    ``BooleanQuery.Builder.setMinimumNumberShouldMatch``: a document
+    qualifies only when at least that many SHOULD clauses match it
+    (each clause counts at most once per doc). 1 is plain OR."""
+    clauses: tuple
+    min_should: int = 1
+
+    def __init__(self, clauses, min_should=1):
         object.__setattr__(self, "clauses", tuple(clauses))
+        m = int(min_should)
+        if m < 1:
+            raise ValueError("min_should must be >= 1")
+        object.__setattr__(self, "min_should", m)
+
+
+@dataclass(frozen=True)
+class DisMax(Query):
+    """Lucene ``DisjunctionMaxQuery``: a doc matching any clause scores
+    ``max(clause scores) + tie * (sum of the other matching clause
+    scores)``. The classic "best field wins" combiner for multi-field
+    search — unlike :class:`Or`, matching many clauses weakly does not
+    outrank matching one strongly. Non-scoring clauses (Filter/Range)
+    contribute constant 1.0, mirroring the engine's Or semantics."""
+    clauses: tuple
+    tie: float = 0.0
+
+    def __init__(self, clauses, tie=0.0):
+        object.__setattr__(self, "clauses", tuple(clauses))
+        t = float(tie)
+        if not 0.0 <= t <= 1.0:
+            raise ValueError("tie must be in [0, 1]")
+        object.__setattr__(self, "tie", t)
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,7 @@ from icat_lucene_ray.config import EngineConfig
 from icat_lucene_ray.index.docids import term_shard
 from icat_lucene_ray.index.manifest import IndexManifest
 from icat_lucene_ray.query.ast import (
-    And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
+    And, Boost, DisMax, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
     RangeFilter, Regexp, Term, Weight, Wildcard,
 )
 from icat_lucene_ray.query.segment import SegmentGroupReader
@@ -1043,7 +1043,11 @@ class Index:
             filters = [self._rewrite_meta_fields(f) for f in q.filters]
             return And(scored, filters=tuple(filters) + tuple(extra))
         if isinstance(q, Or):
-            return Or([self._rewrite_meta_fields(c) for c in q.clauses])
+            return Or([self._rewrite_meta_fields(c) for c in q.clauses],
+                      min_should=q.min_should)
+        if isinstance(q, DisMax):
+            return DisMax([self._rewrite_meta_fields(c) for c in q.clauses],
+                          tie=q.tie)
         if isinstance(q, Not):
             return Not(self._rewrite_meta_fields(q.positive),
                        self._rewrite_meta_fields(q.negative))
@@ -1170,7 +1174,30 @@ class Index:
         if isinstance(q, Or):
             parts = [self._eval(c, deadline, doc_range) for c in q.clauses]
             scored = [(d, s if s is not None else np.ones(len(d))) for d, s in parts]
-            return _union_sum(scored)
+            if q.min_should <= 1:
+                return _union_sum(scored)
+            # minimumNumberShouldMatch: each clause's doc set is unique,
+            # so per-doc clause count == per-doc occurrence count in the
+            # concatenation; keep docs matching >= m clauses
+            docs, scores = _union_sum(scored)
+            if not len(docs):
+                return _EMPTY
+            alld = np.concatenate([d for d, _ in scored])
+            counts = np.zeros(len(docs), np.int64)
+            np.add.at(counts, np.searchsorted(docs, alld), 1)
+            keep = counts >= q.min_should
+            return docs[keep], scores[keep]
+        if isinstance(q, DisMax):
+            parts = [self._eval(c, deadline, doc_range) for c in q.clauses]
+            scored = [(d, s if s is not None else np.ones(len(d)))
+                      for d, s in parts if len(d)]
+            if not scored:
+                return _EMPTY
+            docs, ssum = _union_sum(scored)
+            smax = np.full(len(docs), -np.inf)
+            for d, s in scored:
+                np.maximum.at(smax, np.searchsorted(docs, d), s)
+            return docs, smax + q.tie * (ssum - smax)
         if isinstance(q, Boost):
             # MUST + SHOULD: required constrains, optional only scores.
             # The optional side evaluates restricted to the required doc
@@ -1479,6 +1506,7 @@ class Index:
         timeout: float | None = None,
         exact_total: bool = True,
         populate_scores: bool = False,
+        collapse: str | None = None,
     ) -> SearchResult:
         """Top-k search. Relevance order (score desc, doc_id asc) by
         default; ``sort`` gives field-sorted top-k with doc_id tiebreak
@@ -1490,6 +1518,12 @@ class Index:
         Lucene's TotalHits.Relation.GREATER_THAN_OR_EQUAL under WAND)."""
         deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
         q = self._rewrite_meta_fields(q)
+        if collapse is not None:
+            if sort:
+                raise ValueError("collapse does not combine with field "
+                                 "sort (relevance order only)")
+            return self._search_collapsed(q, k, collapse, fields,
+                                          search_after, deadline)
         if sort:
             return self._search_field_sorted(
                 q, k, sort, fields, search_after, deadline,
@@ -1651,6 +1685,10 @@ class Index:
         if isinstance(q, Term):
             return self._term_stems(q)
         if isinstance(q, Or):
+            if q.min_should > 1:
+                # minShouldMatch changes which docs qualify — the
+                # MaxScore sum-of-terms bound no longer applies
+                return None
             out: list[str] = []
             for c in q.clauses:
                 sub = self._or_stems(c)
@@ -1868,6 +1906,103 @@ class Index:
             cursor = {"values": vals, "doc_id": int(top_ids[-1])}
         return SearchResult(tbl, total, cursor)
 
+    def _search_collapsed(self, q, k, field, fields, after,
+                          deadline) -> SearchResult:
+        """Field-collapsed relevance top-k — Lucene grouping module
+        semantics (``CollapsingTopDocsCollector`` / Elasticsearch
+        ``collapse``): at most ONE hit per distinct value of a doc-store
+        column (the best-scoring doc, doc_id-asc tiebreak), then
+        relevance top-k over the per-key champions. ``total_hits``
+        counts PRE-collapse matches (ES semantics). Distributed like
+        the field-sorted path: one Ray task per base-fragment group
+        returns ≤ (distinct keys in its fragments) rows — the full
+        collapse-key column never lands on the driver. Docs with a NULL
+        collapse key are excluded (documented divergence: Lucene groups
+        them under a null bucket)."""
+        import ray
+
+        self._require_doc_field(field)
+
+        def _empty(total: int) -> SearchResult:
+            key_t = self._doc_ds.schema.field(field).type
+            tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "score": pa.array([], pa.float64()),
+                            field: pa.array([], key_t)})
+            if fields:
+                tbl = self._attach_fields(
+                    tbl, [f for f in fields if f != field])
+            return SearchResult(tbl, total, None)
+
+        if isinstance(q, MatchAll):
+            cand = cand_scores = None  # every live doc at score 1.0
+            total = self.live_count()
+        else:
+            docs, scores = self._eval(q, deadline)
+            if scores is None:
+                scores = np.ones(len(docs))
+            cand, cand_scores = docs, scores
+            total = len(docs)
+            if total == 0:
+                return _empty(0)
+
+        tomb = self._tombstones_after(0)
+        parts = []
+        use_tasks = ray.is_initialized() and len(self._base_files) > 1
+        if use_tasks:
+            cand_ref = ray.put(cand)
+            sc_ref = ray.put(cand_scores)
+            tomb_ref = ray.put(tomb if len(tomb) else None)
+            files = self._base_files_with_bases()
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            ngroups = min(len(files), ncpu * 2)
+            groups = [files[i::ngroups] for i in range(ngroups)]
+            futs = [_fragment_collapse_best.remote(
+                g, field, cand_ref, sc_ref, tomb_ref) for g in groups]
+            for got in ray.get(futs):
+                if got is not None:
+                    parts.append(got)
+        else:
+            for path, base in self._base_files_with_bases():
+                got = _fragment_collapse_local(
+                    [(path, base)], field, cand, cand_scores,
+                    tomb if len(tomb) else None)
+                if got is not None:
+                    parts.append(got)
+        # delta generations: small, scanned inline
+        for gen, src in self._doc_sources[1:]:
+            t = src.to_table(columns=list(dict.fromkeys(["doc_id", field])))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            if keep is not None:
+                t = t.filter(pa.array(keep))
+            got = _table_collapse_best(t, field, cand, cand_scores)
+            if got is not None:
+                parts.append(got)
+
+        if not parts:
+            return _empty(total)
+        keys = np.concatenate([p[0] for p in parts])
+        ids = np.concatenate([p[1] for p in parts])
+        sc = np.concatenate([p[2] for p in parts])
+        keys, ids, sc = _best_per_key(keys, ids, sc)
+        if after is not None:
+            s_a, d_a = float(after["score"]), int(after["doc_id"])
+            m = (sc < s_a) | ((sc == s_a) & (ids > d_a))
+            keys, ids, sc = keys[m], ids[m], sc[m]
+        order = np.lexsort((ids, -sc))[:k]
+        key_t = self._doc_ds.schema.field(field).type
+        tbl = pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                        "score": pa.array(sc[order], pa.float64()),
+                        field: pa.array(list(keys[order]), key_t)})
+        if fields:
+            tbl = self._attach_fields(tbl, [f for f in fields
+                                            if f != field])
+        cursor = None
+        if len(order):
+            cursor = {"score": float(sc[order][-1]),
+                      "doc_id": int(ids[order][-1])}
+        return SearchResult(tbl, total, cursor)
+
     def _base_files_with_bases(self) -> list[tuple[str, int | None]]:
         """Base doc-store files; dense-id mode pairs each with its id
         base (doc_id = base + row), explicit mode pairs with None."""
@@ -1892,7 +2027,7 @@ class Index:
         elif isinstance(q, And):
             for c in q.clauses:
                 out |= self._highlight_stems(c, field)
-        elif isinstance(q, Or):
+        elif isinstance(q, (Or, DisMax)):
             for c in q.clauses:
                 out |= self._highlight_stems(c, field)
         elif isinstance(q, Not):
@@ -2517,6 +2652,79 @@ def _fragment_topk_local(files, sort, k, cand, after, tomb):
     return ids[order], [a[order] for a in keys]
 
 
+def _best_per_key(keys, ids, scores):
+    """Champion row per collapse key: best score, doc_id-asc tiebreak.
+    Vectorized — lexsort puts each key's best occurrence first, then
+    ``np.unique(return_index=True)`` picks it."""
+    order = np.lexsort((ids, -scores))
+    _, first = np.unique(keys[order], return_index=True)
+    sel = order[first]
+    return keys[sel], ids[sel], scores[sel]
+
+
+def _table_collapse_best(t: pa.Table, field, cand, cand_scores):
+    """Best doc per collapse key over one doc-store table restricted to
+    the candidate (ids, scores) set (``cand is None`` = match-all at
+    score 1.0). Returns (keys, ids, scores) with one row per distinct
+    key, or None. NULL-key rows are excluded."""
+    if t.num_rows == 0:
+        return None
+    col = t[field]
+    if col.null_count:
+        m = pc.is_valid(col)
+        t = t.filter(m)
+        col = t[field]
+        if t.num_rows == 0:
+            return None
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    keys = col.to_numpy(zero_copy_only=False)
+    if cand is None:
+        m_ids, m_sc, m_keys = ids, np.ones(len(ids)), keys
+    else:
+        if not len(cand):
+            return None
+        pos = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
+        hit = cand[pos] == ids
+        if not hit.any():
+            return None
+        m_ids = ids[hit]
+        m_sc = cand_scores[pos[hit]]
+        m_keys = keys[hit]
+    return _best_per_key(m_keys, m_ids, m_sc)
+
+
+def _fragment_collapse_local(files, field, cand, cand_scores, tomb):
+    """Per-key champions over a group of base doc-store files (one
+    task's share). ``files``: [(path, dense_id_base | None)]. Returns
+    merged (keys, ids, scores) — ≤ distinct-keys rows — or None."""
+    import pyarrow.parquet as pq_
+
+    parts = []
+    for path, base in files:
+        cols = [field] if base is not None else \
+            list(dict.fromkeys(["doc_id", field]))
+        t = pq_.read_table(path, columns=cols)
+        if base is not None:
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(base, base + t.num_rows), pa.int64()))
+        if tomb is not None and len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, tomb)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        got = _table_collapse_best(t, field, cand, cand_scores)
+        if got is not None:
+            parts.append(got)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    keys = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    sc = np.concatenate([p[2] for p in parts])
+    return _best_per_key(keys, ids, sc)
+
+
 def _ray_initialized() -> bool:
     try:
         import ray
@@ -2646,6 +2854,30 @@ class _LazyFragTask:
 
 
 _fragment_field_topk = _LazyFragTask
+
+
+def _make_collapse_task():
+    import ray
+
+    @ray.remote
+    def _collapse(files, field, cand, cand_scores, tomb):
+        return _fragment_collapse_local(files, field, cand, cand_scores,
+                                        tomb)
+
+    return _collapse
+
+
+class _LazyCollapseTask:
+    _fn = None
+
+    @classmethod
+    def remote(cls, *a):
+        if cls._fn is None:
+            cls._fn = _make_collapse_task()
+        return cls._fn.remote(*a)
+
+
+_fragment_collapse_best = _LazyCollapseTask
 
 
 # ---------------------------------------------------------------------------

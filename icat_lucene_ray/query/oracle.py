@@ -21,7 +21,7 @@ import pyarrow as pa
 from icat_lucene_ray.analysis import get_analyzer
 from icat_lucene_ray.index.docids import hash_ids_from_strings
 from icat_lucene_ray.query.ast import (
-    And, Boost, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
+    And, Boost, DisMax, Filter, Fuzzy, MatchAll, Not, Or, Phrase, Query,
     RangeFilter, Regexp, Term, Wildcard,
 )
 from icat_lucene_ray.query.engine import _levenshtein, _regexp_lower
@@ -191,11 +191,24 @@ class OracleIndex:
             return out, False
         if isinstance(q, Or):
             out: dict[int, float] = {}
+            cnt: dict[int, int] = {}
             for c in q.clauses:
                 sub, _scored = self._eval(c)
                 for d, sc in sub.items():
                     out[d] = out.get(d, 0.0) + sc
+                    cnt[d] = cnt.get(d, 0) + 1
+            if q.min_should > 1:
+                out = {d: s for d, s in out.items()
+                       if cnt[d] >= q.min_should}
             return out, True
+        if isinstance(q, DisMax):
+            per: dict[int, list] = {}
+            for c in q.clauses:
+                sub, _scored = self._eval(c)
+                for d, sc in sub.items():
+                    per.setdefault(d, []).append(sc)
+            return {d: max(v) + q.tie * (sum(v) - max(v))
+                    for d, v in per.items()}, True
         if isinstance(q, Not):
             pos, scored = self._eval(q.positive)
             neg, _ = self._eval(q.negative)
@@ -238,6 +251,24 @@ class OracleIndex:
 
     def count(self, q: Query) -> int:
         return len(self._eval(q)[0])
+
+    def collapse_search(self, q: Query, dim: str, k: int = 10):
+        """Brute-force field collapse: best (score desc, doc_id asc) doc
+        per distinct ``dim`` value, relevance top-k over champions.
+        -> list[(doc_id, score, key)]. NULL keys are excluded."""
+        m, _scored = self._eval(q)
+        best: dict = {}
+        for d, v in zip(self.doc_ids, self.meta[dim]):
+            did = int(d)
+            if did not in m or v is None:
+                continue
+            s = m[did]
+            cur = best.get(v)
+            if cur is None or (s, -did) > (cur[1], -cur[0]):
+                best[v] = (did, s)
+        items = sorted(((did, s, v) for v, (did, s) in best.items()),
+                       key=lambda x: (-x[1], x[0]))
+        return items[:k]
 
     def facet(self, q: Query, dim: str) -> dict:
         m, _ = self._eval(q)

@@ -1,0 +1,184 @@
+"""minimumNumberShouldMatch, DisjunctionMaxQuery, and field collapsing
+(Lucene BooleanQuery.Builder.setMinimumNumberShouldMatch /
+DisjunctionMaxQuery / grouping-module CollapsingTopDocsCollector
+analogs) — rank identity vs the brute-force oracle, plus delete
+visibility through the collapse path."""
+
+import pytest
+
+from icat_lucene_ray.query import (
+    DisMax, Filter, Index, MatchAll, Or, Term,
+)
+
+
+def _terms_by_df(oracle):
+    dfs = sorted(((len(p), t) for t, p in oracle.postings.items()),
+                 reverse=True)
+    head = dfs[0][1]
+    mid = [t for df, t in dfs if 20 < df < 80][:4]
+    return head, mid
+
+
+def _assert_rank(engine, oracle, q, k=10):
+    r = engine.search(q, k=k)
+    e = oracle.search(q, k=k)
+    got = list(zip(r.table["doc_id"].to_pylist(),
+                   r.table["score"].to_pylist()))
+    assert [g[0] for g in got] == [x[0] for x in e], (got[:5], e[:5])
+    for g, x in zip(got, e):
+        assert abs(g[1] - x[1]) <= 1e-9 * max(1.0, abs(x[1]))
+    assert r.total_hits == oracle.count(q)
+
+
+# ---------------- minimumNumberShouldMatch -----------------------------
+
+def test_min_should_match_rank_identity(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    q = Or([Term(head), Term(mid[0]), Term(mid[1])], min_should=2)
+    _assert_rank(engine, oracle, q, k=20)
+
+
+def test_min_should_subsets_plain_or(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    clauses = [Term(head), Term(mid[0]), Term(mid[1])]
+    n1 = engine.count(Or(clauses))
+    n2 = engine.count(Or(clauses, min_should=2))
+    n3 = engine.count(Or(clauses, min_should=3))
+    assert n1 >= n2 >= n3
+    # m = len(clauses): same doc set as the conjunction
+    from icat_lucene_ray.query import And
+
+    assert n3 == engine.count(And(clauses))
+
+
+def test_min_should_above_clause_count_is_empty(engine):
+    q = Or([Term("the")], min_should=2)
+    assert engine.count(q) == 0
+
+
+def test_min_should_validation():
+    with pytest.raises(ValueError):
+        Or([Term("a")], min_should=0)
+
+
+def test_min_should_counts_filter_clauses(engine, oracle):
+    head, _ = _terms_by_df(oracle)
+    q = Or([Term(head), Filter("lang", "en")], min_should=2)
+    _assert_rank(engine, oracle, q, k=20)
+
+
+# ---------------- DisjunctionMaxQuery ----------------------------------
+
+def test_dismax_rank_identity(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    for tie in (0.0, 0.3, 1.0):
+        _assert_rank(engine, oracle,
+                     DisMax([Term(head), Term(mid[0])], tie=tie), k=20)
+
+
+def test_dismax_tie1_equals_or_sum(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    clauses = [Term(head), Term(mid[0])]
+    a = engine.search(DisMax(clauses, tie=1.0), k=15)
+    b = engine.search(Or(clauses), k=15)
+    assert a.table["doc_id"].to_pylist() == b.table["doc_id"].to_pylist()
+    for x, y in zip(a.table["score"].to_pylist(),
+                    b.table["score"].to_pylist()):
+        assert abs(x - y) <= 1e-12 * max(1.0, abs(y))
+
+
+def test_dismax_validation():
+    with pytest.raises(ValueError):
+        DisMax([Term("a")], tie=1.5)
+
+
+# ---------------- field collapsing --------------------------------------
+
+def _assert_collapse(engine, oracle, q, dim, k=10):
+    r = engine.search(q, k=k, collapse=dim)
+    e = oracle.collapse_search(q, dim, k=k)
+    got = list(zip(r.table["doc_id"].to_pylist(),
+                   r.table["score"].to_pylist(),
+                   r.table[dim].to_pylist()))
+    assert [(g[0], g[2]) for g in got] == [(x[0], x[2]) for x in e], \
+        (got[:5], e[:5])
+    for g, x in zip(got, e):
+        assert abs(g[1] - x[1]) <= 1e-9 * max(1.0, abs(x[1]))
+    assert r.total_hits == oracle.count(q)
+    # one hit per key, by construction
+    assert len({g[2] for g in got}) == len(got)
+    return r
+
+
+def test_collapse_rank_identity(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    _assert_collapse(engine, oracle, Term(head), "lang")
+    _assert_collapse(engine, oracle, Or([Term(mid[0]), Term(mid[1])]),
+                     "lang")
+
+
+def test_collapse_match_all(engine, oracle):
+    r = _assert_collapse(engine, oracle, MatchAll(), "lang", k=50)
+    # every lang present exactly once; score 1.0 means doc_id-asc winner
+    assert r.table.num_rows == len({v for v in oracle.meta["lang"]
+                                    if v is not None})
+
+
+def test_collapse_high_cardinality_key(engine, oracle):
+    # collapse on a near-unique key: champions ~= the plain top-k
+    head, _ = _terms_by_df(oracle)
+    _assert_collapse(engine, oracle, Term(head), "warc_ts", k=10)
+
+
+def test_collapse_search_after_pages(engine, oracle):
+    head, _ = _terms_by_df(oracle)
+    full = oracle.collapse_search(Term(head), "lang", k=100)
+    r1 = engine.search(Term(head), k=2, collapse="lang")
+    r2 = engine.search(Term(head), k=100, collapse="lang",
+                       search_after=r1.search_after)
+    ids = (r1.table["doc_id"].to_pylist() + r2.table["doc_id"].to_pylist())
+    assert ids == [x[0] for x in full]
+
+
+def test_collapse_empty_and_sort_conflict(engine):
+    r = engine.search(Term("zz-no-such-term-zz"), k=5, collapse="lang")
+    assert r.table.num_rows == 0
+    assert r.table.column_names[:3] == ["doc_id", "score", "lang"]
+    with pytest.raises(ValueError):
+        engine.search(Term("the"), k=5, collapse="lang",
+                      sort=[("lang", False)])
+
+
+def test_collapse_sees_deletes_and_deltas(ray_session, tmp_path):
+    """Tombstoned champion must yield to the runner-up, and a committed
+    delta doc must be collapsible — exercises the base-fragment AND
+    inline-delta legs of _search_collapsed."""
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.corpus import write_pages
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.index.modify import IndexUpdater
+
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 120, rows_per_file=60, vocab_size=800)
+    out = str(tmp_path / "idx")
+    build_index(pages, out, meta_cols=["lang"], config=EngineConfig(
+        num_segments=4))
+    idx = Index(out)
+    before = idx.search(MatchAll(), k=50, collapse="lang")
+    champ_id = int(before.table["doc_id"][0].as_py())
+    champ_lang = before.table["lang"][0].as_py()
+
+    up = IndexUpdater(out)
+    up.delete(champ_id)
+    up.create({"url": "https://x.test/delta1",
+               "text": "zanzibar collapse probe", "lang": "xx"})
+    up.commit()
+
+    idx2 = Index(out)
+    after = idx2.search(MatchAll(), k=50, collapse="lang")
+    ids = after.table["doc_id"].to_pylist()
+    langs = after.table["lang"].to_pylist()
+    assert champ_id not in ids
+    assert champ_lang in langs            # runner-up took the key
+    assert "xx" in langs                  # delta doc collapsible
+    assert len(set(langs)) == len(langs)
