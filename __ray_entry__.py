@@ -727,6 +727,20 @@ def _text_repeated_ngrams(sf_dir: str):
     return repeated_ngrams(_docs_ds(sf_dir), n=8, min_docs=2, top_k=100)
 
 
+def _text_substring_dedup(sf_dir: str):
+    """Exact substring deduplication (Lee et al. 2022 semantics over
+    fixed-width windows): every 5-token run whose text occurs >= 2
+    times corpus-wide is removed from all documents; docs rebuilt from
+    surviving tokens. Three bucketed stages, O(corpus tokens)."""
+    import ray.data
+
+    from icat_lucene_ray.ops.text import substring_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return substring_dedup(ds, min_len=5)
+
+
 def _text_repetition(sf_dir: str):
     from icat_lucene_ray.ops.text import add_repetition_metrics
 
@@ -1462,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
+        "text_substring_dedup": _text_substring_dedup,
         "ft_regexp_topk": _ft_regexp_topk,
         "ft_meta_regexp": _ft_meta_regexp,
         # --- never driver-confirmed (oracles added/verified in r04) ----
@@ -2044,6 +2059,38 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_frac
             FROM uni u LEFT JOIN bimax b ON u.doc_id = b.doc_id
             ORDER BY u.doc_id""",
+        "text_substring_dedup": """
+            WITH arr AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS a
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(range(len(a) - 5 + 1)) AS p,
+                     unnest([array_to_string(a[x + 1 : x + 5], ' ')
+                             for x in range(len(a) - 5 + 1)]) AS gram
+              FROM arr WHERE len(a) >= 5
+            ), cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+            dup AS (SELECT g.doc_id, g.p FROM g
+                    JOIN cnt USING (gram) WHERE cnt.c >= 2),
+            cov AS (SELECT DISTINCT doc_id, q FROM
+                    (SELECT doc_id, unnest(range(p, p + 5)) AS q
+                     FROM dup)),
+            tokpos AS (SELECT doc_id, unnest(range(len(a))) AS q,
+                              unnest(a) AS tok FROM arr),
+            kept AS (
+              SELECT t.doc_id, t.q, t.tok FROM tokpos t
+              LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.q = c.q
+              WHERE c.doc_id IS NULL
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id, coalesce(r.text, '') AS text,
+                   (len(a.a) - coalesce(r.kept_n, 0))::BIGINT AS removed
+            FROM arr a LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY a.doc_id""",
         "text_repeated_ngrams": """
             WITH t AS (
               SELECT doc_id, list_filter(

@@ -571,3 +571,175 @@ def repeated_ngrams(ds, *, n: int = 8, min_docs: int = 2,
         "ngram": pa.array(t["ngram"], pa.string()),
         "n_docs": pa.array(t["n_docs"].astype(int), pa.int64()),
     })
+
+
+def _tokenize_flat(texts, ids, id_col_dtype=np.int64):
+    """Shared tokenization for window ops: split on whitespace, drop
+    empty tokens. Returns (flat tokens StringArray, per-doc lens,
+    per-doc flat offsets)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.coalesce(texts, ""), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat_all = toks.flatten()
+    keep = pc.not_equal(pc.utf8_length(flat_all), 0)
+    lens_all = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), lens_all)
+    doc_rep = doc_rep[keep_np]
+    flat = flat_all.filter(keep)
+    lens = np.bincount(doc_rep, minlength=len(ids))
+    offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return flat, lens, offs
+
+
+def _token_hashes(flat) -> np.ndarray:
+    """64-bit md5 hash per token, computed once per UNIQUE token in the
+    batch (Python loop bounded by batch vocabulary, not token count)."""
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_h = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in enc.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(enc.dictionary))
+    return uniq_h[codes] if len(codes) else np.empty(0, np.uint64)
+
+
+def substring_dedup(ds, *, min_len: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", num_buckets: int = 256,
+                    join_buckets: int = 64):
+    """Exact substring deduplication (the semantics of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    restated over fixed-width token windows instead of a suffix array):
+    any run of ``min_len`` consecutive whitespace tokens whose text
+    occurs >= 2 times across the corpus (ALL occurrences counted —
+    same-document repeats included) is duplicated; every token covered
+    by a duplicated window is removed and the document is rebuilt from
+    the survivors (single-space joined, so whitespace is normalized for
+    every doc). Returns (id_col, text, removed).
+
+    Three bucketed stages, each linear in corpus tokens:
+
+    1. ``map_batches``: per window start, a 64-bit polynomial hash over
+       per-token hashes (``min_len`` vectorized uint64 mul-adds) ->
+       rows (bucket, h, doc, pos). This O(tokens) exchange is the
+       dominant cost — the same volume class as the index build's
+       posting exchange, and like it the key space is
+       ``hash % num_buckets``, never the distinct-window cardinality.
+    2. ``groupby`` on the hash bucket: one vectorized value-count per
+       bucket keeps window starts whose hash repeats. Survivors are
+       rare by construction (cross-corpus verbatim repeats).
+    3. Docs UNION duplicated starts, bucketed by doc hash
+       (``join_buckets``), one vectorized rebuild per bucket: flat
+       token mask + ListArray re-slice + ``binary_join`` — no per-row
+       Python.
+
+    A 64-bit collision can mark a non-duplicated window (expected count
+    ~ tokens^2 / 2^64 — negligible below ~10^8 tokens per distinct
+    window text, and harmless-by-kind for curation: it removes a span,
+    never corrupts one). The SQL oracle recomputes with exact gram
+    strings, keeping the correctness gate honest at test scale."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    P = np.uint64(1099511628211)  # FNV-1a prime, odd -> bijective mul
+
+    def _emit(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        flat, lens, offs = _tokenize_flat(b[text_col], ids)
+        m = np.maximum(lens - L + 1, 0)
+        M = int(m.sum())
+        if M == 0:
+            return pa.table({"_sb": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        th = _token_hashes(flat)
+        woff = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(m, out=woff[1:])
+        within = np.arange(M, dtype=np.int64) - np.repeat(woff[:-1], m)
+        start = np.repeat(offs[:-1], m) + within
+        h = np.zeros(M, dtype=np.uint64)
+        for j in range(L):
+            h = h * P + th[start + j]
+        return pa.table({
+            "_sb": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "h": pa.array(h.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, m), pa.int64()),
+            "pos": pa.array(within),
+        })
+
+    def _dups(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        dup = cnt[inv] >= 2
+        return pa.table({
+            id_col: pa.array(
+                g[id_col].to_numpy(zero_copy_only=False)[dup], pa.int64()),
+            "pos": pa.array(
+                g["pos"].to_numpy(zero_copy_only=False)[dup], pa.int64()),
+        })
+
+    dup_starts = (ds.map_batches(_emit, batch_format="pyarrow")
+                    .groupby("_sb")
+                    .map_groups(_dups, batch_format="pyarrow"))
+
+    schema = pa.schema([(id_col, pa.int64()), ("__side", pa.int8()),
+                        ("text", pa.string()), ("pos", pa.int64())])
+
+    def _tag(b: pa.Table, is_doc: bool) -> pa.Table:
+        n = b.num_rows
+        t = pa.table({
+            id_col: b[id_col],
+            "__side": pa.array(np.full(n, 0 if is_doc else 1, np.int8)),
+            "text": b[text_col] if is_doc else pa.nulls(n, pa.string()),
+            "pos": pa.nulls(n, pa.int64()) if is_doc else b["pos"],
+        }).cast(schema)
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ((k * 2654435761) & 0x7FFFFFFF) % join_buckets
+        return t.append_column("_jb", pa.array(bkt.astype(np.int64)))
+
+    tagged = (ds.map_batches(lambda b: _tag(b, True),
+                             batch_format="pyarrow")
+                .union(dup_starts.map_batches(lambda b: _tag(b, False),
+                                              batch_format="pyarrow")))
+
+    def _rebuild(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == 0))
+        dups = g.filter(pa.array(side == 1))
+        ids = docs[id_col].to_numpy(zero_copy_only=False)
+        flat, lens, offs = _tokenize_flat(docs["text"], ids)
+        total = int(offs[-1])
+        removed = np.zeros(len(ids), np.int64)
+        if dups.num_rows and len(ids):
+            order = np.argsort(ids)
+            d_ids = dups[id_col].to_numpy(zero_copy_only=False)
+            row = order[np.searchsorted(ids[order], d_ids)]
+            d_pos = dups["pos"].to_numpy(zero_copy_only=False)
+            cov = (offs[row][:, None] + d_pos[:, None]
+                   + np.arange(L, dtype=np.int64)[None, :]).ravel()
+            mask = np.zeros(total, bool)
+            mask[cov] = True
+            tok_doc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            removed = np.bincount(tok_doc[mask], minlength=len(ids))
+            kept = flat.filter(pa.array(~mask))
+        else:
+            kept = flat
+        kept_lens = lens - removed
+        kept_offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(kept_lens, out=kept_offs[1:])
+        lst = pa.ListArray.from_arrays(pa.array(kept_offs, pa.int32()),
+                                       kept.combine_chunks()
+                                       if isinstance(kept, pa.ChunkedArray)
+                                       else kept)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "text": pc.binary_join(lst, " "),
+            "removed": pa.array(removed, pa.int64()),
+        })
+
+    return tagged.groupby("_jb").map_groups(_rebuild,
+                                            batch_format="pyarrow")

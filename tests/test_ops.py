@@ -776,3 +776,79 @@ def test_kmeans_init_sample_deterministic(emb_ds):
     c2 = kmeans_fit(emb_ds.random_shuffle(seed=3), k=4, iters=2,
                     init_sample=cap)
     assert np.allclose(c1, c2, atol=1e-9)
+
+
+# ---------------- exact substring dedup (Lee et al. semantics) ----------
+
+def test_substring_dedup_known_spans(ray_session):
+    import ray.data
+
+    from icat_lucene_ray.ops.text import substring_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "alpha beta gamma delta unique one two",
+            "prefix alpha beta gamma delta suffix",
+            "totally different words here now",
+            "self repeat q w e r q w e r tail",
+            "short doc",  # < min_len tokens: untouched
+        ],
+    })
+    out = (substring_dedup(ray.data.from_arrow(docs), min_len=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == [
+        "unique one two",          # cross-doc 4-gram removed
+        "prefix suffix",
+        "totally different words here now",
+        "self repeat tail",        # same-doc repeat: both occurrences
+        "short doc",
+    ]
+    assert out["removed"].tolist() == [4, 4, 0, 8, 0]
+
+
+def test_substring_dedup_all_removed_and_whitespace(ray_session):
+    import ray.data
+
+    from icat_lucene_ray.ops.text import substring_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["a b c d", "a  b\tc d", ""],  # doc1: messy whitespace
+    })
+    out = (substring_dedup(ray.data.from_arrow(docs), min_len=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # docs 0 and 1 are the same 4-gram after tokenization -> both empty
+    assert out["text"].tolist() == ["", "", ""]
+    assert out["removed"].tolist() == [4, 4, 0]
+
+
+def test_substring_dedup_matches_brute_force(ray_session):
+    """Randomized corpus vs a brute-force recompute of the semantics."""
+    import ray.data
+
+    from icat_lucene_ray.ops.text import substring_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 25)))
+             for _ in range(120)]
+    L = 3
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": texts})
+    out = (substring_dedup(ray.data.from_arrow(docs), min_len=L,
+                           num_buckets=16, join_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    from collections import Counter
+    toks = [t.split() for t in texts]
+    cnt = Counter(tuple(tk[i:i + L]) for tk in toks
+                  for i in range(len(tk) - L + 1))
+    for d, tk in enumerate(toks):
+        covered = set()
+        for i in range(len(tk) - L + 1):
+            if cnt[tuple(tk[i:i + L])] >= 2:
+                covered.update(range(i, i + L))
+        kept = [w for i, w in enumerate(tk) if i not in covered]
+        assert out["text"][d] == " ".join(kept), d
+        assert out["removed"][d] == len(covered), d
