@@ -139,6 +139,23 @@ def _ft_dismax(sf_dir: str):
         DisMax([Term("data"), Term("spark")], tie=0.3), k=10))
 
 
+def _ft_agg_stats(sf_dir: str):
+    """ES-style ``stats`` metrics aggregation over matching docs'
+    numeric column (engine ``Index.aggregate_stats``): count/sum/min/
+    max/mean of ``n_chars`` across docs matching the term — computed
+    from per-fragment 4-number partials, never a driver value scan."""
+    from icat_lucene_ray.query import Term
+
+    s = _idx(sf_dir).aggregate_stats(Term("data"), "n_chars")
+    return pa.table({
+        "count": pa.array([s["count"]], pa.int64()),
+        "sum": pa.array([round(s["sum"], 6)], pa.float64()),
+        "min": pa.array([round(s["min"], 6)], pa.float64()),
+        "max": pa.array([round(s["max"], 6)], pa.float64()),
+        "mean": pa.array([round(s["mean"], 6)], pa.float64()),
+    })
+
+
 def _ft_collapse_lang(sf_dir: str):
     """Field collapsing (Lucene grouping module /
     CollapsingTopDocsCollector): best-scoring hit per distinct ``lang``,
@@ -1476,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
+        "ft_agg_stats": _ft_agg_stats,
         "text_substring_dedup": _text_substring_dedup,
         "ft_regexp_topk": _ft_regexp_topk,
         "ft_meta_regexp": _ft_meta_regexp,
@@ -1621,6 +1639,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored WHERE term IN ('data', 'spark')
               GROUP BY doc_id
             ) {topk}""",
+        "ft_agg_stats": _BM25_CTE + """
+            , agg AS (SELECT DISTINCT doc_id FROM scored
+                      WHERE term = 'data')
+            SELECT count(*)::BIGINT AS "count",
+                   round(sum(d.n_chars)::DOUBLE, 6) AS "sum",
+                   round(min(d.n_chars)::DOUBLE, 6) AS "min",
+                   round(max(d.n_chars)::DOUBLE, 6) AS "max",
+                   round(avg(d.n_chars)::DOUBLE, 6) AS "mean"
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
         "ft_collapse_lang": _BM25_CTE + """
             , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
             , keyed AS (

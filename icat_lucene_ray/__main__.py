@@ -168,6 +168,20 @@ def cmd_export(args):
                       "out": args.out}))
 
 
+def cmd_agg(args):
+    """Metrics aggregation verb (ES ``stats`` aggregation analog):
+    count/sum/min/max/mean of a numeric doc-store column over the
+    docs matching the query — per-fragment partials, no value scan
+    on the driver."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    print(json.dumps(idx.aggregate_stats(q, args.field), default=str))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -370,6 +384,16 @@ def main(argv=None):
     ex.add_argument("--with-score", action="store_true")
     ex.add_argument("--num-cpus", type=int, default=None)
     ex.set_defaults(fn=cmd_export)
+
+    ag = sub.add_parser("agg", help="stats aggregation (count/sum/min/"
+                                    "max/mean of a numeric column over "
+                                    "matching docs)")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--query", required=True)
+    ag.add_argument("--field", required=True)
+    ag.add_argument("--actors", action="store_true")
+    ag.add_argument("--num-cpus", type=int, default=None)
+    ag.set_defaults(fn=cmd_agg)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

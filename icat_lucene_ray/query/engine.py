@@ -2003,6 +2003,69 @@ class Index:
                       "doc_id": int(ids[order][-1])}
         return SearchResult(tbl, total, cursor)
 
+    def aggregate_stats(self, q: Query, field: str, *,
+                        timeout: float | None = None) -> dict:
+        """Metrics aggregation over the matching docs' numeric doc-store
+        column — the Elasticsearch ``stats`` aggregation surface
+        (Lucene's facets module exposes the same via
+        ``DoubleRange``/value-source collectors): returns
+        ``{count, sum, min, max, mean}`` with SQL aggregate NULL
+        semantics (NULL values skipped; empty match -> count 0, None
+        elsewhere). Distributed like collapse: one Ray task per
+        base-fragment group returns a 4-number partial — only
+        O(fragment groups) numbers reach the driver. Sums accumulate in
+        float64 (exact for integer columns below 2^53); timestamp
+        columns aggregate as epoch floats in their storage unit (the
+        ES date-stats analog)."""
+        import ray
+
+        deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
+        q = self._rewrite_meta_fields(q)
+        self._require_doc_field(field)
+        if isinstance(q, MatchAll):
+            cand = None
+        else:
+            cand, _ = self._eval(q, deadline)
+            if not len(cand):
+                return {"count": 0, "sum": None, "min": None,
+                        "max": None, "mean": None}
+        tomb = self._tombstones_after(0)
+        parts = []
+        use_tasks = ray.is_initialized() and len(self._base_files) > 1
+        if use_tasks:
+            cand_ref = ray.put(cand)
+            tomb_ref = ray.put(tomb if len(tomb) else None)
+            files = self._base_files_with_bases()
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            ngroups = min(len(files), ncpu * 2)
+            groups = [files[i::ngroups] for i in range(ngroups)]
+            futs = [_fragment_stats.remote(g, field, cand_ref, tomb_ref)
+                    for g in groups]
+            parts += [g for g in ray.get(futs) if g is not None]
+        else:
+            for path, base in self._base_files_with_bases():
+                got = _fragment_stats_local(
+                    [(path, base)], field, cand,
+                    tomb if len(tomb) else None)
+                if got is not None:
+                    parts.append(got)
+        for gen, src in self._doc_sources[1:]:
+            t = src.to_table(columns=list(dict.fromkeys(["doc_id", field])))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            if keep is not None:
+                t = t.filter(pa.array(keep))
+            got = _table_numeric_partial(t, field, cand)
+            if got is not None:
+                parts.append(got)
+        merged = _merge_stats_partials(parts)
+        if merged is None:
+            return {"count": 0, "sum": None, "min": None,
+                    "max": None, "mean": None}
+        n, s, lo, hi = merged
+        return {"count": int(n), "sum": s, "min": lo, "max": hi,
+                "mean": s / n}
+
     def _base_files_with_bases(self) -> list[tuple[str, int | None]]:
         """Base doc-store files; dense-id mode pairs each with its id
         base (doc_id = base + row), explicit mode pairs with None."""
@@ -2652,6 +2715,63 @@ def _fragment_topk_local(files, sort, k, cand, after, tomb):
     return ids[order], [a[order] for a in keys]
 
 
+def _table_numeric_partial(t: pa.Table, field, cand):
+    """(count, sum, min, max) partial over one doc-store table's
+    ``field`` column restricted to the candidate id set (``cand is
+    None`` = all rows). NULL values are skipped (SQL aggregate
+    semantics). Returns the 4-tuple or None when nothing matches."""
+    if t.num_rows == 0:
+        return None
+    if cand is not None:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(cand):
+            return None
+        pos = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
+        hit = cand[pos] == ids
+        if not hit.any():
+            return None
+        t = t.filter(pa.array(hit))
+    col = t[field]
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return None
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return (len(v), float(v.sum()), float(v.min()), float(v.max()))
+
+
+def _fragment_stats_local(files, field, cand, tomb):
+    """Numeric-aggregate partial over a group of base doc-store files
+    (one task's share). Returns (count, sum, min, max) or None."""
+    import pyarrow.parquet as pq_
+
+    parts = []
+    for path, base in files:
+        cols = [field] if base is not None else \
+            list(dict.fromkeys(["doc_id", field]))
+        t = pq_.read_table(path, columns=cols)
+        if base is not None:
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(base, base + t.num_rows), pa.int64()))
+        if tomb is not None and len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, tomb)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        got = _table_numeric_partial(t, field, cand)
+        if got is not None:
+            parts.append(got)
+    return _merge_stats_partials(parts)
+
+
+def _merge_stats_partials(parts):
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    return (sum(p[0] for p in parts), sum(p[1] for p in parts),
+            min(p[2] for p in parts), max(p[3] for p in parts))
+
+
 def _best_per_key(keys, ids, scores):
     """Champion row per collapse key: best score, doc_id-asc tiebreak.
     Vectorized — lexsort puts each key's best occurrence first, then
@@ -2878,6 +2998,29 @@ class _LazyCollapseTask:
 
 
 _fragment_collapse_best = _LazyCollapseTask
+
+
+def _make_stats_task():
+    import ray
+
+    @ray.remote
+    def _stats(files, field, cand, tomb):
+        return _fragment_stats_local(files, field, cand, tomb)
+
+    return _stats
+
+
+class _LazyStatsTask:
+    _fn = None
+
+    @classmethod
+    def remote(cls, *a):
+        if cls._fn is None:
+            cls._fn = _make_stats_task()
+        return cls._fn.remote(*a)
+
+
+_fragment_stats = _LazyStatsTask
 
 
 # ---------------------------------------------------------------------------

@@ -182,3 +182,61 @@ def test_collapse_sees_deletes_and_deltas(ray_session, tmp_path):
     assert champ_lang in langs            # runner-up took the key
     assert "xx" in langs                  # delta doc collapsible
     assert len(set(langs)) == len(langs)
+
+
+# ---------------- stats metrics aggregation -----------------------------
+
+def test_aggregate_stats_matches_brute_force(engine, oracle):
+    import numpy as np
+
+    head, mid = _terms_by_df(oracle)
+    for q in (Term(head), Or([Term(mid[0]), Term(mid[1])]), MatchAll()):
+        s = engine.aggregate_stats(q, "warc_ts")
+        m, _ = oracle._eval(q)
+        # timestamps aggregate as epoch floats in the column's storage
+        # unit (timestamp[us] here) — ES date-stats analog
+        vals = np.array(
+            [v for d, v in zip(oracle.doc_ids, oracle.meta["warc_ts"])
+             if int(d) in m and v is not None],
+            dtype="datetime64[us]").astype(np.int64).astype(np.float64)
+        assert s["count"] == len(vals)
+        assert abs(s["sum"] - vals.sum()) <= 1e-6 * max(1.0,
+                                                        abs(vals.sum()))
+        assert s["min"] == vals.min()
+        assert s["max"] == vals.max()
+        assert abs(s["mean"] - vals.mean()) <= 1e-9 * max(
+            1.0, abs(vals.mean()))
+
+
+def test_aggregate_stats_empty_match(engine):
+    s = engine.aggregate_stats(Term("zz-no-such-term-zz"), "warc_ts")
+    assert s == {"count": 0, "sum": None, "min": None, "max": None,
+                 "mean": None}
+
+
+def test_aggregate_stats_sees_deletes(ray_session, tmp_path):
+    from icat_lucene_ray.config import EngineConfig
+    from icat_lucene_ray.corpus import write_pages
+    from icat_lucene_ray.index.build import build_index
+    from icat_lucene_ray.index.modify import IndexUpdater
+
+    pages = str(tmp_path / "pages")
+    write_pages(pages, 80, rows_per_file=40, vocab_size=500)
+    out = str(tmp_path / "idx")
+    build_index(pages, out, meta_cols=["lang", "warc_ts"],
+                config=EngineConfig(num_segments=2))
+    idx = Index(out)
+    before = idx.aggregate_stats(MatchAll(), "warc_ts")
+    victim = int(idx.search(MatchAll(), k=1).table["doc_id"][0].as_py())
+    v_ts = idx.search(MatchAll(), k=1,
+                      fields=["warc_ts"]).table["warc_ts"][0].as_py()
+    up = IndexUpdater(out)
+    up.delete(victim)
+    up.commit()
+    after = Index(out).aggregate_stats(MatchAll(), "warc_ts")
+    assert after["count"] == before["count"] - 1
+    import numpy as np
+
+    v_us = float(np.datetime64(v_ts, "us").astype(np.int64))
+    assert abs((before["sum"] - after["sum"]) - v_us) <= 1e-6 * max(
+        1.0, abs(v_us))
