@@ -156,6 +156,15 @@ def _ft_agg_stats(sf_dir: str):
     })
 
 
+def _ft_histogram(sf_dir: str):
+    """Fixed-interval histogram aggregation (ES histogram /
+    date_histogram analog, engine ``Index.histogram``): bucket counts
+    of ``n_chars`` at interval 50 over docs matching the term."""
+    from icat_lucene_ray.query import Term
+
+    return _idx(sf_dir).histogram(Term("data"), "n_chars", 50.0)
+
+
 def _ft_collapse_lang(sf_dir: str):
     """Field collapsing (Lucene grouping module /
     CollapsingTopDocsCollector): best-scoring hit per distinct ``lang``,
@@ -1494,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
         "ft_agg_stats": _ft_agg_stats,
+        "ft_histogram": _ft_histogram,
         "text_substring_dedup": _text_substring_dedup,
         "ft_regexp_topk": _ft_regexp_topk,
         "ft_meta_regexp": _ft_meta_regexp,
@@ -1648,6 +1658,13 @@ def oracle_sql() -> dict[str, str]:
                    round(max(d.n_chars)::DOUBLE, 6) AS "max",
                    round(avg(d.n_chars)::DOUBLE, 6) AS "mean"
             FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
+        "ft_histogram": _BM25_CTE + """
+            , agg AS (SELECT DISTINCT doc_id FROM scored
+                      WHERE term = 'data')
+            SELECT floor(d.n_chars / 50.0) * 50 AS bucket,
+                   count(*)::BIGINT AS "count"
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+            GROUP BY 1 ORDER BY 1""",
         "ft_collapse_lang": _BM25_CTE + """
             , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
             , keyed AS (

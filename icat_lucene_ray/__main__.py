@@ -182,6 +182,20 @@ def cmd_agg(args):
     print(json.dumps(idx.aggregate_stats(q, args.field), default=str))
 
 
+def cmd_hist(args):
+    """Histogram aggregation verb (ES histogram / date_histogram
+    analog): fixed-interval bucket counts of a numeric doc-store
+    column over the docs matching the query."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    t = idx.histogram(q, args.field, args.interval, offset=args.offset)
+    print(json.dumps({"buckets": t.to_pylist()}, default=str))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -394,6 +408,18 @@ def main(argv=None):
     ag.add_argument("--actors", action="store_true")
     ag.add_argument("--num-cpus", type=int, default=None)
     ag.set_defaults(fn=cmd_agg)
+
+    hg = sub.add_parser("hist", help="histogram aggregation (fixed-"
+                                     "interval bucket counts over "
+                                     "matching docs)")
+    hg.add_argument("--index", required=True)
+    hg.add_argument("--query", required=True)
+    hg.add_argument("--field", required=True)
+    hg.add_argument("--interval", required=True, type=float)
+    hg.add_argument("--offset", type=float, default=0.0)
+    hg.add_argument("--actors", action="store_true")
+    hg.add_argument("--num-cpus", type=int, default=None)
+    hg.set_defaults(fn=cmd_hist)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

@@ -2066,6 +2066,76 @@ class Index:
         return {"count": int(n), "sum": s, "min": lo, "max": hi,
                 "mean": s / n}
 
+    def histogram(self, q: Query, field: str, interval: float, *,
+                  offset: float = 0.0,
+                  timeout: float | None = None) -> pa.Table:
+        """Fixed-interval histogram aggregation over the matching docs'
+        numeric column — the ES ``histogram`` / ``date_histogram``
+        surface (Lucene exposes the same via the facets module's
+        ``LongRange`` counts): rows ``(bucket, count)`` with ``bucket =
+        floor((v - offset) / interval) * interval + offset`` (bucket's
+        inclusive lower edge), empty buckets omitted, sorted ascending.
+        Distributed like :meth:`aggregate_stats` — each fragment-group
+        task returns a small {bucket -> count} dict, the driver merges
+        O(groups × distinct buckets) entries."""
+        import ray
+
+        if not interval > 0:
+            raise ValueError("interval must be > 0")
+        deadline = time.monotonic() + (timeout or self.cfg.max_search_time_s)
+        q = self._rewrite_meta_fields(q)
+        self._require_doc_field(field)
+
+        def _tbl(merged: dict) -> pa.Table:
+            ks = np.array(sorted(merged), dtype=np.int64)
+            return pa.table({
+                "bucket": pa.array(ks.astype(np.float64) * interval
+                                   + offset, pa.float64()),
+                "count": pa.array([merged[int(k)] for k in ks],
+                                  pa.int64()),
+            })
+
+        if isinstance(q, MatchAll):
+            cand = None
+        else:
+            cand, _ = self._eval(q, deadline)
+            if not len(cand):
+                return _tbl({})
+        tomb = self._tombstones_after(0)
+        merged: dict = {}
+
+        def _fold(d):
+            if d:
+                for k, c in d.items():
+                    merged[int(k)] = merged.get(int(k), 0) + int(c)
+
+        use_tasks = ray.is_initialized() and len(self._base_files) > 1
+        if use_tasks:
+            cand_ref = ray.put(cand)
+            tomb_ref = ray.put(tomb if len(tomb) else None)
+            files = self._base_files_with_bases()
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            ngroups = min(len(files), ncpu * 2)
+            groups = [files[i::ngroups] for i in range(ngroups)]
+            futs = [_fragment_hist.remote(g, field, cand_ref, tomb_ref,
+                                          interval, offset)
+                    for g in groups]
+            for got in ray.get(futs):
+                _fold(got)
+        else:
+            for path, base in self._base_files_with_bases():
+                _fold(_fragment_hist_local(
+                    [(path, base)], field, cand,
+                    tomb if len(tomb) else None, interval, offset))
+        for gen, src in self._doc_sources[1:]:
+            t = src.to_table(columns=list(dict.fromkeys(["doc_id", field])))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = self._live_mask(gen, ids)
+            if keep is not None:
+                t = t.filter(pa.array(keep))
+            _fold(_table_hist_partial(t, field, cand, interval, offset))
+        return _tbl(merged)
+
     def _base_files_with_bases(self) -> list[tuple[str, int | None]]:
         """Base doc-store files; dense-id mode pairs each with its id
         base (doc_id = base + row), explicit mode pairs with None."""
@@ -2764,6 +2834,57 @@ def _fragment_stats_local(files, field, cand, tomb):
     return _merge_stats_partials(parts)
 
 
+def _table_hist_partial(t: pa.Table, field, cand, interval, offset):
+    """Histogram partial over one doc-store table restricted to the
+    candidate id set: dict {bucket_index -> count} with bucket_index =
+    floor((v - offset) / interval). NULLs skipped."""
+    if t.num_rows == 0:
+        return None
+    if cand is not None:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(cand):
+            return None
+        pos = np.minimum(np.searchsorted(cand, ids), len(cand) - 1)
+        hit = cand[pos] == ids
+        if not hit.any():
+            return None
+        t = t.filter(pa.array(hit))
+    col = t[field]
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return None
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    b = np.floor((v - offset) / interval).astype(np.int64)
+    uniq, cnt = np.unique(b, return_counts=True)
+    return dict(zip(uniq.tolist(), cnt.tolist()))
+
+
+def _fragment_hist_local(files, field, cand, tomb, interval, offset):
+    """Histogram partial over a group of base doc-store files (one
+    task's share): merged {bucket_index -> count} or None."""
+    import pyarrow.parquet as pq_
+
+    out: dict = {}
+    for path, base in files:
+        cols = [field] if base is not None else \
+            list(dict.fromkeys(["doc_id", field]))
+        t = pq_.read_table(path, columns=cols)
+        if base is not None:
+            t = t.add_column(0, "doc_id", pa.array(
+                np.arange(base, base + t.num_rows), pa.int64()))
+        if tomb is not None and len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, tomb)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        got = _table_hist_partial(t, field, cand, interval, offset)
+        if got:
+            for k, c in got.items():
+                out[k] = out.get(k, 0) + c
+    return out or None
+
+
 def _merge_stats_partials(parts):
     parts = [p for p in parts if p is not None]
     if not parts:
@@ -3021,6 +3142,30 @@ class _LazyStatsTask:
 
 
 _fragment_stats = _LazyStatsTask
+
+
+def _make_hist_task():
+    import ray
+
+    @ray.remote
+    def _hist(files, field, cand, tomb, interval, offset):
+        return _fragment_hist_local(files, field, cand, tomb, interval,
+                                    offset)
+
+    return _hist
+
+
+class _LazyHistTask:
+    _fn = None
+
+    @classmethod
+    def remote(cls, *a):
+        if cls._fn is None:
+            cls._fn = _make_hist_task()
+        return cls._fn.remote(*a)
+
+
+_fragment_hist = _LazyHistTask
 
 
 # ---------------------------------------------------------------------------

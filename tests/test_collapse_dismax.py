@@ -240,3 +240,29 @@ def test_aggregate_stats_sees_deletes(ray_session, tmp_path):
     v_us = float(np.datetime64(v_ts, "us").astype(np.int64))
     assert abs((before["sum"] - after["sum"]) - v_us) <= 1e-6 * max(
         1.0, abs(v_us))
+
+
+def test_histogram_matches_brute_force(engine, oracle):
+    import numpy as np
+
+    head, _ = _terms_by_df(oracle)
+    for q in (Term(head), MatchAll()):
+        # hour-interval histogram over the timestamp column (epoch-us)
+        t = engine.histogram(q, "warc_ts", 3_600e6)
+        m, _ = oracle._eval(q)
+        vals = np.array(
+            [v for d, v in zip(oracle.doc_ids, oracle.meta["warc_ts"])
+             if int(d) in m and v is not None],
+            dtype="datetime64[us]").astype(np.int64).astype(np.float64)
+        b = np.floor(vals / 3_600e6)
+        ks, cnt = np.unique(b, return_counts=True)
+        assert t["bucket"].to_pylist() == (ks * 3_600e6).tolist()
+        assert t["count"].to_pylist() == cnt.tolist()
+        assert int(np.sum(cnt)) == len(vals)
+
+
+def test_histogram_empty_and_validation(engine):
+    t = engine.histogram(Term("zz-no-such-term-zz"), "warc_ts", 10.0)
+    assert t.num_rows == 0
+    with pytest.raises(ValueError):
+        engine.histogram(MatchAll(), "warc_ts", 0.0)
