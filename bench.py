@@ -300,6 +300,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["export_filter_sec"] = round(dt, 3)
     extras["export_filter_rows_per_sec"] = round(n_exp / dt, 1)
 
+    # ---- round-5 query-algebra surfaces (extras only) -----------------
+    from icat_lucene_ray.query import DisMax
+
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.search(Term(mid[i % len(mid)]), k=10, collapse="lang")
+    extras["collapse_p50_ms"] = round(
+        (time.perf_counter() - t0) / 20 * 1e3, 2)
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.search(DisMax([Term(mid[i % len(mid)]),
+                           Term(head[i % len(head)])], tie=0.3), k=10)
+    extras["dismax_p50_ms"] = round(
+        (time.perf_counter() - t0) / 20 * 1e3, 2)
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.aggregate_stats(Term(mid[i % len(mid)]), "warc_ts")
+    extras["agg_stats_p50_ms"] = round(
+        (time.perf_counter() - t0) / 20 * 1e3, 2)
+    t0 = time.perf_counter()
+    idx.histogram(Term(mid[0]), "warc_ts", 86_400e6)
+    extras["hist_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+
+    from icat_lucene_ray.ops.text import substring_dedup
+
+    t0 = time.perf_counter()
+    substring_dedup(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]),
+        min_len=5).count()
+    extras["substring_dedup_sec"] = round(time.perf_counter() - t0, 3)
+
     # ---- compute-path scaling probe ----------------------------------
     probe = _compute_probe(pages, num_cpus)
     extras.update(probe)
