@@ -1945,6 +1945,15 @@ class Index:
             if total == 0:
                 return _empty(0)
 
+        if cand is not None and len(cand) <= _AGG_INLINE_MAX:
+            # small match set: candidates are already live across every
+            # generation, so O(k) point lookups beat fragment fan-out
+            t = self._fetch_doc_rows(cand, [field])
+            got = _table_collapse_best(t, field, cand, cand_scores)
+            parts = [got] if got is not None else []
+            return self._finish_collapse(parts, field, fields, after,
+                                         total, k, _empty)
+
         tomb = self._tombstones_after(0)
         parts = []
         use_tasks = ray.is_initialized() and len(self._base_files) > 1
@@ -1978,7 +1987,11 @@ class Index:
             got = _table_collapse_best(t, field, cand, cand_scores)
             if got is not None:
                 parts.append(got)
+        return self._finish_collapse(parts, field, fields, after, total,
+                                     k, _empty)
 
+    def _finish_collapse(self, parts, field, fields, after, total, k,
+                         _empty) -> SearchResult:
         if not parts:
             return _empty(total)
         keys = np.concatenate([p[0] for p in parts])
@@ -2029,6 +2042,15 @@ class Index:
             if not len(cand):
                 return {"count": 0, "sum": None, "min": None,
                         "max": None, "mean": None}
+        if cand is not None and len(cand) <= _AGG_INLINE_MAX:
+            t = self._fetch_doc_rows(cand, [field])
+            merged = _table_numeric_partial(t, field, cand)
+            if merged is None:
+                return {"count": 0, "sum": None, "min": None,
+                        "max": None, "mean": None}
+            n, s, lo, hi = merged
+            return {"count": int(n), "sum": s, "min": lo, "max": hi,
+                    "mean": s / n}
         tomb = self._tombstones_after(0)
         parts = []
         use_tasks = ray.is_initialized() and len(self._base_files) > 1
@@ -2101,6 +2123,10 @@ class Index:
             cand, _ = self._eval(q, deadline)
             if not len(cand):
                 return _tbl({})
+        if cand is not None and len(cand) <= _AGG_INLINE_MAX:
+            t = self._fetch_doc_rows(cand, [field])
+            got = _table_hist_partial(t, field, cand, interval, offset)
+            return _tbl({int(k2): int(c) for k2, c in (got or {}).items()})
         tomb = self._tombstones_after(0)
         merged: dict = {}
 
@@ -2783,6 +2809,12 @@ def _fragment_topk_local(files, sort, k, cand, after, tomb):
     keys = [np.concatenate([p[1][i] for p in parts]) for i in range(len(sort))]
     order = _field_sort_order(keys, ids, sort)[:k]
     return ids[order], [a[order] for a in keys]
+
+
+#: below this many candidate docs, collapse/stats/histogram skip the
+#: per-fragment fan-out and do O(k) point lookups inline — fragment-task
+#: dispatch costs more than reading k rows
+_AGG_INLINE_MAX = 32768
 
 
 def _table_numeric_partial(t: pa.Table, field, cand):

@@ -266,3 +266,22 @@ def test_histogram_empty_and_validation(engine):
     assert t.num_rows == 0
     with pytest.raises(ValueError):
         engine.histogram(MatchAll(), "warc_ts", 0.0)
+
+
+def test_inline_vs_fragment_paths_agree(engine, oracle, monkeypatch):
+    """The small-candidate inline shortcut and the fragment fan-out must
+    produce identical collapse / stats / histogram results."""
+    import icat_lucene_ray.query.engine as eng
+
+    head, _ = _terms_by_df(oracle)
+    q = Term(head)
+    r_inline = engine.search(q, k=10, collapse="lang")
+    s_inline = engine.aggregate_stats(q, "warc_ts")
+    h_inline = engine.histogram(q, "warc_ts", 3_600e6)
+    monkeypatch.setattr(eng, "_AGG_INLINE_MAX", 0)
+    r_frag = engine.search(q, k=10, collapse="lang")
+    s_frag = engine.aggregate_stats(q, "warc_ts")
+    h_frag = engine.histogram(q, "warc_ts", 3_600e6)
+    assert r_inline.table.equals(r_frag.table)
+    assert s_inline == s_frag
+    assert h_inline.equals(h_frag)
