@@ -165,6 +165,42 @@ def _ft_histogram(sf_dir: str):
     return _idx(sf_dir).histogram(Term("data"), "n_chars", 50.0)
 
 
+def _ft_percentiles(sf_dir: str):
+    """ES-style ``percentiles`` aggregation over matching docs' numeric
+    column (engine ``Index.percentiles``), EXACT quantile_disc values
+    rather than t-digest estimates: ``matches_dataset`` (index-pruned
+    streaming scan) composed with the multi-pass histogram-narrowing
+    selection — O(bins) driver traffic per pass, never a value scan."""
+    from icat_lucene_ray.query import Term
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    got = _idx(sf_dir).percentiles(Term("data"), "n_chars", qs, cap=100)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([round(float(got[x]), 6) for x in qs],
+                          pa.float64()),
+    })
+
+
+def _ft_cardinality(sf_dir: str):
+    """ES-style ``cardinality`` aggregation over matching docs (engine
+    ``Index.cardinality``), made driver-checkable like
+    ``stats_hll_users``: emit the EXACT distinct count (SQL-oracled)
+    plus a deterministic acceptance bool that the one-pass 16 KB HLL
+    sketch lands within 2% of it (pure function of the data, so the
+    bool is stable)."""
+    from icat_lucene_ray.query import Term
+
+    idx = _idx(sf_dir)
+    exact = idx.cardinality(Term("data"), "source", exact=True)
+    est = idx.cardinality(Term("data"), "source")
+    ok = abs(est - exact) <= 0.02 * max(1, exact)
+    return pa.table({
+        "distinct_source_exact": pa.array([int(exact)], pa.int64()),
+        "hll_within_2pct": pa.array([bool(ok)], pa.bool_()),
+    })
+
+
 def _ft_collapse_lang(sf_dir: str):
     """Field collapsing (Lucene grouping module /
     CollapsingTopDocsCollector): best-scoring hit per distinct ``lang``,
@@ -1499,6 +1535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the rest of the window.
     return {
         # --- new in round 5 --------------------------------------------
+        "ft_percentiles": _ft_percentiles,
+        "ft_cardinality": _ft_cardinality,
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
@@ -1665,6 +1703,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS "count"
             FROM agg a JOIN documents d ON a.doc_id = d.doc_id
             GROUP BY 1 ORDER BY 1""",
+        "ft_percentiles": _BM25_CTE + """
+            , agg AS (SELECT DISTINCT doc_id FROM scored
+                      WHERE term = 'data')
+            , v AS (SELECT d.n_chars::DOUBLE AS x
+                    FROM agg a JOIN documents d ON a.doc_id = d.doc_id)
+            SELECT q, round(val, 6) AS value FROM (
+              SELECT 0.25 AS q, quantile_disc(x, 0.25) AS val FROM v
+              UNION ALL SELECT 0.5, quantile_disc(x, 0.5) FROM v
+              UNION ALL SELECT 0.75, quantile_disc(x, 0.75) FROM v
+              UNION ALL SELECT 0.95, quantile_disc(x, 0.95) FROM v)
+            ORDER BY q""",
+        "ft_cardinality": _BM25_CTE + """
+            , agg AS (SELECT DISTINCT doc_id FROM scored
+                      WHERE term = 'data')
+            SELECT count(DISTINCT d.source)::BIGINT
+                     AS distinct_source_exact,
+                   TRUE AS hll_within_2pct
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
         "ft_collapse_lang": _BM25_CTE + """
             , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
             , keyed AS (

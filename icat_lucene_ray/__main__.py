@@ -196,6 +196,40 @@ def cmd_hist(args):
     print(json.dumps({"buckets": t.to_pylist()}, default=str))
 
 
+def cmd_pct(args):
+    """Percentiles aggregation verb (ES ``percentiles`` analog, exact
+    ``quantile_disc`` values): matching docs stream through the
+    multi-pass histogram-narrowing selection — never a driver value
+    scan."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    qs = [float(x) for x in args.qs.split(",") if x]
+    got = idx.percentiles(q, args.field, qs)
+    # empty match -> NaN; emit strict-JSON null instead
+    print(json.dumps({str(k): (None if got[k] != got[k] else got[k])
+                      for k in qs}, default=str))
+
+
+def cmd_card(args):
+    """Cardinality aggregation verb (ES ``cardinality`` analog):
+    approximate distinct count of a doc-store column over the matching
+    docs via a one-pass HLL sketch; --exact runs the exact distinct
+    groupby instead."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    v = idx.cardinality(q, args.field, exact=args.exact)
+    print(json.dumps({"field": args.field, "cardinality": v,
+                      "exact": bool(args.exact)}))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -420,6 +454,30 @@ def main(argv=None):
     hg.add_argument("--actors", action="store_true")
     hg.add_argument("--num-cpus", type=int, default=None)
     hg.set_defaults(fn=cmd_hist)
+
+    pt = sub.add_parser("pct", help="percentiles aggregation (exact "
+                                    "quantile_disc values over "
+                                    "matching docs)")
+    pt.add_argument("--index", required=True)
+    pt.add_argument("--query", required=True)
+    pt.add_argument("--field", required=True)
+    pt.add_argument("--qs", default="0.25,0.5,0.75,0.95",
+                    help="comma-separated quantiles in [0,1]")
+    pt.add_argument("--actors", action="store_true")
+    pt.add_argument("--num-cpus", type=int, default=None)
+    pt.set_defaults(fn=cmd_pct)
+
+    cd = sub.add_parser("card", help="cardinality aggregation (HLL "
+                                     "distinct count over matching "
+                                     "docs; --exact for the true "
+                                     "count)")
+    cd.add_argument("--index", required=True)
+    cd.add_argument("--query", required=True)
+    cd.add_argument("--field", required=True)
+    cd.add_argument("--exact", action="store_true")
+    cd.add_argument("--actors", action="store_true")
+    cd.add_argument("--num-cpus", type=int, default=None)
+    cd.set_defaults(fn=cmd_card)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

@@ -58,7 +58,7 @@ def distributed_quantile(
     ignored). Returns {q: value}."""
     mm = ds.map_batches(_minmax_partial, batch_format="pyarrow",
                         fn_args=(col,)).to_pandas()
-    n = int(mm["n"].sum())
+    n = int(mm["n"].sum()) if len(mm) else 0
     if n == 0:
         return {q: float("nan") for q in qs}
     glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
@@ -242,8 +242,9 @@ def hll_distinct(ds: "ray.data.Dataset", col: str, *, p: int = 14) -> float:
         batch_format="pyarrow").to_pandas()
     m = 1 << p
     reg = np.zeros(m, dtype=np.uint8)
-    for buf in parts["reg"]:
-        np.maximum(reg, np.frombuffer(buf, dtype=np.uint8), out=reg)
+    if len(parts):
+        for buf in parts["reg"]:
+            np.maximum(reg, np.frombuffer(buf, dtype=np.uint8), out=reg)
     return hll_estimate(reg)
 
 

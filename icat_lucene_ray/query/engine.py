@@ -2242,6 +2242,51 @@ class Index:
             _fold(_table_hist_partial(t, field, cand, interval, offset))
         return _tbl(merged)
 
+    def percentiles(self, q: Query, field: str,
+                    qs: "list[float]" = (0.25, 0.5, 0.75, 0.95), *,
+                    bins: int = 1024, cap: int = 100_000,
+                    ) -> "dict[float, float]":
+        """Percentiles aggregation over the matching docs' numeric
+        doc-store column — the ES ``percentiles`` surface, but EXACT
+        (``quantile_disc`` semantics: value at rank ``ceil(q*n)-1``)
+        instead of t-digest-approximate. Composes
+        :meth:`matches_dataset` (index-pruned streaming scan; pure
+        predicates push into the scan tasks, scoring queries broadcast
+        the match-id array once) with
+        ``ops.stats.distributed_quantile`` (iterative histogram
+        narrowing: multi-pass selection, O(bins) driver traffic per
+        pass, all open quantiles sharing each scan — no sort, no
+        shuffle, never O(matches) on the driver). Empty match ->
+        ``{q: nan}``. Timestamp columns resolve as epoch floats in
+        their storage unit (the ES ``percentiles`` over dates
+        analog)."""
+        from icat_lucene_ray.ops.stats import distributed_quantile
+
+        self._require_doc_field(field)
+        ds = self.matches_dataset(q, columns=[field]) \
+                 .select_columns([field])
+        return distributed_quantile(ds, field, list(qs), bins=bins,
+                                    cap=cap)
+
+    def cardinality(self, q: Query, field: str, *, exact: bool = False,
+                    p: int = 14) -> float | int:
+        """Cardinality aggregation over the matching docs' doc-store
+        column — the ES ``cardinality`` surface. Default is the scale
+        path: a one-pass HyperLogLog over :meth:`matches_dataset`
+        (each batch reduces to a 2^p-byte register array, driver folds
+        by elementwise max — no shuffle, ~0.8% relative error at
+        p=14). ``exact=True`` runs the exact distinct count instead
+        (one ``groupby(field)`` shuffle — fine when the match set or
+        the key space is modest; at 10^12 docs prefer the sketch)."""
+        from icat_lucene_ray.ops.stats import hll_distinct
+
+        self._require_doc_field(field)
+        ds = self.matches_dataset(q, columns=[field]) \
+                 .select_columns([field])
+        if exact:
+            return int(ds.groupby(field).count().count())
+        return hll_distinct(ds, field, p=p)
+
     def _base_files_with_bases(self) -> list[tuple[str, int | None]]:
         """Base doc-store files; dense-id mode pairs each with its id
         base (doc_id = base + row), explicit mode pairs with None."""
