@@ -820,6 +820,47 @@ def _text_unigram_logprob(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _with_class_markers(batch: pa.Table) -> pa.Table:
+    """Deterministic label-bearing suffix per doc (mirrors the
+    text_nb_classify SQL exactly): pos docs (doc_id %% 3 == 0) carry
+    curated-seed markers, neg docs spam markers — the separable seed
+    signal a real quality classifier is trained on."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    pos = ids % 3 == 0
+    suffix = np.where(pos, " curated verified curated",
+                      " spamword clickbait spamword")
+    t2 = pc.binary_join_element_wise(
+        batch["text"], pa.array(suffix.astype("U")), "")
+    out = batch.set_column(batch.column_names.index("text"), "text", t2)
+    return out.append_column(
+        "label", pa.array(np.where(pos, "pos", "neg").astype("U"),
+                          pa.string()))
+
+
+def _text_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes corpus filter (ops/classify.py) — the
+    CCNet/GPT-3-style seed-labeled quality-classifier shape: train on
+    the 80% seed split (doc_id %% 5 != 0) with injected separable
+    markers, broadcast the fitted model once, score ALL docs in one
+    stateless map_batches pass. Full SQL oracle recomputes the model
+    (integer counts, Laplace smoothing, argmax with label-asc ties)
+    from the same injected corpus."""
+    from icat_lucene_ray.ops.classify import nb_predict, nb_train
+
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: _with_class_markers(b.select(["doc_id", "text"])),
+        batch_format="pyarrow")
+    # train split: doc_id % 5 != 0 (vectorized Arrow filter)
+    train = ds.map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 5 != 0)),
+        batch_format="pyarrow")
+    model = nb_train(train, "text", "label", alpha=1.0, min_count=1)
+    out = nb_predict(ds, model, "text", "doc_id")
+    return out.select_columns(["doc_id", "label_pred"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _with_pii(batch: pa.Table) -> pa.Table:
     """Deterministic PII suffix per doc (mirrors _PII_SQL exactly):
     an email, a NNN-555-0199 phone, and an IPv4 on every 6th doc."""
@@ -1537,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5 --------------------------------------------
         "ft_percentiles": _ft_percentiles,
         "ft_cardinality": _ft_cardinality,
+        "text_nb_classify": _text_nb_classify,
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
@@ -1721,6 +1763,71 @@ def oracle_sql() -> dict[str, str]:
                      AS distinct_source_exact,
                    TRUE AS hll_within_2pct
             FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
+        # independent SQL restatement of multinomial NB train+predict
+        # (ops/classify.py): integer counts, Laplace alpha=1 smoothing
+        # over the train vocabulary, OOV tokens skipped, argmax with
+        # label-asc tie rule — same injected markers as the engine side
+        "text_nb_classify": """
+            WITH base AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' curated verified curated'
+                            ELSE ' spamword clickbait spamword'
+                       END AS text,
+                     CASE WHEN doc_id % 3 = 0 THEN 'pos'
+                          ELSE 'neg' END AS label,
+                     (doc_id % 5 <> 0) AS is_train
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, label, is_train,
+                     unnest(string_split(text, ' ')) AS w
+              FROM base
+            ), ttok AS (
+              SELECT * FROM tok WHERE is_train AND w <> ''
+            ), vocab AS (
+              SELECT w FROM ttok GROUP BY w HAVING count(*) >= 1
+            ), vv AS (SELECT count(*)::DOUBLE AS v FROM vocab
+            ), cnt AS (
+              SELECT label, w, count(*)::DOUBLE AS c FROM ttok
+              GROUP BY label, w
+            ), tot AS (
+              SELECT c.label, sum(c.c) AS t
+              FROM cnt c JOIN vocab USING (w) GROUP BY c.label
+            ), prior AS (
+              SELECT label,
+                     ln(count(*)::DOUBLE /
+                        (SELECT count(*) FROM base WHERE is_train))
+                       AS lp
+              FROM base WHERE is_train GROUP BY label
+            ), dtok AS (
+              SELECT t.doc_id, t.w FROM tok t JOIN vocab USING (w)
+              WHERE t.w <> ''
+            ), scored AS (
+              SELECT d.doc_id, l.label,
+                     sum(ln((coalesce(c.c, 0) + 1.0)
+                            / (t.t + vv.v))) AS s
+              FROM dtok d
+              CROSS JOIN (SELECT label FROM prior) l
+              LEFT JOIN cnt c ON c.label = l.label AND c.w = d.w
+              JOIN tot t ON t.label = l.label
+              CROSS JOIN vv
+              GROUP BY d.doc_id, l.label
+            ), final AS (
+              SELECT b.doc_id, p.label,
+                     coalesce(s.s, 0) + p.lp AS score
+              FROM base b
+              CROSS JOIN prior p
+              LEFT JOIN scored s ON s.doc_id = b.doc_id
+                                AND s.label = p.label
+            )
+            SELECT doc_id, label AS label_pred FROM (
+              SELECT doc_id, label,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, label)
+                       AS rn
+              FROM final)
+            WHERE rn = 1 ORDER BY doc_id""",
         "ft_collapse_lang": _BM25_CTE + """
             , agg AS (SELECT doc_id, s FROM scored WHERE term = 'data')
             , keyed AS (
