@@ -696,6 +696,56 @@ def _ann_ivf_topk(sf_dir: str):
         "recall_ok", pa.array([recall >= 0.6] * t.num_rows, pa.bool_()))
 
 
+_PQ_IDX_CACHE: dict[str, str] = {}
+
+
+def _ann_pq_topk(sf_dir: str):
+    """IVF-PQ through the PERSISTED index (ops/similarity.py
+    build_pq_index / pq_index_topk — Jégou et al. 2011 product
+    quantization over coarse IVF partitions; at 100 TB the ADC scan
+    reads uint8 codes, ~64x less IO than raw vectors, and only the
+    nprobe probed partitions' codes leave storage).
+
+    Driver-checkable acceptance like ann_ivf_topk: emitted rows are
+    the BRUTE-FORCE top-10 (independently recomputable in SQL) plus a
+    ``recall_ok`` bool asserting the IVF-PQ path's recall@10 against
+    them meets a pinned floor (0.6; measured 0.6/0.8 at
+    sf0.001/sf0.01 with nprobe=8 of 16 — the synthetic near-uniform
+    embeddings cap ANN recall well below real-corpus levels, and PQ
+    quantization stacks on the IVF prune). Deterministic end to end:
+    seeded codebooks/centroids over the id-smallest sample, fixed
+    query vector."""
+    import hashlib
+    import shutil
+
+    from icat_lucene_ray.ops.similarity import (
+        brute_force_topk, build_pq_index, pq_index_topk)
+
+    ds = _emb_ds(sf_dir)
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = _PQ_IDX_CACHE.get(sf_dir)
+    if out is None:
+        out = f"/tmp/icat_lucene_ray_cache/pq_{key}"
+        if not os.path.exists(os.path.join(out, "pq.json")):
+            shutil.rmtree(out, ignore_errors=True)
+            build_pq_index(ds, out, m_sub=8, n_centroids=256,
+                           ivf_clusters=16)
+        _PQ_IDX_CACHE[sf_dir] = out
+    q_tbl = ds.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)),
+                           batch_format="pyarrow").take_batch(
+        1, batch_format="pyarrow")
+    q = np.asarray(q_tbl["embedding"][0].as_py(), dtype=np.float64)
+    approx = pq_index_topk(out, q, k=11, nprobe=8)
+    pq_ids = [v for v in approx["vec_id"].to_pylist() if v != 0][:10]
+    sub = ds.map_batches(lambda b: b.filter(pc.not_equal(b["vec_id"], 0)),
+                         batch_format="pyarrow")
+    brute = brute_force_topk(sub, q, k=10).select(["vec_id", "cosine"])
+    recall = len(set(pq_ids) & set(brute["vec_id"].to_pylist())) / 10.0
+    t = _round6(brute, "cosine")
+    return t.append_column(
+        "recall_ok", pa.array([recall >= 0.6] * t.num_rows, pa.bool_()))
+
+
 def _cluster_embeddings(sf_dir: str):
     """Distributed full-data spherical k-means over the embeddings
     table, made driver-checkable: the iterative float algorithm is not
@@ -1579,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_percentiles": _ft_percentiles,
         "ft_cardinality": _ft_cardinality,
         "text_nb_classify": _text_nb_classify,
+        "ann_pq_topk": _ann_pq_topk,
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
@@ -2220,6 +2271,20 @@ def oracle_sql() -> dict[str, str]:
         # the rows are the brute-force top-10 (fully recomputed here);
         # recall_ok carries the IVF path's deterministic acceptance
         # (recall@10 >= 0.6 floor) — see _ann_ivf_topk.
+        # same brute-force ground truth as ann_ivf_topk: the emitted
+        # rows are the exact cosine top-10 (the recall_ok bool is the
+        # IVF-PQ acceptance, pinned in _ann_pq_topk)
+        "ann_pq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                     AS cosine,
+                   TRUE AS recall_ok
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                     e.vec_id
+            LIMIT 10""",
         "ann_ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0)
