@@ -201,6 +201,16 @@ def _ft_cardinality(sf_dir: str):
     })
 
 
+def _ft_significant_terms(sf_dir: str):
+    """ES-style ``significant_terms`` aggregation (engine
+    ``Index.significant_terms``, JLH heuristic): ``source`` labels
+    over-represented among docs matching the term vs the whole corpus;
+    both counting passes run through the facet sidecar."""
+    from icat_lucene_ray.query import Term
+
+    return _idx(sf_dir).significant_terms(Term("data"), "source", k=10)
+
+
 def _ft_collapse_lang(sf_dir: str):
     """Field collapsing (Lucene grouping module /
     CollapsingTopDocsCollector): best-scoring hit per distinct ``lang``,
@@ -1630,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cardinality": _ft_cardinality,
         "text_nb_classify": _text_nb_classify,
         "ann_pq_topk": _ann_pq_topk,
+        "ft_significant_terms": _ft_significant_terms,
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
@@ -1814,6 +1825,28 @@ def oracle_sql() -> dict[str, str]:
                      AS distinct_source_exact,
                    TRUE AS hll_within_2pct
             FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
+        # JLH arithmetic restated with the engine's exact operation
+        # order so ranks reproduce bit-identically
+        "ft_significant_terms": _BM25_CTE + """
+            , agg AS (SELECT DISTINCT doc_id FROM scored
+                      WHERE term = 'data')
+            , fg AS (SELECT d.source AS term,
+                            count(*)::BIGINT AS fg_count
+                     FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+                     WHERE d.source IS NOT NULL GROUP BY d.source)
+            , bg AS (SELECT source AS term, count(*)::BIGINT AS bg_count
+                     FROM documents WHERE source IS NOT NULL
+                     GROUP BY source)
+            , tot AS (SELECT (SELECT sum(fg_count)::DOUBLE FROM fg) AS ft,
+                             (SELECT sum(bg_count)::DOUBLE FROM bg) AS bt)
+            SELECT term, fg_count, bg_count,
+                   round(((fg_count / ft) - (bg_count / bt))
+                         * ((fg_count / ft) / (bg_count / bt)), 6)
+                     AS score
+            FROM fg JOIN bg USING (term) CROSS JOIN tot
+            ORDER BY ((fg_count / ft) - (bg_count / bt))
+                     * ((fg_count / ft) / (bg_count / bt)) DESC, term
+            LIMIT 10""",
         # independent SQL restatement of multinomial NB train+predict
         # (ops/classify.py): integer counts, Laplace alpha=1 smoothing
         # over the train vocabulary, OOV tokens skipped, argmax with

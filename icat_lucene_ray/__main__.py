@@ -230,6 +230,21 @@ def cmd_card(args):
                       "exact": bool(args.exact)}))
 
 
+def cmd_sig(args):
+    """Significant-terms verb (ES ``significant_terms`` analog, JLH
+    heuristic): terms of a string doc-store column over-represented in
+    the matching docs vs the whole corpus."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    t = idx.significant_terms(q, args.field, k=args.k,
+                              min_doc_count=args.min_doc_count)
+    print(json.dumps({"terms": t.to_pylist()}, default=str))
+
+
 def cmd_facet(args):
     """Facet verb — the reference's dedicated facet surface
     (``POST /{entity}/facet``, Lucene.java:956-973) as its own CLI
@@ -478,6 +493,17 @@ def main(argv=None):
     cd.add_argument("--actors", action="store_true")
     cd.add_argument("--num-cpus", type=int, default=None)
     cd.set_defaults(fn=cmd_card)
+
+    sg2 = sub.add_parser("sig", help="significant terms (JLH-scored "
+                                     "foreground-vs-corpus labels)")
+    sg2.add_argument("--index", required=True)
+    sg2.add_argument("--query", required=True)
+    sg2.add_argument("--field", required=True)
+    sg2.add_argument("--k", type=int, default=10)
+    sg2.add_argument("--min-doc-count", type=int, default=1)
+    sg2.add_argument("--actors", action="store_true")
+    sg2.add_argument("--num-cpus", type=int, default=None)
+    sg2.set_defaults(fn=cmd_sig)
 
     fc = sub.add_parser("facet", help="facet counts for a query "
                         "(string dims + numeric ranges)")

@@ -2829,6 +2829,45 @@ class Index:
             }
         return out
 
+    def significant_terms(self, q: Query, field: str, *, k: int = 10,
+                          min_doc_count: int = 1) -> pa.Table:
+        """ES ``significant_terms`` aggregation over a string doc-store
+        column: foreground = docs matching ``q``, background = the
+        whole live corpus, scored with ES's default JLH heuristic
+        ``(fg_pct - bg_pct) * (fg_pct / bg_pct)`` where the pcts are
+        label count / label-total within each set (null-field docs
+        excluded from both totals, keeping the ratio SQL-restatable).
+        Rows ``(term, fg_count, bg_count, score)``, score desc / term
+        asc, labels below ``min_doc_count`` foreground docs dropped.
+        Both counting passes run through the cached facet sidecar (or
+        the sharded actor facet state) — O(labels) driver traffic,
+        never a doc-store scan. The score arithmetic keeps one fixed
+        operation order so ranks reproduce bit-identically across
+        runtimes."""
+        big = 1 << 31
+        fg = self.facets(q, dims=[field], max_labels=big).get(field, {})
+        bg = self.facets(MatchAll(), dims=[field],
+                         max_labels=big).get(field, {})
+        ft = float(sum(fg.values()))
+        bt = float(sum(bg.values()))
+        rows = []
+        for term, c in fg.items():
+            if c < min_doc_count:
+                continue
+            fp = c / ft
+            bp = bg[term] / bt  # fg ⊆ bg: always present, > 0
+            score = (fp - bp) * (fp / bp)
+            rows.append((term, int(c), int(bg[term]), score))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "fg_count": pa.array([r[1] for r in rows], pa.int64()),
+            "bg_count": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array([round(r[3], 6) for r in rows],
+                              pa.float64()),
+        })
+
     def _facet_state_obj(self):
         if getattr(self, "_facet_state", None) is None:
             from icat_lucene_ray.index.facets import FacetState

@@ -104,6 +104,50 @@ def test_cardinality_sees_deletes(ray_session, tmp_path):
     assert after == before - 1
 
 
+# ---------------- significant terms ------------------------------------
+
+def test_significant_terms_matches_brute_force(engine, oracle):
+    head, mid = _terms_by_df(oracle)
+    for q in (Term(head), Or([Term(mid[0]), Term(mid[1])])):
+        t = engine.significant_terms(q, "lang", k=5)
+        m, _ = oracle._eval(q)
+        fg: dict = {}
+        bg: dict = {}
+        for d, v in zip(oracle.doc_ids, oracle.meta["lang"]):
+            if v is None:
+                continue
+            bg[v] = bg.get(v, 0) + 1
+            if int(d) in m:
+                fg[v] = fg.get(v, 0) + 1
+        ft, bt = float(sum(fg.values())), float(sum(bg.values()))
+        rows = []
+        for term, c in fg.items():
+            fp, bp = c / ft, bg[term] / bt
+            rows.append((term, c, bg[term],
+                         round((fp - bp) * (fp / bp), 6)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        want = rows[:5]
+        got = list(zip(t["term"].to_pylist(),
+                       t["fg_count"].to_pylist(),
+                       t["bg_count"].to_pylist(),
+                       t["score"].to_pylist()))
+        assert got == want
+
+
+def test_significant_terms_empty_match(engine):
+    t = engine.significant_terms(Term("zz-no-such-term-zz"), "lang")
+    assert t.num_rows == 0
+
+
+def test_significant_terms_min_doc_count(engine, oracle):
+    head, _ = _terms_by_df(oracle)
+    t_all = engine.significant_terms(Term(head), "lang", k=100)
+    lo = int(min(t_all["fg_count"].to_pylist()))
+    t = engine.significant_terms(Term(head), "lang", k=100,
+                                 min_doc_count=lo + 1)
+    assert all(c > lo for c in t["fg_count"].to_pylist())
+
+
 # ---------------- CLI verbs --------------------------------------------
 
 def test_cli_pct_card(cli_index, capsys):
@@ -118,6 +162,11 @@ def test_cli_pct_card(cli_index, capsys):
               "--field", "lang", "--exact"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["exact"] is True and out["cardinality"] >= 1
+    cli.main(["sig", "--index", idx, "--query", "scan",
+              "--field", "lang", "--k", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 'scan' matches only the 3 'data table scan' docs: en/de overrep
+    assert {r["term"] for r in out["terms"]} == {"en", "de"}
 
 
 @pytest.fixture(scope="module")
