@@ -201,6 +201,29 @@ def _ft_cardinality(sf_dir: str):
     })
 
 
+def _ft_explain(sf_dir: str):
+    """IndexSearcher.explain as data: for the top 'data' hit, emit the
+    BM25 decomposition factors (idf, tfnorm, total) from
+    ``Index.explain`` — tf comes from the stored term vector, df from
+    the term dictionary, so the oracle cross-checks the doc store,
+    dictionary, and scorer against a from-scratch SQL recompute."""
+    from icat_lucene_ray.query import Term
+
+    idx = _idx(sf_dir)
+    r = idx.search(Term("data"), k=1)
+    d = int(r.table["doc_id"][0].as_py())
+    e = idx.explain(Term("data"), d)
+    leaf = e["details"][0]
+    return pa.table({
+        "doc_id": pa.array([d], pa.int64()),
+        "score": pa.array([e["value"]], pa.float64()),
+        "idf": pa.array([round(leaf["details"][0]["value"], 6)],
+                        pa.float64()),
+        "tfnorm": pa.array([round(leaf["details"][1]["value"], 6)],
+                           pa.float64()),
+    })
+
+
 def _ft_significant_terms(sf_dir: str):
     """ES-style ``significant_terms`` aggregation (engine
     ``Index.significant_terms``, JLH heuristic): ``source`` labels
@@ -1641,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_nb_classify": _text_nb_classify,
         "ann_pq_topk": _ann_pq_topk,
         "ft_significant_terms": _ft_significant_terms,
+        "ft_explain": _ft_explain,
         "ft_min_should_match": _ft_min_should_match,
         "ft_dismax": _ft_dismax,
         "ft_collapse_lang": _ft_collapse_lang,
@@ -1825,6 +1849,22 @@ def oracle_sql() -> dict[str, str]:
                      AS distinct_source_exact,
                    TRUE AS hll_within_2pct
             FROM agg a JOIN documents d ON a.doc_id = d.doc_id""",
+        "ft_explain": _BM25_CTE + """
+            , t AS (SELECT tf.doc_id, tf.tf, df.df, dl.dl,
+                           stats.n, stats.avgdl, s.s
+                    FROM tf
+                    JOIN df ON tf.term = df.term
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    JOIN scored s ON s.doc_id = tf.doc_id
+                                 AND s.term = tf.term
+                    CROSS JOIN stats
+                    WHERE tf.term = 'data')
+            SELECT doc_id, round(s, 6) AS score,
+                   round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+                   round(tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                         6) AS tfnorm
+            FROM t ORDER BY s DESC, doc_id LIMIT 1""",
         # JLH arithmetic restated with the engine's exact operation
         # order so ranks reproduce bit-identically
         "ft_significant_terms": _BM25_CTE + """

@@ -230,6 +230,19 @@ def cmd_card(args):
                       "exact": bool(args.exact)}))
 
 
+def cmd_explain(args):
+    """Explain verb (Lucene IndexSearcher.explain analog): the BM25
+    score breakdown of one document under a query, as a nested
+    Explanation JSON tree."""
+    from icat_lucene_ray.query import Index, parse_query
+
+    _init_ray(args.num_cpus)
+    idx = Index(args.index, use_actors=args.actors)
+    q = parse_query(args.query,
+                    default_fields=(idx.text_fields or None))
+    print(json.dumps(idx.explain(q, args.doc), default=str))
+
+
 def cmd_sig(args):
     """Significant-terms verb (ES ``significant_terms`` analog, JLH
     heuristic): terms of a string doc-store column over-represented in
@@ -493,6 +506,16 @@ def main(argv=None):
     cd.add_argument("--actors", action="store_true")
     cd.add_argument("--num-cpus", type=int, default=None)
     cd.set_defaults(fn=cmd_card)
+
+    xp = sub.add_parser("explain", help="BM25 score breakdown of one "
+                                        "doc under a query "
+                                        "(IndexSearcher.explain)")
+    xp.add_argument("--index", required=True)
+    xp.add_argument("--query", required=True)
+    xp.add_argument("--doc", required=True, type=int)
+    xp.add_argument("--actors", action="store_true")
+    xp.add_argument("--num-cpus", type=int, default=None)
+    xp.set_defaults(fn=cmd_explain)
 
     sg2 = sub.add_parser("sig", help="significant terms (JLH-scored "
                                      "foreground-vs-corpus labels)")

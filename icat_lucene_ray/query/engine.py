@@ -2829,6 +2829,116 @@ class Index:
             }
         return out
 
+    def explain(self, q: Query, doc_id) -> dict:
+        """Lucene ``IndexSearcher.explain`` analog: why (and how much)
+        one document scores under a query. Returns an
+        Explanation-shaped nested dict ``{matched, value, description,
+        details}``. Every node's value comes from the SAME evaluation
+        path search uses (``_eval`` per node, the doc binary-searched
+        in the node's result — never a parallel reimplementation), and
+        Term leaves additionally decompose into the BM25 factors: tf
+        from the doc store's stored term vector, df/idf from the term
+        dictionary, dl/avgdl length normalization. Debug surface — the
+        cost is one posting evaluation per query node, the same
+        contract as Lucene's explain."""
+        q = self._rewrite_meta_fields(q)
+        return self._explain_node(q, int(doc_id))
+
+    def _node_match(self, q: Query, d: int) -> tuple[bool, float, bool]:
+        docs, sc = self._eval(q)
+        pos = int(np.searchsorted(docs, d))
+        matched = pos < len(docs) and int(docs[pos]) == d
+        scoring = sc is not None
+        value = float(sc[pos]) if (matched and scoring) else \
+            (1.0 if matched else 0.0)
+        return matched, value, scoring
+
+    def _bm25_leaf_details(self, q: Term, d: int) -> list[dict]:
+        freqs = self._stored_term_freqs(d)
+        if not freqs:
+            return []
+        dl = float(sum(freqs.values()))
+        k1, b = self.cfg.k1, self.cfg.b
+        out = []
+        for s in self._term_stems(q):
+            df = int(self.term_df(s))
+            tf = float(freqs.get(s, 0))
+            if df == 0 or tf == 0:
+                continue
+            idf = self.idf(df)
+            avgdl = self._avgdl_of(s)
+            tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            out.append({
+                "matched": True, "value": idf * tfn,
+                "description": f"weight({s}) = idf * tfnorm",
+                "details": [
+                    {"matched": True, "value": idf,
+                     "description": (f"idf = ln(1+(N-df+0.5)/(df+0.5)),"
+                                     f" df={df}, N={self.N}"),
+                     "details": []},
+                    {"matched": True, "value": tfn,
+                     "description": (f"tfnorm = tf*(k1+1)/(tf+k1*(1-b+"
+                                     f"b*dl/avgdl)), tf={tf}, dl={dl},"
+                                     f" avgdl={round(avgdl, 4)},"
+                                     f" k1={k1}, b={b}"),
+                     "details": []},
+                ]})
+        return out
+
+    def _explain_node(self, q: Query, d: int) -> dict:
+        matched, value, scoring = self._node_match(q, d)
+        details: list[dict] = []
+        if isinstance(q, Term) and (q.field is None
+                                    or q.field in self.text_fields):
+            desc = f"term {q.text!r}" + (f" field {q.field!r}"
+                                         if q.field else "")
+            if matched:
+                details = self._bm25_leaf_details(q, d)
+        elif isinstance(q, Phrase):
+            desc = "phrase " + " ".join(q.terms)
+        elif isinstance(q, Or):
+            desc = (f"Or (sum of matching clauses, min_should="
+                    f"{q.min_should})")
+            details = [self._explain_node(c, d) for c in q.clauses]
+        elif isinstance(q, And):
+            desc = "And (sum of matching MUST clauses)"
+            details = [self._explain_node(c, d) for c in q.clauses] \
+                + [self._explain_node(f, d) for f in q.filters]
+        elif isinstance(q, DisMax):
+            desc = f"DisMax (max + {q.tie} * others)"
+            details = [self._explain_node(c, d) for c in q.clauses]
+        elif isinstance(q, Not):
+            desc = "Not (positive minus negative)"
+            neg = self._explain_node(q.negative, d)
+            neg["description"] = "MUST_NOT: " + neg["description"]
+            details = [self._explain_node(q.positive, d), neg]
+        elif isinstance(q, Boost):
+            desc = "Boost (MUST required + SHOULD optional)"
+            details = [self._explain_node(q.required, d),
+                       self._explain_node(q.optional, d)]
+        elif isinstance(q, Weight):
+            desc = f"Weight (inner score * {q.factor})"
+            details = [self._explain_node(q.query, d)]
+        elif isinstance(q, Filter):
+            desc = (f"filter {q.field_name} IN {list(q.values)!r} "
+                    "(non-scoring)")
+        elif isinstance(q, RangeFilter):
+            desc = (f"range {q.field_name} "
+                    f"[{q.lo!r} TO {q.hi!r}] (non-scoring)")
+        elif isinstance(q, (Wildcard, Regexp, Fuzzy)):
+            desc = f"{type(q).__name__.lower()} {q.pattern!r}" \
+                if not isinstance(q, Fuzzy) else \
+                f"fuzzy {q.text!r}~{q.max_edits}"
+        elif isinstance(q, MatchAll):
+            desc = "match-all"
+        else:
+            desc = type(q).__name__
+        return {"matched": matched,
+                "value": round(value, 6),
+                "scoring": scoring,
+                "description": desc,
+                "details": details}
+
     def significant_terms(self, q: Query, field: str, *, k: int = 10,
                           min_doc_count: int = 1) -> pa.Table:
         """ES ``significant_terms`` aggregation over a string doc-store
