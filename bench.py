@@ -332,6 +332,54 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         min_len=5).count()
     extras["substring_dedup_sec"] = round(time.perf_counter() - t0, 3)
 
+    # ---- round-5 (late) surfaces: match aggregations, explain, NB, PQ -
+    t0 = time.perf_counter()
+    idx.percentiles(Term(mid[0]), "warc_ts", [0.25, 0.5, 0.95])
+    extras["percentiles_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    idx.cardinality(Term(mid[0]), "lang")
+    extras["cardinality_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.significant_terms(Term(mid[i % len(mid)]), "lang")
+    extras["sig_terms_p50_ms"] = round(
+        (time.perf_counter() - t0) / 20 * 1e3, 2)
+    hit = int(idx.search(Term(mid[0]), k=1).table["doc_id"][0].as_py())
+    t0 = time.perf_counter()
+    for i in range(20):
+        idx.explain(Or([Term(mid[0]), Term(head[0])]), hit)
+    extras["explain_p50_ms"] = round(
+        (time.perf_counter() - t0) / 20 * 1e3, 2)
+
+    import pyarrow as pa
+
+    from icat_lucene_ray.ops.classify import nb_predict, nb_train
+
+    labeled = docs.map_batches(
+        lambda b: b.append_column("label", pa.array(
+            np.where(b["doc_id"].to_numpy(zero_copy_only=False) % 3
+                     == 0, "pos", "neg"))),
+        batch_format="pyarrow")
+    t0 = time.perf_counter()
+    model = nb_train(labeled, "text", "label")
+    nb_predict(labeled, model, "text", "doc_id") \
+        .map_batches(lambda b: pa.table(
+            {"n": [b.num_rows]}), batch_format="pyarrow").count()
+    extras["nb_train_score_sec"] = round(time.perf_counter() - t0, 3)
+
+    from icat_lucene_ray.ops.similarity import (
+        build_pq_index, pq_index_topk)
+
+    pq_dir = f"/tmp/ilr_bench/pq_{num_cpus}"
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_pq_index(emb, pq_dir, m_sub=8, n_centroids=256,
+                   ivf_clusters=16)
+    extras["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq_index_topk(pq_dir, qv, k=10, nprobe=4)
+    extras["pq_query_sec"] = round(time.perf_counter() - t0, 3)
+
     # ---- compute-path scaling probe ----------------------------------
     probe = _compute_probe(pages, num_cpus)
     extras.update(probe)

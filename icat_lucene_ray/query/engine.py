@@ -2845,7 +2845,10 @@ class Index:
         return self._explain_node(q, int(doc_id))
 
     def _node_match(self, q: Query, d: int) -> tuple[bool, float, bool]:
-        docs, sc = self._eval(q)
+        # (d, d) block-skip window: only posting blocks covering the
+        # explained doc decode — same values, explain stays O(blocks
+        # touched), not O(postings)
+        docs, sc = self._eval(q, doc_range=(d, d))
         pos = int(np.searchsorted(docs, d))
         matched = pos < len(docs) and int(docs[pos]) == d
         scoring = sc is not None
